@@ -3,8 +3,12 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash -> CORRECTNESS_r{N}.json).
+
+Float policy: score-bearing queries round to 4 decimals on BOTH sides
+(Spark and DuckDB sum float64 addends in different orders; rounding
+absorbs the last-bit noise) and order by the ROUNDED score with
+doc_id tie-break so LIMIT selects identical rows.
 """
 
 from __future__ import annotations
@@ -12,27 +16,155 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from top2vec_spark.config import BM25_B, BM25_K1, MAX_TOKEN_LEN, MIN_TOKEN_LEN
+from top2vec_spark.operators.bm25 import bm25_scores, term_weights
+from top2vec_spark.operators.corpus_stats import (
+    build_doc_stats,
+    build_vocab,
+    compute_globals,
+)
+from top2vec_spark.operators.tokens import tokenize_docs
 
 
+# ---------------------------------------------------------------------------
+# Shared DuckDB fragments (the ASCII tokenizer contract — identical to
+# top2vec_spark.functions.tokenizer.sql_tokens_expr; the full unicode
+# contract is pytest-oracled in tests/test_tokenizer.py instead).
+# ---------------------------------------------------------------------------
+_TOKENS_CTE = f"""
+tokens AS (
+  SELECT doc_id,
+         unnest(list_filter(
+           regexp_extract_all(lower(regexp_replace(text, '<[^>]+>', '', 'g')), '[a-z_]+'),
+           t -> len(t) BETWEEN {MIN_TOKEN_LEN} AND {MAX_TOKEN_LEN} AND NOT starts_with(t, '_')
+         )) AS term
+  FROM documents
+)"""
+
+_STATS_CTES = f"""{_TOKENS_CTE},
+doc_stats AS (SELECT doc_id, count(*) AS dl FROM tokens GROUP BY doc_id),
+globals AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM doc_stats),
+vocab AS (SELECT term, count(*) AS cf, count(DISTINCT doc_id) AS df FROM tokens GROUP BY term)"""
+
+
+def _bm25_oracle_sql(pos: list[str], neg: list[str], k: int) -> str:
+    values = ", ".join(
+        [f"('{t}', 1.0)" for t in pos] + [f"('{t}', -1.0)" for t in neg]
+    )
+    return f"""
+WITH {_STATS_CTES},
+q(term, sign) AS (VALUES {values}),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tokens
+  WHERE term IN (SELECT term FROM q) GROUP BY doc_id, term
+),
+scored AS (
+  SELECT tf.doc_id,
+         sum(q.sign
+             * ln(1.0 + (globals.n_docs - vocab.df + 0.5) / (vocab.df + 0.5))
+             * (tf.tf * ({BM25_K1} + 1.0))
+             / (tf.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * doc_stats.dl / globals.avgdl))
+         ) AS score
+  FROM tf
+  JOIN q USING (term) JOIN vocab USING (term) JOIN doc_stats USING (doc_id)
+  CROSS JOIN globals
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(score, 4) AS score
+FROM scored ORDER BY round(score, 4) DESC, doc_id ASC LIMIT {k}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Spark-side builders
+# ---------------------------------------------------------------------------
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ascii_fast_path: driver `documents` fixture is ASCII (verified);
+    # keeps the whole oracle-gated path JVM-side / codegen.
+    return tokenize_docs(_docs(spark, sf_dir), ascii_fast_path=True)
+
+
+def _bm25_query(pos: list[str], neg: list[str], k: int):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        tokens = tokenize_docs(_docs(spark, sf_dir), ascii_fast_path=True).cache()
+        vocab = build_vocab(tokens)
+        ds = build_doc_stats(tokens)
+        g = compute_globals(ds)
+        w = term_weights(spark, vocab, pos, neg)
+        scored = bm25_scores(tokens, ds, g, w)
+        rounded = scored.select(
+            "doc_id", F.round("score", 4).alias("score")
+        )
+        return rounded.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
+
+    return run
+
+
+def _q_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return build_vocab(_tokens(spark, sf_dir))
+
+
+def _q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return build_doc_stats(_tokens(spark, sf_dir))
+
+
+def _q_globals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ds = build_doc_stats(_tokens(spark, sf_dir))
+    return ds.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("dl"), 6).alias("avgdl"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Driver contract
+# ---------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: multi-term BM25 top-k
+    (search_documents_by_keywords re-expression) over `documents`."""
+    from top2vec_spark.api import Top2VecSpark
+
+    docs = _docs(spark, "/root/testdata/sf0.001")
+    engine = Top2VecSpark(spark, docs, ascii_fast_path=True)
+    return engine.search_documents_by_keywords(
+        ["table", "spark"], num_docs=10, keywords_neg=["slow"]
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "vocab": _q_vocab,
+        "doc_stats": _q_doc_stats,
+        "corpus_globals": _q_globals,
+        "bm25_top10": _bm25_query(["table", "spark"], [], 10),
+        "bm25_top10_neg": _bm25_query(["table", "spark"], ["slow"], 10),
+        "bm25_top10_single": _bm25_query(["vector"], [], 10),
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "vocab": f"""
+WITH {_TOKENS_CTE},
+counts AS (SELECT term, count(*) AS cf, count(DISTINCT doc_id) AS df FROM tokens GROUP BY term)
+SELECT term, row_number() OVER (ORDER BY df DESC, term ASC) - 1 AS term_id, df, cf
+FROM counts
+""",
+        "doc_stats": f"""
+WITH {_TOKENS_CTE}
+SELECT doc_id, count(*) AS dl FROM tokens GROUP BY doc_id
+""",
+        "corpus_globals": f"""
+WITH {_STATS_CTES}
+SELECT n_docs, round(avgdl, 6) AS avgdl FROM globals
+""",
+        "bm25_top10": _bm25_oracle_sql(["table", "spark"], [], 10),
+        "bm25_top10_neg": _bm25_oracle_sql(["table", "spark"], ["slow"], 10),
+        "bm25_top10_single": _bm25_oracle_sql(["vector"], [], 10),
+    }

@@ -1,0 +1,71 @@
+"""Corpus statistics (SURVEY.md A1/A8/P1) vs hand-computed oracles."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+
+from top2vec_spark.functions.tokenizer import reference_tokenize
+from top2vec_spark.operators.corpus_stats import (
+    build_doc_stats,
+    build_vocab,
+    compute_globals,
+)
+from top2vec_spark.operators.tokens import tokenize_docs
+
+
+@pytest.fixture(scope="module")
+def tokens_df(spark, tiny_docs):
+    return tokenize_docs(tiny_docs).cache()
+
+
+def _py_tokens(tiny_corpus):
+    return {doc_id: reference_tokenize(text) for doc_id, text in tiny_corpus}
+
+
+def test_tokens_long_format(tokens_df, tiny_corpus):
+    got = {
+        (r["doc_id"], r["pos"]): r["term"] for r in tokens_df.collect()
+    }
+    expect = {
+        (doc_id, pos): term
+        for doc_id, toks in _py_tokens(tiny_corpus).items()
+        for pos, term in enumerate(toks)
+    }
+    assert got == expect
+
+
+def test_vocab_counts(tokens_df, tiny_corpus):
+    toks = _py_tokens(tiny_corpus)
+    cf = Counter(t for ts in toks.values() for t in ts)
+    df = Counter(t for ts in toks.values() for t in set(ts))
+    vocab = {r["term"]: (r["df"], r["cf"]) for r in build_vocab(tokens_df).collect()}
+    assert vocab == {t: (df[t], cf[t]) for t in cf}
+
+
+def test_min_count_strictly_greater(tokens_df):
+    # 'sat' has cf=6 ('the' cf=6 too); strict '>' must drop cf == min_count
+    v2 = {r["term"] for r in build_vocab(tokens_df, min_count=2).collect()}
+    assert "cats" not in v2  # cf == 2 dropped by strict >
+    assert "sat" in v2
+    v6 = {r["term"] for r in build_vocab(tokens_df, min_count=6).collect()}
+    assert "sat" not in v6 and "the" not in v6
+
+
+def test_term_ids_dense_and_deterministic(tokens_df):
+    rows = build_vocab(tokens_df).orderBy("term_id").collect()
+    ids = [r["term_id"] for r in rows]
+    assert ids == list(range(len(rows)))
+    # ordered by df desc, term asc
+    keys = [(-r["df"], r["term"]) for r in rows]
+    assert keys == sorted(keys)
+
+
+def test_doc_stats_and_globals(tokens_df, tiny_corpus):
+    toks = _py_tokens(tiny_corpus)
+    ds = {r["doc_id"]: r["dl"] for r in build_doc_stats(tokens_df).collect()}
+    assert ds == {d: len(ts) for d, ts in toks.items() if ts}
+    g = compute_globals(build_doc_stats(tokens_df))
+    assert g.n_docs == len(ds)
+    assert g.avgdl == pytest.approx(sum(ds.values()) / len(ds))

@@ -1,0 +1,273 @@
+"""Top2VecSpark — the user-facing façade (SURVEY.md §7.2 step 8).
+
+Mirrors the reference API surface (Top2Vec class, reference
+top2vec/top2vec.py:450) re-expressed over the inverted index:
+
+- ``search_documents_by_keywords(keywords, num_docs, keywords_neg)``
+  (reference top2vec.py:2855) -> multi-term BM25 top-k.
+- ``query_documents(query, num_docs)`` (top2vec.py:2420) -> tokenize
+  the free-text query with the reference tokenizer contract, then
+  bag-of-words BM25 top-k.
+- ``search_words_by_keywords`` / ``similar_words`` (top2vec.py:2947)
+  -> top-k terms by BM25-weighted co-occurrence, with the reference's
+  over-fetch + self-exclusion arithmetic (top2vec.py:3000-3011).
+
+Reference quirks preserved deliberately (SURVEY.md Appendix A):
+keyword lowercasing (T4), strict '>' min_count (P1), over-fetch then
+exclude then re-limit (K4/P4/P5). Quirks NOT copied: unstable top-k
+tie order (we fix score DESC, doc_id ASC).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from top2vec_spark.config import BM25Config, DEFAULT_MIN_COUNT
+from top2vec_spark.functions.tokenizer import reference_tokenize
+from top2vec_spark.operators import bm25 as bm25_ops
+from top2vec_spark.operators.corpus_stats import (
+    CorpusGlobals,
+    build_doc_stats,
+    build_vocab,
+    compute_globals,
+)
+from top2vec_spark.operators.tokens import tokenize_docs
+
+
+class Top2VecSpark:
+    """Inverted-index retrieval engine over a documents DataFrame.
+
+    ``docs`` must carry (doc_id: long, text: string); extra columns
+    (url, lang, ...) are kept for projection. ``keep_documents``
+    mirrors the reference flag (top2vec.py:501-503): when False,
+    search results never include text.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        docs: DataFrame,
+        min_count: int = DEFAULT_MIN_COUNT,
+        cfg: BM25Config = BM25Config(),
+        keep_documents: bool = True,
+        ascii_fast_path: bool = False,
+        index_path: str | None = None,
+    ) -> None:
+        self.spark = spark
+        self.cfg = cfg
+        self.keep_documents = keep_documents
+        self.docs = docs
+        self.index_path = index_path
+        self.tokens = tokenize_docs(docs, ascii_fast_path=ascii_fast_path)
+        self.vocab = build_vocab(self.tokens, min_count=min_count)
+        self.doc_stats = build_doc_stats(self.tokens)
+        self._globals: CorpusGlobals | None = None
+        self._index = None  # set by build_index() (postings/WAND path)
+
+    # -- lazy cached globals ------------------------------------------------
+    @property
+    def globals(self) -> CorpusGlobals:
+        if self._globals is None:
+            # cache the small stats tables: reused by every query
+            self.vocab = self.vocab.cache()
+            self.doc_stats = self.doc_stats.cache()
+            self._globals = compute_globals(self.doc_stats)
+        return self._globals
+
+    def build_index(self, path: str | None = None, resume: bool = True):
+        """Build the compressed postings index (checkpoint-resumable).
+        Returns the PostingsIndex; queries automatically use WAND once
+        built."""
+        from top2vec_spark.plans.build import IndexBuilder
+
+        builder = IndexBuilder(
+            self.spark, path or self.index_path, cfg=self.cfg
+        )
+        self._index = builder.build(
+            self.tokens, self.vocab, self.doc_stats, resume=resume
+        )
+        return self._index
+
+    # -- queries ------------------------------------------------------------
+    def _topk(
+        self,
+        pos: Sequence[str],
+        neg: Sequence[str],
+        k: int,
+        exclude_doc_ids: Sequence[int] = (),
+        use_index: bool | None = None,
+    ) -> DataFrame:
+        weights = bm25_ops.term_weights(self.spark, self.vocab, pos, neg)
+        use_wand = self._index is not None if use_index is None else use_index
+        if use_wand:
+            from top2vec_spark.operators.wand import wand_topk
+
+            return wand_topk(
+                self.spark,
+                self._index,
+                weights,
+                self.globals,
+                k,
+                cfg=self.cfg,
+                exclude_doc_ids=exclude_doc_ids,
+            )
+        return bm25_ops.bm25_topk_bruteforce(
+            self.tokens,
+            self.doc_stats,
+            self.globals,
+            weights,
+            k,
+            cfg=self.cfg,
+            exclude_doc_ids=exclude_doc_ids,
+        )
+
+    def search_documents_by_keywords(
+        self,
+        keywords: Sequence[str],
+        num_docs: int,
+        keywords_neg: Sequence[str] = (),
+        return_documents: bool = True,
+        use_index: bool | None = None,
+    ) -> DataFrame:
+        """Reference top2vec.py:2855-2945 re-expressed: positive terms
+        add BM25, negative subtract. Returns
+        (doc_id, score[, text...]) ordered score DESC, doc_id ASC."""
+        self._validate_num(num_docs)
+        result = self._topk(keywords, keywords_neg, num_docs, use_index=use_index)
+        return self._project(result, return_documents)
+
+    def query_documents(
+        self, query: str, num_docs: int, return_documents: bool = True
+    ) -> DataFrame:
+        """Reference top2vec.py:2420-2495: tokenize the query with the
+        T1 contract, then bag-of-words multi-term top-k. Out-of-vocab
+        query tokens are dropped (the reference embeds them instead —
+        documented re-expression, SURVEY.md §7.4)."""
+        if not isinstance(query, str):
+            raise ValueError("query must be a string")
+        toks = reference_tokenize(query)
+        known = {
+            r["term"]
+            for r in self.vocab.filter(F.col("term").isin(list(set(toks)))).collect()
+        }
+        terms = [t for t in toks if t in known]
+        if not terms:
+            raise ValueError("no query tokens found in vocabulary")
+        self._validate_num(num_docs)
+        result = self._topk(terms, (), num_docs)
+        return self._project(result, return_documents)
+
+    def search_documents_by_documents(
+        self,
+        doc_ids: Sequence[int],
+        num_docs: int,
+        doc_ids_neg: Sequence[int] = (),
+        return_documents: bool = True,
+    ) -> DataFrame:
+        """Reference top2vec.py:3081-3180: similar documents. Query =
+        the terms of the positive docs (bag-of-words), minus terms of
+        negative docs; over-fetch num_docs + len(query docs), exclude
+        the query docs themselves, re-limit (exact arithmetic of
+        top2vec.py:3167-3177)."""
+        all_ids = list(doc_ids) + list(doc_ids_neg)
+        self._validate_doc_ids(all_ids)
+        pos_terms = self._doc_terms(doc_ids)
+        neg_terms = [t for t in self._doc_terms(doc_ids_neg) if t not in set(pos_terms)]
+        k_overfetch = num_docs + len(all_ids)
+        result = self._topk(
+            pos_terms, neg_terms, k_overfetch, exclude_doc_ids=all_ids
+        ).limit(num_docs)
+        return self._project(result, return_documents)
+
+    def search_words_by_keywords(
+        self,
+        keywords: Sequence[str],
+        num_words: int,
+        keywords_neg: Sequence[str] = (),
+    ) -> DataFrame:
+        """``similar_words`` (reference top2vec.py:2947-3013)
+        re-expressed lexically: rank vocabulary terms by BM25-weighted
+        co-occurrence with the query terms — for each candidate term
+        u, score(u) = sum over top documents d of the query of
+        bm25(d, u). Over-fetch num_words + len(query terms), drop the
+        query terms, take num_words (top2vec.py:3000-3011)."""
+        pos = [t.lower() for t in keywords]
+        neg = [t.lower() for t in keywords_neg]
+        k_terms = num_words + len(pos) + len(neg)
+        # top documents for the query (fixed fan-out keeps this sublinear)
+        top_docs = self._topk(pos, neg, max(50, k_terms))
+        cooc = (
+            self.tokens.join(
+                F.broadcast(top_docs.select("doc_id", F.col("score").alias("dscore"))),
+                "doc_id",
+            )
+            .groupBy("term")
+            .agg(F.sum("dscore").alias("score"))
+            .filter(~F.col("term").isin(pos + neg))
+            .orderBy(F.col("score").desc(), F.col("term").asc())
+            .limit(num_words)
+        )
+        return cooc
+
+    similar_words = search_words_by_keywords
+
+    # -- mutation (U1/U2) ---------------------------------------------------
+    def add_documents(self, new_docs: DataFrame) -> "Top2VecSpark":
+        """Reference add_documents (top2vec.py:1960-2061): append +
+        incremental stats rebuild. Returns a new engine over the
+        union; id uniqueness enforced like top2vec.py:512-513."""
+        merged = self.docs.unionByName(new_docs, allowMissingColumns=True)
+        dup = (
+            merged.groupBy("doc_id").count().filter(F.col("count") > 1).limit(1).count()
+        )
+        if dup:
+            raise ValueError("duplicate doc_ids in add_documents")
+        return Top2VecSpark(
+            self.spark, merged, cfg=self.cfg, keep_documents=self.keep_documents
+        )
+
+    def delete_documents(self, doc_ids: Sequence[int]) -> "Top2VecSpark":
+        """Reference delete_documents (top2vec.py:2063-2122)."""
+        remaining = self.docs.filter(~F.col("doc_id").isin(list(doc_ids)))
+        return Top2VecSpark(
+            self.spark, remaining, cfg=self.cfg, keep_documents=self.keep_documents
+        )
+
+    # -- helpers ------------------------------------------------------------
+    def _project(self, result: DataFrame, return_documents: bool) -> DataFrame:
+        """Join back url/text like the reference returns
+        (documents?, doc_scores, doc_ids) — url plays the role of
+        document_ids (SURVEY.md §1.2)."""
+        cols = ["doc_id"]
+        if "url" in self.docs.columns:
+            cols.append("url")
+        if return_documents and self.keep_documents and "text" in self.docs.columns:
+            cols.append("text")
+        if len(cols) == 1:
+            return result
+        return result.join(self.docs.select(*cols), "doc_id").orderBy(
+            F.col("score").desc(), F.col("doc_id").asc()
+        )
+
+    def _validate_num(self, k: int) -> None:
+        if k < 1:
+            raise ValueError("num_docs must be >= 1")
+
+    def _validate_doc_ids(self, ids: Sequence[int]) -> None:
+        found = self.docs.filter(F.col("doc_id").isin(list(ids))).count()
+        if found != len(set(ids)):
+            raise ValueError("doc_ids do not exist")
+
+    def _doc_terms(self, ids: Sequence[int]) -> list[str]:
+        if not ids:
+            return []
+        rows = (
+            self.tokens.filter(F.col("doc_id").isin(list(ids)))
+            .select("term")
+            .distinct()
+            .collect()
+        )
+        return sorted(r["term"] for r in rows)

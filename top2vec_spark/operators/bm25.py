@@ -1,0 +1,139 @@
+"""Brute-force BM25 top-k — the engine's reference scorer.
+
+This is SURVEY.md §7.2 step 3: the "one real query" end-to-end slice
+and, forever after, the oracle that block-max WAND must match
+rank-identically (docIDs AND float64 scores). It re-expresses
+Top2Vec's ``search_documents_by_keywords`` (reference
+top2vec/top2vec.py:2855-2945): positive keywords add BM25 score,
+negative keywords subtract (mirror of the vector sum/subtract at
+top2vec.py:1264-1274, documented re-expression SURVEY.md §7.4).
+
+Scoring (north rule constants k1=1.2, b=0.75):
+
+    idf(t)  = ln(1 + (N - df_t + 0.5) / (df_t + 0.5))
+    s(d, t) = idf(t) * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl/avgdl))
+    score(d) = sum_{t in pos} s(d, t) - sum_{t in neg} s(d, t)
+
+Ties broken (score DESC, doc_id ASC) — the reference leaves ties to
+np.argsort quicksort order (top2vec.py:1279, nondeterministic); we fix
+a deterministic contract (SURVEY.md Appendix A).
+
+Physical plan notes: the term filter prunes the tokens scan (pushed
+to parquet), per-(doc,term) tf is a partial+final hash agg, the query
+side (term -> idf, sign) is a broadcast join, and the final top-k is
+``ORDER BY ... LIMIT k`` which Catalyst plans as
+TakeOrderedAndProject (per-partition heap + driver merge — no global
+sort). Zero full shuffless beyond the tf aggregation.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from top2vec_spark.config import BM25Config
+from top2vec_spark.operators.corpus_stats import CorpusGlobals
+
+
+def idf(n_docs: int, df: int) -> float:
+    """BM25 idf, shared by brute scorer, WAND block-max bounds, and
+    the pytest oracle."""
+    return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+
+
+def term_weights(
+    spark: SparkSession,
+    vocab: DataFrame,
+    pos_terms: Sequence[str],
+    neg_terms: Sequence[str] = (),
+) -> DataFrame:
+    """Tiny (term, term_id, df, sign, idf-less) query-side table.
+
+    Keywords are lowercased before vocab lookup (reference
+    top2vec.py:1433-1434, T4). Unknown terms raise ValueError like the
+    reference's ``_validate_keywords`` (top2vec.py:1426-1441).
+    """
+    pos = [t.lower() for t in pos_terms]
+    neg = [t.lower() for t in neg_terms]
+    all_terms = list(dict.fromkeys(pos + neg))
+    if not all_terms:
+        raise ValueError("at least one keyword required")
+    found = (
+        vocab.filter(F.col("term").isin(all_terms))
+        .select("term", "term_id", "df")
+        .collect()
+    )
+    known = {r["term"] for r in found}
+    missing = [t for t in all_terms if t not in known]
+    if missing:
+        raise ValueError(f"keywords not in vocabulary: {missing}")
+    rows = [
+        (r["term"], r["term_id"], r["df"], -1.0 if r["term"] in set(neg) else 1.0)
+        for r in found
+    ]
+    return spark.createDataFrame(rows, "term string, term_id long, df long, sign double")
+
+
+def bm25_score_col(cfg: BM25Config, n_docs: int) -> F.Column:
+    """Per-(doc, term) BM25 contribution as a Column expression over
+    columns tf, df, dl, avgdl, sign — written in the exact same
+    operation order as the DuckDB oracle SQL so float64 results agree
+    bit-for-bit."""
+    k1 = F.lit(cfg.k1)
+    b = F.lit(cfg.b)
+    n = F.lit(float(n_docs))
+    idf_col = F.log(F.lit(1.0) + (n - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5)))
+    tf = F.col("tf").cast("double")
+    denom = tf + k1 * (F.lit(1.0) - b + b * F.col("dl").cast("double") / F.col("avgdl"))
+    return F.col("sign") * idf_col * (tf * (k1 + F.lit(1.0))) / denom
+
+
+def bm25_scores(
+    tokens: DataFrame,
+    doc_stats: DataFrame,
+    globs: CorpusGlobals,
+    weights: DataFrame,
+    cfg: BM25Config = BM25Config(),
+) -> DataFrame:
+    """Unlimited (doc_id, score) for every doc matching >= 1 query
+    term — the scoring plan shared by the top-k wrapper and the
+    DuckDB-oracle entry queries."""
+    terms = [r["term"] for r in weights.select("term").collect()]
+    tf = (
+        tokens.filter(F.col("term").isin(terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return (
+        tf.join(F.broadcast(weights), "term")
+        .join(doc_stats, "doc_id")
+        .withColumn("avgdl", F.lit(globs.avgdl))
+        .withColumn("contrib", bm25_score_col(cfg, globs.n_docs))
+        .groupBy("doc_id")
+        .agg(F.sum("contrib").alias("score"))
+    )
+
+
+def bm25_topk_bruteforce(
+    tokens: DataFrame,
+    doc_stats: DataFrame,
+    globs: CorpusGlobals,
+    weights: DataFrame,
+    k: int,
+    cfg: BM25Config = BM25Config(),
+    exclude_doc_ids: Sequence[int] = (),
+) -> DataFrame:
+    """Exact BM25 top-k via full postings scan — returns
+    (doc_id, score) ordered score DESC, doc_id ASC, k rows.
+
+    ``exclude_doc_ids`` implements the reference's over-fetch +
+    self-exclusion contract (top2vec.py:3167-3177, P5): callers
+    over-fetch k + len(exclude) then re-limit.
+    """
+    scored = bm25_scores(tokens, doc_stats, globs, weights, cfg)
+    if exclude_doc_ids:
+        scored = scored.filter(~F.col("doc_id").isin(list(exclude_doc_ids)))
+    return scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)

@@ -1,0 +1,69 @@
+"""Corpus statistics: vocabulary, document stats, BM25 globals.
+
+Replaces the reference's CountVectorizer vocabulary build
+(top2vec/top2vec.py:858-874, operators A1/A8/P1 in SURVEY.md §2.4):
+two-phase hash aggregations that Catalyst plans as
+partial+final HashAggregate — the map-side combine keeps the
+head-term (Zipf) skew from concentrating rows before the shuffle.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from top2vec_spark.config import DEFAULT_MIN_COUNT
+
+
+def build_vocab(tokens: DataFrame, min_count: int = DEFAULT_MIN_COUNT) -> DataFrame:
+    """vocab(term, term_id, df, cf).
+
+    cf = corpus frequency (total occurrences), df = document
+    frequency. min_count filter is STRICT '>' (reference
+    top2vec.py:869). term_id is a deterministic dense id by
+    (df desc, term asc) — most frequent terms get the smallest ids,
+    which keeps head-term postings in predictable buckets.
+    """
+    counts = (
+        tokens.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("cf"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+        .filter(F.col("cf") > min_count)
+    )
+    # Vocab is small (≤ millions of rows even at web scale, vs 10^12
+    # docs); a global row_number window here is a deliberate,
+    # bounded-size single-partition step.
+    w = W.orderBy(F.col("df").desc(), F.col("term").asc())
+    return counts.withColumn(
+        "term_id", (F.row_number().over(w) - F.lit(1)).cast("long")
+    ).select("term", "term_id", "df", "cf")
+
+
+def build_doc_stats(tokens: DataFrame) -> DataFrame:
+    """doc_stats(doc_id, dl) — document length in tokens."""
+    return tokens.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+
+
+@dataclass(frozen=True)
+class CorpusGlobals:
+    n_docs: int
+    avgdl: float
+
+
+def compute_globals(doc_stats: DataFrame) -> CorpusGlobals:
+    """N and avgdl for BM25. One tiny two-column aggregate collect.
+
+    Note: N counts documents that produced >= 1 token (empty docs have
+    no tokens rows, hence dl undefined); the brute scorer and WAND use
+    the same N so ranks are consistent. Exact df/N required — BM25
+    score-identity forbids approx_count_distinct (SURVEY.md A8).
+    """
+    row = doc_stats.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
+    ).collect()[0]
+    return CorpusGlobals(n_docs=int(row["n"]), avgdl=float(row["avgdl"]))
