@@ -106,6 +106,36 @@ def _bm25_query(pos: list[str], neg: list[str], k: int):
     return run
 
 
+def _bm25_wand_query(pos: list[str], neg: list[str], k: int):
+    """Same contract as _bm25_query but answered by the compressed
+    posting index + block-max WAND (operators/wand.py) — proves the
+    index path itself against the DuckDB oracle."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import hashlib
+
+        from top2vec_spark.operators.wand import wand_topk
+        from top2vec_spark.plans.build import IndexBuilder
+
+        tokens = tokenize_docs(_docs(spark, sf_dir), ascii_fast_path=True).cache()
+        vocab = build_vocab(tokens)
+        ds = build_doc_stats(tokens)
+        # deterministic path + resume=True => the build is a cache
+        tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+        index = IndexBuilder(
+            spark, f"/tmp/t2v_entry_idx_{tag}", docs_per_shard=256, n_buckets=16
+        ).build(tokens, vocab, ds, resume=True)
+        w = term_weights(spark, index.vocab, pos, neg)
+        res = wand_topk(spark, index, w, index.globs, k)
+        return (
+            res.select("doc_id", F.round("score", 4).alias("score"))
+            .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            .limit(k)
+        )
+
+    return run
+
+
 def _q_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return build_vocab(_tokens(spark, sf_dir))
 
@@ -145,6 +175,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_top10": _bm25_query(["table", "spark"], [], 10),
         "bm25_top10_neg": _bm25_query(["table", "spark"], ["slow"], 10),
         "bm25_top10_single": _bm25_query(["vector"], [], 10),
+        "bm25_wand_top10": _bm25_wand_query(["table", "spark"], [], 10),
+        "bm25_wand_top10_neg": _bm25_wand_query(["query", "window"], ["batch"], 10),
     }
 
 
@@ -167,4 +199,6 @@ SELECT n_docs, round(avgdl, 6) AS avgdl FROM globals
         "bm25_top10": _bm25_oracle_sql(["table", "spark"], [], 10),
         "bm25_top10_neg": _bm25_oracle_sql(["table", "spark"], ["slow"], 10),
         "bm25_top10_single": _bm25_oracle_sql(["vector"], [], 10),
+        "bm25_wand_top10": _bm25_oracle_sql(["table", "spark"], [], 10),
+        "bm25_wand_top10_neg": _bm25_oracle_sql(["query", "window"], ["batch"], 10),
     }

@@ -1,0 +1,117 @@
+"""Benchmark harness (driver contract + BASELINE.md targets).
+
+Runs at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS]: full index build (tokenize -> stats ->
+compressed postings) over `documents`, then the headline BM25 top-10
+queries via block-max WAND. Prints ONE JSON line:
+
+  {"metric": "...", "value": N, "unit": "sec",
+   "queries": {"build": s, "q_<name>": s, ...}, "sf": f,
+   "docs_per_sec": r, "query_p50_sec": s}
+
+The two-parallelism scaling study (local[8] vs local[32], BASELINE.md)
+lives in tools/scaling_bench.py and writes BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import statistics
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from top2vec_spark.operators.bm25 import term_weights
+from top2vec_spark.operators.corpus_stats import (
+    build_doc_stats,
+    build_vocab,
+    compute_globals,
+)
+from top2vec_spark.operators.tokens import tokenize_docs
+from top2vec_spark.operators.wand import wand_topk
+from top2vec_spark.plans.build import IndexBuilder
+from top2vec_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# headline query set over the driver `documents` vocabulary
+QUERIES = [
+    ("kw_head2", ["table", "spark"], []),
+    ("kw_head_neg", ["table", "spark"], ["slow"]),
+    ("kw_mixed3", ["query", "window", "data"], []),
+    ("kw_single", ["vector"], []),
+    ("kw_many5", ["join", "group", "order", "sort", "hash"], []),
+]
+K = 10
+P50_REPEATS = 7
+
+
+def main() -> None:
+    spark = get_spark(parallelism=CPUS, app_name="bench")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    n_docs = docs.count()
+
+    idx_dir = tempfile.mkdtemp(prefix="bench_idx_")
+    timings: dict[str, float] = {}
+    try:
+        t0 = time.time()
+        tokens = tokenize_docs(docs, ascii_fast_path=True)
+        vocab = build_vocab(tokens)
+        ds = build_doc_stats(tokens)
+        index = IndexBuilder(
+            spark, idx_dir, docs_per_shard=max(1024, n_docs // (4 * CPUS) or 1)
+        ).build(tokens, vocab, ds, resume=False)
+        t_build = time.time() - t0
+        timings["build"] = round(t_build, 3)
+
+        vocab_c = index.vocab.cache()
+        vocab_c.count()
+        g = index.globs
+
+        lat: list[float] = []
+        for name, pos, neg in QUERIES:
+            w = term_weights(spark, vocab_c, pos, neg)
+            tq = time.time()
+            rows = wand_topk(spark, index, w, g, K).collect()
+            dt = time.time() - tq
+            timings[f"q_{name}"] = round(dt, 3)
+            lat.append(dt)
+            assert len(rows) <= K
+
+        # p50 of the flagship query, warm
+        w = term_weights(spark, vocab_c, ["table", "spark"], [])
+        reps = []
+        for _ in range(P50_REPEATS):
+            tq = time.time()
+            wand_topk(spark, index, w, g, K).collect()
+            reps.append(time.time() - tq)
+        p50 = statistics.median(reps)
+
+        total = t_build + sum(lat)
+        sf = SF_DIR.rstrip("/").split("sf")[-1]
+        print(
+            json.dumps(
+                {
+                    "metric": "index_build_plus_bm25_top10_queries",
+                    "value": round(total, 3),
+                    "unit": "sec",
+                    "queries": timings,
+                    "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                    "n_docs": n_docs,
+                    "docs_per_sec": round(n_docs / t_build, 1),
+                    "query_p50_sec": round(p50, 4),
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(idx_dir, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

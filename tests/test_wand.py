@@ -1,0 +1,125 @@
+"""Block-max WAND ≡ brute-force BM25 — rank-identical docIDs and
+bit-identical float64 scores on the fixture query set (north rule;
+FIXTURES.md §5)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from top2vec_spark.operators.bm25 import bm25_topk_bruteforce, term_weights
+from top2vec_spark.operators.corpus_stats import (
+    build_doc_stats,
+    build_vocab,
+    compute_globals,
+)
+from top2vec_spark.operators.tokens import assign_doc_ids, tokenize_docs
+from top2vec_spark.operators.wand import wand_topk
+from top2vec_spark.plans.build import IndexBuilder
+from top2vec_spark.sources.pages import generate_pages_pdf
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    pdf = generate_pages_pdf(600, seed=11)
+    docs = assign_doc_ids(
+        spark.createDataFrame(pdf[["url", "text"]])
+    ).select("doc_id", "url", "text").cache()
+    tokens = tokenize_docs(docs).cache()
+    vocab = build_vocab(tokens).cache()
+    ds = build_doc_stats(tokens).cache()
+    g = compute_globals(ds)
+    path = str(tmp_path_factory.mktemp("idx"))
+    builder = IndexBuilder(
+        spark, path, docs_per_shard=100, n_buckets=8, block_size=16
+    )
+    index = builder.build(tokens, vocab, ds, resume=False)
+    return spark, tokens, vocab, ds, g, index
+
+
+# query set mirroring the reference pytest shapes (FIXTURES.md §5):
+# head terms, tail terms, mixed, negatives
+QUERY_SET = [
+    (["wa"], [], 10),               # heaviest head term
+    (["wa", "wb"], [], 10),
+    (["wcz", "wdm"], [], 25),       # tail terms
+    (["wa", "wcz"], ["wb"], 10),    # mixed + negative
+    (["wb", "wc", "wd"], [], 50),
+    (["wa"], ["wb", "wc"], 10),
+    (["wzz"], [], 5),
+]
+
+
+@pytest.mark.parametrize("pos,neg,k", QUERY_SET)
+def test_wand_rank_and_score_identical_to_bruteforce(built, pos, neg, k):
+    spark, tokens, vocab, ds, g, index = built
+    w = term_weights(spark, vocab, pos, neg)
+    brute = bm25_topk_bruteforce(tokens, ds, g, w, k).collect()
+    wand = wand_topk(spark, index, w, g, k).collect()
+    assert [r["doc_id"] for r in wand] == [r["doc_id"] for r in brute]
+    for wr, br in zip(wand, brute):
+        # bit-identical float64: both accumulate per-term contributions
+        # in ascending term_id order
+        assert wr["score"] == br["score"], (wr, br)
+    # structural invariants (reference suite): k rows, non-increasing
+    assert len(wand) == min(k, len(brute))
+    assert all(
+        wand[i]["score"] >= wand[i + 1]["score"] for i in range(len(wand) - 1)
+    )
+
+
+def test_wand_exclusion(built):
+    spark, tokens, vocab, ds, g, index = built
+    w = term_weights(spark, vocab, ["wa"], [])
+    base = wand_topk(spark, index, w, g, 5).collect()
+    excl = [r["doc_id"] for r in base[:2]]
+    out = wand_topk(spark, index, w, g, 5, exclude_doc_ids=excl).collect()
+    assert not (set(excl) & {r["doc_id"] for r in out})
+    brute = bm25_topk_bruteforce(
+        tokens, ds, g, w, 5, exclude_doc_ids=excl
+    ).collect()
+    assert [r["doc_id"] for r in out] == [r["doc_id"] for r in brute]
+
+
+def test_manifest_reconciles(built):
+    """Manifest metrics must reconcile with the actual tables
+    (FIXTURES.md §4)."""
+    spark, tokens, vocab, ds, g, index = built
+    m = index.manifest
+    postings_total = (
+        m.filter(F.col("checkpoint_path").contains("postings"))
+        .agg(F.sum("postings_emitted"))
+        .collect()[0][0]
+    )
+    # sum over buckets == total (term_id, doc_id) pairs
+    expected = tokens.select("term", "doc_id").distinct().count()
+    assert postings_total == expected
+    docs_tok = (
+        m.filter(F.col("checkpoint_path").contains("doc_stats"))
+        .agg(F.sum("docs_tokenized"))
+        .collect()[0][0]
+    )
+    assert docs_tok == g.n_docs
+    bytes_c = (
+        m.filter(F.col("checkpoint_path").contains("postings"))
+        .agg(F.sum("bytes_compressed"))
+        .collect()[0][0]
+    )
+    assert bytes_c > 0
+
+
+def test_api_uses_wand_after_build(spark, tmp_path):
+    from top2vec_spark.api import Top2VecSpark
+
+    pdf = generate_pages_pdf(300, seed=3)
+    docs = assign_doc_ids(spark.createDataFrame(pdf[["url", "text"]]))
+    eng = Top2VecSpark(spark, docs)
+    brute = eng.search_documents_by_keywords(
+        ["wa", "wb"], 5, return_documents=False
+    ).collect()
+    eng.build_index(str(tmp_path / "idx"))
+    wand = eng.search_documents_by_keywords(
+        ["wa", "wb"], 5, return_documents=False
+    ).collect()
+    assert [r["doc_id"] for r in wand] == [r["doc_id"] for r in brute]
+    assert [r["score"] for r in wand] == [r["score"] for r in brute]

@@ -1,0 +1,101 @@
+"""Two-cluster-size scaling study (driver instruction / BASELINE.md):
+the same index build + query job on the same input at local[8] and
+local[32], each in its own JVM subprocess. Writes BENCH/BASELINE.md
+with throughput at both parallelism levels and the scaling efficiency
+
+    efficiency = (T_low / T_high) / (cpus_high / cpus_low)
+
+(= 1.0 for perfect linear scaling; north rule target >= 0.8).
+Honest-methodology note: both runs share one machine's memory
+bandwidth, so this is the sandbox proxy for N -> 4N executors.
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import os
+import subprocess
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+N_DOCS = int(os.environ.get("SCALING_N_DOCS", "50000"))
+LOW, HIGH = 8, 32
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def gen_input(path: str) -> None:
+    from top2vec_spark.operators.tokens import assign_doc_ids
+    from top2vec_spark.session import get_spark
+    from top2vec_spark.sources.pages import generate_pages
+
+    spark = get_spark(parallelism=HIGH, app_name="scaling_gen")
+    pages = generate_pages(spark, N_DOCS)
+    docs = assign_doc_ids(pages).select("doc_id", "url", "text")
+    docs.write.mode("overwrite").parquet(path)
+    spark.stop()
+
+
+def run(cpus: int, input_path: str) -> dict:
+    out = subprocess.run(
+        [sys.executable, f"{REPO}/tools/scaling_job.py", input_path, str(cpus)],
+        capture_output=True,
+        text=True,
+        timeout=3600,
+        cwd=REPO,
+    )
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    workdir = tempfile.mkdtemp(prefix="scaling_input_")
+    input_path = f"{workdir}/pages_docs.parquet"
+    print(f"generating {N_DOCS} synthetic pages...", file=sys.stderr)
+    gen_input(input_path)
+
+    results = {}
+    for cpus in (LOW, HIGH):
+        print(f"running local[{cpus}]...", file=sys.stderr)
+        results[cpus] = run(cpus, input_path)
+        print(results[cpus], file=sys.stderr)
+
+    t_low, t_high = results[LOW]["build_sec"], results[HIGH]["build_sec"]
+    speedup = t_low / t_high
+    efficiency = speedup / (HIGH / LOW)
+    report = f"""# BENCH/BASELINE — measured numbers
+
+Generated {datetime.datetime.now(datetime.timezone.utc).isoformat()} by
+`python tools/scaling_bench.py` (methodology: BASELINE.md — sandbox
+two-cluster-size proxy, same job + same input at local[{LOW}] and
+local[{HIGH}] in separate JVMs on one machine; shared memory bandwidth
+understates true multi-node scaling).
+
+## Index build (full path: unicode pandas-UDF tokenize -> stats ->
+compressed postings + manifest), {N_DOCS} synthetic Common-Crawl-style
+pages (FIXTURES.md §1)
+
+| parallelism | build sec | docs/sec | query p50 (BM25 top-10, WAND) |
+|---|---|---|---|
+| local[{LOW}]  | {t_low} | {results[LOW]["docs_per_sec"]} | {results[LOW]["query_p50_sec"]}s |
+| local[{HIGH}] | {t_high} | {results[HIGH]["docs_per_sec"]} | {results[HIGH]["query_p50_sec"]}s |
+
+- speedup {LOW}->{HIGH} cores: **{speedup:.2f}x** (ideal {HIGH//LOW}.0x)
+- scaling efficiency: **{efficiency:.3f}** (north-rule target >= 0.8)
+
+Raw JSON:
+
+```json
+{json.dumps(results, indent=2)}
+```
+"""
+    os.makedirs(f"{REPO}/BENCH", exist_ok=True)
+    with open(f"{REPO}/BENCH/BASELINE.md", "w") as f:
+        f.write(report)
+    print(report)
+
+
+if __name__ == "__main__":
+    main()

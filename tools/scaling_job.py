@@ -1,0 +1,68 @@
+"""One scaling-study run: build the full index over a pages parquet at
+local[N], run the fixture queries, print one JSON line. Invoked as a
+subprocess by tools/scaling_bench.py (each run gets its own JVM)."""
+
+from __future__ import annotations
+
+import json
+import shutil
+import statistics
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, sys.path[0].rsplit("/tools", 1)[0] if "/tools" in sys.path[0] else ".")
+
+from top2vec_spark.operators.bm25 import term_weights
+from top2vec_spark.operators.corpus_stats import build_doc_stats, build_vocab
+from top2vec_spark.operators.tokens import tokenize_docs
+from top2vec_spark.operators.wand import wand_topk
+from top2vec_spark.plans.build import IndexBuilder
+from top2vec_spark.session import get_spark
+
+QUERIES = [(["wa", "wb"], []), (["wc"], []), (["wa", "wd"], ["wb"])]
+
+
+def main() -> None:
+    input_path, cpus = sys.argv[1], int(sys.argv[2])
+    spark = get_spark(parallelism=cpus, app_name=f"scaling_{cpus}")
+    docs = spark.read.parquet(input_path)  # doc_id, url, text
+    n_docs = docs.count()
+
+    idx_dir = tempfile.mkdtemp(prefix=f"scale_idx_{cpus}_")
+    try:
+        t0 = time.time()
+        tokens = tokenize_docs(docs)  # full unicode pandas-UDF path
+        vocab = build_vocab(tokens)
+        ds = build_doc_stats(tokens)
+        index = IndexBuilder(
+            spark, idx_dir, docs_per_shard=max(512, n_docs // 128)
+        ).build(tokens, vocab, ds, resume=False)
+        t_build = time.time() - t0
+
+        vocab_c = index.vocab.cache()
+        vocab_c.count()
+        lats = []
+        for pos, neg in QUERIES * 3:
+            w = term_weights(spark, vocab_c, pos, neg)
+            tq = time.time()
+            wand_topk(spark, index, w, index.globs, 10).collect()
+            lats.append(time.time() - tq)
+        print(
+            json.dumps(
+                {
+                    "cpus": cpus,
+                    "n_docs": n_docs,
+                    "build_sec": round(t_build, 3),
+                    "docs_per_sec": round(n_docs / t_build, 1),
+                    "query_p50_sec": round(statistics.median(lats), 4),
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(idx_dir, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -79,16 +79,19 @@ def term_weights(
 
 def bm25_score_col(cfg: BM25Config, n_docs: int) -> F.Column:
     """Per-(doc, term) BM25 contribution as a Column expression over
-    columns tf, df, dl, avgdl, sign — written in the exact same
-    operation order as the DuckDB oracle SQL so float64 results agree
-    bit-for-bit."""
+    columns tf, idf, dl, avgdl, sign.
+
+    idf arrives as a PRE-COMPUTED column (Python math.log, driver-side)
+    rather than F.log: JVM Math.log and C libm disagree by 1 ulp on
+    some inputs, and WAND must reproduce these scores bit-for-bit.
+    The operation order matches the WAND kernel's numpy expression:
+    sign * ((idf * (tf*(k1+1))) / denom).
+    """
     k1 = F.lit(cfg.k1)
     b = F.lit(cfg.b)
-    n = F.lit(float(n_docs))
-    idf_col = F.log(F.lit(1.0) + (n - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5)))
     tf = F.col("tf").cast("double")
     denom = tf + k1 * (F.lit(1.0) - b + b * F.col("dl").cast("double") / F.col("avgdl"))
-    return F.col("sign") * idf_col * (tf * (k1 + F.lit(1.0))) / denom
+    return F.col("sign") * (F.col("idf") * (tf * (k1 + F.lit(1.0))) / denom)
 
 
 def bm25_scores(
@@ -101,19 +104,40 @@ def bm25_scores(
     """Unlimited (doc_id, score) for every doc matching >= 1 query
     term — the scoring plan shared by the top-k wrapper and the
     DuckDB-oracle entry queries."""
-    terms = [r["term"] for r in weights.select("term").collect()]
+    wrows = weights.collect()
+    terms = [r["term"] for r in wrows]
+    # idf computed driver-side with Python math.log — the exact same
+    # doubles the WAND kernel uses (see bm25_score_col docstring).
+    wq = tokens.sparkSession.createDataFrame(
+        [
+            (r["term"], r["term_id"], r["df"], r["sign"], idf(globs.n_docs, r["df"]))
+            for r in wrows
+        ],
+        "term string, term_id long, df long, sign double, idf double",
+    )
     tf = (
         tokens.filter(F.col("term").isin(terms))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
+    # Deterministic float64 accumulation: per-doc contributions are
+    # sorted by term_id and summed left-to-right (F.aggregate over a
+    # sorted array, JVM-side), so block-max WAND — which accumulates
+    # in the same order — reproduces scores BIT-identically
+    # (SURVEY.md §7.5 "score-identical BM25 under float math").
     return (
-        tf.join(F.broadcast(weights), "term")
+        tf.join(F.broadcast(wq), "term")
         .join(doc_stats, "doc_id")
         .withColumn("avgdl", F.lit(globs.avgdl))
         .withColumn("contrib", bm25_score_col(cfg, globs.n_docs))
         .groupBy("doc_id")
-        .agg(F.sum("contrib").alias("score"))
+        .agg(
+            F.aggregate(
+                F.sort_array(F.collect_list(F.struct("term_id", "contrib"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["contrib"],
+            ).alias("score")
+        )
     )
 
 

@@ -1,0 +1,182 @@
+"""Posting-list construction (SURVEY.md §7.2 steps 4-5).
+
+Pipeline (all DataFrame ops + one Arrow-grouped encoder):
+
+    tokens ──groupBy(doc_id, term)──> tf
+      ⋈ vocab(term -> term_id, df)      (broadcast-able dimension)
+      ⋈ doc_stats(doc_id -> dl)
+      withColumn shard = doc_id // docs_per_shard     <- THE SALT
+      groupBy(term_id, shard).applyInPandas(encode)   <- salted
+                                   repartition-by-term (north rule)
+      -> postings blocks, written partitionBy(bucket(term_id))
+
+Skew design: a head term (Zipf "the") has rows in EVERY doc-shard, so
+its encode work spreads across (term, shard) groups instead of
+hot-spotting one reducer — the salt count per term is automatically
+proportional to its df (north rule: "salting factor ∝ df"). Because
+shards are CONTIGUOUS doc_id ranges, per-(term, shard) runs are
+disjoint and ordered, so the global per-term posting list is the
+shard-ordered concatenation — the de-salt "merge" is logical (zero
+extra shuffle), and queries run document-partitioned WAND per shard
+(operators/wand.py) with a final top-k merge.
+
+Block layout per row: <=block_size entries, docID-delta varint +
+Elias-gamma tfs (operators/codec.py), skip pointers every
+SKIP_EVERY entries as (doc_id, byte_offset into doc_ids bytes),
+block_max_tf and block_max_score (exact BM25 contribution upper
+bound, computed with true dl at build time) for block-max WAND.
+
+Replaces: the reference has no index — keyword search is a dense
+matmul scan (top2vec/top2vec.py:1276-1282); this table + WAND is the
+engine's scale path (SURVEY.md J5/K1).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from top2vec_spark.config import BM25Config, POSTING_BLOCK_SIZE
+from top2vec_spark.operators.corpus_stats import CorpusGlobals
+
+SKIP_EVERY = 16
+DEFAULT_DOCS_PER_SHARD = 131_072
+DEFAULT_N_BUCKETS = 64
+
+POSTINGS_SCHEMA = T.StructType(
+    [
+        T.StructField("term_id", T.LongType(), False),
+        T.StructField("shard", T.IntegerType(), False),
+        T.StructField("block_id", T.IntegerType(), False),
+        T.StructField("n", T.IntegerType(), False),
+        T.StructField("doc_ids", T.BinaryType(), False),
+        T.StructField("tfs", T.BinaryType(), False),
+        T.StructField(
+            "skips",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("doc_id", T.LongType(), False),
+                        T.StructField("offset", T.IntegerType(), False),
+                    ]
+                )
+            ),
+            False,
+        ),
+        T.StructField("first_doc_id", T.LongType(), False),
+        T.StructField("last_doc_id", T.LongType(), False),
+        T.StructField("block_max_tf", T.IntegerType(), False),
+        T.StructField("block_max_score", T.DoubleType(), False),
+    ]
+)
+
+
+def _varint_offsets(values: np.ndarray) -> np.ndarray:
+    """Byte offset of each value within the varint-encoded stream."""
+    v = values.astype(np.uint64)
+    nbytes = np.ones(v.shape, dtype=np.int64)
+    tmp = v >> np.uint64(7)
+    while (tmp > 0).any():
+        nbytes[tmp > 0] += 1
+        tmp >>= np.uint64(7)
+    return np.concatenate(([0], np.cumsum(nbytes)[:-1]))
+
+
+def encode_term_shard(
+    pdf: pd.DataFrame,
+    block_size: int,
+    k1: float,
+    b: float,
+    n_docs: int,
+    avgdl: float,
+) -> pd.DataFrame:
+    """Encode one (term_id, shard) group of (doc_id, tf, df, dl) rows
+    into compressed block rows. All-numpy (Arrow batch in/out)."""
+    from top2vec_spark.operators.codec import encode_block
+
+    order = np.argsort(pdf["doc_id"].to_numpy(), kind="stable")
+    doc_ids = pdf["doc_id"].to_numpy()[order].astype(np.int64)
+    tfs = pdf["tf"].to_numpy()[order].astype(np.int64)
+    dls = pdf["dl"].to_numpy()[order].astype(np.float64)
+    df_val = int(pdf["df"].iloc[0])
+    term_id = int(pdf["term_id"].iloc[0])
+    shard = int(pdf["shard"].iloc[0])
+
+    import math
+
+    # math.log, not np.log: the WAND kernel scores with math.log idf,
+    # and block_max_score must dominate those exact values
+    idf = math.log(1.0 + (n_docs - df_val + 0.5) / (df_val + 0.5))
+    contrib = (
+        idf * (tfs * (k1 + 1.0)) / (tfs + k1 * (1.0 - b + b * dls / avgdl))
+    )
+
+    out = []
+    for blk_i, lo in enumerate(range(0, doc_ids.size, block_size)):
+        hi = min(lo + block_size, doc_ids.size)
+        d, t, c = doc_ids[lo:hi], tfs[lo:hi], contrib[lo:hi]
+        doc_bytes, tf_bytes = encode_block(d, t)
+        deltas = np.empty(d.shape, dtype=np.uint64)
+        deltas[0] = np.uint64(d[0])
+        if d.size > 1:
+            deltas[1:] = np.diff(d).astype(np.uint64)
+        offs = _varint_offsets(deltas)
+        skips = [
+            {"doc_id": int(d[i]), "offset": int(offs[i])}
+            for i in range(0, d.size, SKIP_EVERY)
+        ]
+        out.append(
+            {
+                "term_id": term_id,
+                "shard": shard,
+                "block_id": blk_i,
+                "n": int(d.size),
+                "doc_ids": doc_bytes,
+                "tfs": tf_bytes,
+                "skips": skips,
+                "first_doc_id": int(d[0]),
+                "last_doc_id": int(d[-1]),
+                "block_max_tf": int(t.max()),
+                "block_max_score": float(c.max()),
+            }
+        )
+    return pd.DataFrame(out)
+
+
+def build_postings(
+    tokens: DataFrame,
+    vocab: DataFrame,
+    doc_stats: DataFrame,
+    globs: CorpusGlobals,
+    cfg: BM25Config = BM25Config(),
+    docs_per_shard: int = DEFAULT_DOCS_PER_SHARD,
+    block_size: int = POSTING_BLOCK_SIZE,
+) -> DataFrame:
+    """tokens + stats -> compressed postings DataFrame (unsaved)."""
+    tf = tokens.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    enriched = (
+        tf.join(vocab.select("term", "term_id", "df"), "term")
+        .join(doc_stats, "doc_id")
+        .withColumn(
+            "shard", (F.col("doc_id") / F.lit(docs_per_shard)).cast("int")
+        )
+        .select("term_id", "shard", "doc_id", "tf", "df", "dl")
+    )
+
+    k1, b, n_docs, avgdl = cfg.k1, cfg.b, globs.n_docs, globs.avgdl
+
+    def encode(pdf: pd.DataFrame) -> pd.DataFrame:
+        return encode_term_shard(pdf, block_size, k1, b, n_docs, avgdl)
+
+    return enriched.groupBy("term_id", "shard").applyInPandas(
+        encode, POSTINGS_SCHEMA
+    )
+
+
+def bucket_col(term_col: str = "term_id", n_buckets: int = DEFAULT_N_BUCKETS):
+    return F.pmod(F.col(term_col), F.lit(n_buckets)).cast("int")

@@ -1,0 +1,270 @@
+"""Block-max WAND top-k over the compressed postings (SURVEY.md §7.2
+step 7; replaces the reference's brute dense scan, top2vec.py:1276-1282).
+
+Distributed shape: the index is document-partitioned by contiguous
+doc_id shards (operators/postings.py), so every shard holds a complete
+sub-index for its doc range. The query plan is:
+
+    postings.filter(bucket ∈ Q ∧ term_id ∈ Q)     <- partition-pruned scan
+      groupBy(shard).applyInPandas(shard kernel)   -> ≤k rows/shard
+      ORDER BY score DESC, doc_id LIMIT k          <- TakeOrderedAndProject
+
+Document lengths (dl) are NOT shuffled per query: the index build
+writes doc_stats partitioned by shard (plans/build.py), and the kernel
+side-reads only its own shard's parquet file — the Spark analogue of
+the memory-mapped doc-length sidecar every IR engine keeps per shard.
+Cogrouping doc_stats instead would shuffle N rows per query — fatal at
+10^12 docs. The only data movement is each shard's ≤k-row result to
+the driver merge.
+
+Shard kernel = vectorized block-max pruning, mathematically the BMW
+invariant (a doc is skipped only when its block-max upper bound is
+below the current kth score θ — admissible, hence exact):
+
+1. Seed θ: fully score the docs of the top seed blocks by
+   block_max_score.
+2. Build the positive-term upper-bound step function from
+   (first_doc_id, last_doc_id, block_max_score) block metadata.
+3. Keep blocks intersecting regions with UB >= θ; decode only those.
+4. Exactly score the surviving candidates: per term, covering block
+   via searchsorted on block firsts, tf via searchsorted inside the
+   decoded block; accumulate in ascending-term_id order (bit-identical
+   to the brute scorer's sorted aggregate).
+5. Negative terms never raise a score, so they are excluded from the
+   bound (admissible) and only looked up at scoring time.
+
+Everything inside the kernel is numpy over Arrow batches — no per-row
+Python.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from top2vec_spark.config import BM25Config
+from top2vec_spark.operators.corpus_stats import CorpusGlobals
+
+_SEED_BLOCKS = 4  # blocks fully scored to seed the pruning threshold
+
+
+def _score_tf(tf, dl, idf, k1, b, avgdl):
+    return idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+
+
+def make_shard_kernel(
+    qinfo: dict[int, tuple[float, float]],
+    k: int,
+    k1: float,
+    b: float,
+    avgdl: float,
+    exclude: frozenset[int],
+    stats_path: str,
+):
+    """Build the per-shard kernel. qinfo: term_id -> (sign, idf).
+    ``stats_path`` is the shard-partitioned doc_stats parquet dir; the
+    kernel reads only its shard's file (dl sidecar)."""
+
+    def kernel(blocks_pdf: pd.DataFrame) -> pd.DataFrame:
+        from top2vec_spark.operators.codec import decode_block
+
+        empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                              "score": pd.Series(dtype="float64")})
+        if blocks_pdf.empty:
+            return empty
+        shard = int(blocks_pdf["shard"].iloc[0])
+        stats_pdf = pd.read_parquet(
+            f"{stats_path}/shard={shard}", columns=["doc_id", "dl"]
+        )
+        if stats_pdf.empty:
+            return empty
+
+        # dl lookup (shard-local): sorted doc_id -> dl
+        s_ids = stats_pdf["doc_id"].to_numpy().astype(np.int64)
+        s_order = np.argsort(s_ids)
+        s_ids = s_ids[s_order]
+        s_dl = stats_pdf["dl"].to_numpy().astype(np.float64)[s_order]
+
+        def dl_of(docs: np.ndarray) -> np.ndarray:
+            pos = np.searchsorted(s_ids, docs)
+            return s_dl[pos]
+
+        # organize blocks per term, sorted by first_doc_id
+        terms: dict[int, dict] = {}
+        for tid, grp in blocks_pdf.groupby("term_id"):
+            grp = grp.sort_values(["shard", "block_id"], kind="stable")
+            sign, idf = qinfo[int(tid)]
+            terms[int(tid)] = {
+                "sign": sign,
+                "idf": idf,
+                "firsts": grp["first_doc_id"].to_numpy().astype(np.int64),
+                "lasts": grp["last_doc_id"].to_numpy().astype(np.int64),
+                "maxs": grp["block_max_score"].to_numpy().astype(np.float64),
+                "n": grp["n"].to_numpy().astype(np.int64),
+                "doc_bytes": grp["doc_ids"].tolist(),
+                "tf_bytes": grp["tfs"].tolist(),
+                "cache": {},
+            }
+
+        def blk_docs(t: dict, j: int) -> tuple[np.ndarray, np.ndarray]:
+            got = t["cache"].get(j)
+            if got is None:
+                got = decode_block(t["doc_bytes"][j], t["tf_bytes"][j], int(t["n"][j]))
+                t["cache"][j] = got
+            return got
+
+        pos_terms = {tid: t for tid, t in terms.items() if t["sign"] > 0}
+        sorted_tids = sorted(terms)
+
+        def exact_scores(cands: np.ndarray) -> np.ndarray:
+            """Exact BM25 of candidate docs, ascending-term_id
+            accumulation (bit-identical to the brute scorer)."""
+            dl = dl_of(cands)
+            score = np.zeros(cands.shape, dtype=np.float64)
+            for tid in sorted_tids:
+                t = terms[tid]
+                j = np.searchsorted(t["firsts"], cands, side="right") - 1
+                valid = (j >= 0) & (cands <= t["lasts"][np.maximum(j, 0)])
+                tf = np.zeros(cands.shape, dtype=np.float64)
+                for blk in np.unique(j[valid]):
+                    bdocs, btfs = blk_docs(t, int(blk))
+                    sel = np.flatnonzero(valid & (j == blk))
+                    p = np.minimum(
+                        np.searchsorted(bdocs, cands[sel]), bdocs.size - 1
+                    )
+                    hit = bdocs[p] == cands[sel]
+                    tf[sel[hit]] = btfs[p[hit]]
+                has = tf > 0
+                if has.any():
+                    score[has] += t["sign"] * _score_tf(
+                        tf[has], dl[has], t["idf"], k1, b, avgdl
+                    )
+            return score
+
+        def topk_of(cands: np.ndarray, scores: np.ndarray) -> pd.DataFrame:
+            order = np.lexsort((cands, -scores))[:k]
+            return pd.DataFrame(
+                {"doc_id": cands[order], "score": scores[order]}
+            )
+
+        # ---- seed θ from the most promising positive blocks --------------
+        seed_entries = []  # (max_score, tid, block_idx)
+        for tid, t in pos_terms.items():
+            for j in range(t["firsts"].size):
+                seed_entries.append((t["maxs"][j], tid, j))
+        seed_entries.sort(key=lambda x: -x[0])
+        seed_docs = []
+        for _, tid, j in seed_entries[:_SEED_BLOCKS]:
+            seed_docs.append(blk_docs(terms[tid], j)[0])
+        cands0 = (
+            np.unique(np.concatenate(seed_docs)) if seed_docs else
+            np.empty(0, dtype=np.int64)
+        )
+        if exclude:
+            cands0 = cands0[~np.isin(cands0, np.fromiter(exclude, dtype=np.int64))]
+        scores0 = exact_scores(cands0) if cands0.size else np.empty(0)
+        theta = (
+            float(np.partition(scores0, -k)[-k]) if scores0.size >= k else -math.inf
+        )
+
+        # ---- positive-term UB step function -------------------------------
+        # events at block boundaries; UB(d) = Σ_t blockmax of t's block
+        # covering d (0 where no block covers)
+        surviving: list[tuple[int, int]] = []  # (tid, block_idx)
+        if theta == -math.inf:
+            # no pruning possible: take every block of every term
+            for tid, t in terms.items():
+                surviving += [(tid, j) for j in range(t["firsts"].size)]
+        else:
+            bounds = []
+            for tid, t in pos_terms.items():
+                bounds.append((t["firsts"], t["lasts"], t["maxs"]))
+            evs_x = np.concatenate(
+                [f for f, _, _ in bounds] + [l + 1 for _, l, _ in bounds]
+            )
+            evs_d = np.concatenate(
+                [m for _, _, m in bounds] + [-m for _, _, m in bounds]
+            )
+            ox = np.argsort(evs_x, kind="stable")
+            xs = evs_x[ox]
+            ub = np.cumsum(evs_d[ox])
+            # collapse duplicate xs: UB after processing all events at x
+            keep = np.concatenate((xs[1:] != xs[:-1], [True]))
+            xs, ub = xs[keep], ub[keep]
+            # region r covers [xs[r], xs[r+1]); keep regions with ub >= θ
+            hot = ub >= theta - 1e-12  # guard float slack in cumsum
+            if not hot.any():
+                return topk_of(cands0, scores0)
+            hot_lo = xs[hot]
+            nxt = np.append(xs[1:], np.int64(2**62))
+            hot_hi = nxt[hot] - 1
+            for tid, t in pos_terms.items():
+                # block [f,l] intersects any hot region?
+                ri = np.searchsorted(hot_lo, t["lasts"], side="right") - 1
+                ok = (ri >= 0) & (t["firsts"] <= hot_hi[np.maximum(ri, 0)])
+                # also catch region starting inside the block
+                ri2 = np.searchsorted(hot_lo, t["firsts"], side="left")
+                ri2c = np.minimum(ri2, hot_lo.size - 1)
+                ok |= (ri2 < hot_lo.size) & (hot_lo[ri2c] <= t["lasts"])
+                surviving += [(tid, j) for j in np.flatnonzero(ok)]
+
+        cand_parts = [cands0] if cands0.size else []
+        for tid, j in surviving:
+            cand_parts.append(blk_docs(terms[tid], j)[0])
+        if not cand_parts:
+            return empty
+        cands = np.unique(np.concatenate(cand_parts))
+        if exclude:
+            cands = cands[~np.isin(cands, np.fromiter(exclude, dtype=np.int64))]
+        if cands.size == 0:
+            return empty
+        scores = exact_scores(cands)
+        return topk_of(cands, scores)
+
+    return kernel
+
+
+def wand_topk(
+    spark: SparkSession,
+    index,
+    weights: DataFrame,
+    globs: CorpusGlobals,
+    k: int,
+    cfg: BM25Config = BM25Config(),
+    exclude_doc_ids: Sequence[int] = (),
+) -> DataFrame:
+    """Query the PostingsIndex: returns (doc_id, score), k rows,
+    ordered (score DESC, doc_id ASC) — same contract as
+    bm25_topk_bruteforce."""
+    qrows = weights.collect()
+    qinfo = {
+        int(r["term_id"]): (
+            float(r["sign"]),
+            math.log(1.0 + (globs.n_docs - r["df"] + 0.5) / (r["df"] + 0.5)),
+        )
+        for r in qrows
+    }
+    term_ids = sorted(qinfo)
+    buckets = sorted({t % index.n_buckets for t in term_ids})
+
+    blocks = index.postings.filter(
+        F.col("bucket").isin(buckets) & F.col("term_id").isin(term_ids)
+    )
+    kernel = make_shard_kernel(
+        qinfo,
+        k,
+        cfg.k1,
+        cfg.b,
+        globs.avgdl,
+        frozenset(int(x) for x in exclude_doc_ids),
+        index.doc_stats_path,
+    )
+    per_shard = blocks.groupBy("shard").applyInPandas(
+        lambda pdf: kernel(pdf), "doc_id long, score double"
+    )
+    return per_shard.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)

@@ -1,0 +1,268 @@
+"""Checkpoint-resumable index build with per-partition lineage +
+metrics manifest (north rule; SURVEY.md §7.2 step 6).
+
+The index IS tables (no joblib blob like reference top2vec.py:939):
+
+    {path}/vocab/        term, term_id, df, cf
+    {path}/doc_stats/    partitioned by shard -> doc_id, dl (the dl
+                         sidecar WAND kernels side-read per shard)
+    {path}/postings/     partitioned by bucket=pmod(term_id, n_buckets)
+                         -> compressed block rows (operators/postings.py)
+    {path}/manifest/     partition_id, docs_tokenized, postings_emitted,
+                         bytes_compressed, checkpoint_path, lineage
+    {path}/globals.json  n_docs, avgdl, docs_per_shard, n_buckets, k1, b
+    {path}/_stages/      one marker JSON per completed stage
+
+Resume semantics: each stage writes its table, THEN its marker (the
+marker records a params fingerprint). ``build(resume=True)`` skips any
+stage whose marker exists with a matching fingerprint — kill the job
+after any stage and a restart reuses completed work, producing an
+identical index (tests/test_build_resume.py). Task-level retries
+within a stage are handled by Spark's job-commit protocol (parquet
+output committer publishes atomically); the marker-after-data ordering
+makes the stage boundary itself exactly-once.
+
+Save/load ≡ table paths (replaces reference save/load,
+top2vec.py:894-1012 — SURVEY.md S3/S4).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from top2vec_spark.config import BM25Config, POSTING_BLOCK_SIZE
+from top2vec_spark.operators.corpus_stats import CorpusGlobals, compute_globals
+from top2vec_spark.operators.postings import (
+    DEFAULT_DOCS_PER_SHARD,
+    DEFAULT_N_BUCKETS,
+    bucket_col,
+    build_postings,
+)
+
+
+@dataclass
+class PostingsIndex:
+    spark: SparkSession
+    path: str
+    globs: CorpusGlobals
+    docs_per_shard: int
+    n_buckets: int
+
+    @property
+    def postings(self) -> DataFrame:
+        return self.spark.read.parquet(f"{self.path}/postings")
+
+    @property
+    def vocab(self) -> DataFrame:
+        return self.spark.read.parquet(f"{self.path}/vocab")
+
+    @property
+    def doc_stats(self) -> DataFrame:
+        return self.spark.read.parquet(f"{self.path}/doc_stats")
+
+    @property
+    def doc_stats_path(self) -> str:
+        return f"{self.path}/doc_stats"
+
+    @property
+    def manifest(self) -> DataFrame:
+        return self.spark.read.parquet(f"{self.path}/manifest")
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "PostingsIndex":
+        with open(f"{path}/globals.json") as f:
+            g = json.load(f)
+        return cls(
+            spark=spark,
+            path=path,
+            globs=CorpusGlobals(n_docs=g["n_docs"], avgdl=g["avgdl"]),
+            docs_per_shard=g["docs_per_shard"],
+            n_buckets=g["n_buckets"],
+        )
+
+
+class IndexBuilder:
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        cfg: BM25Config = BM25Config(),
+        docs_per_shard: int = DEFAULT_DOCS_PER_SHARD,
+        n_buckets: int = DEFAULT_N_BUCKETS,
+        block_size: int = POSTING_BLOCK_SIZE,
+    ) -> None:
+        if not path:
+            raise ValueError("IndexBuilder requires an index path")
+        self.spark = spark
+        self.path = path
+        self.cfg = cfg
+        self.docs_per_shard = docs_per_shard
+        self.n_buckets = n_buckets
+        self.block_size = block_size
+        os.makedirs(f"{path}/_stages", exist_ok=True)
+
+    # -- stage markers -------------------------------------------------------
+    def _fingerprint(self) -> dict:
+        return {
+            "k1": self.cfg.k1,
+            "b": self.cfg.b,
+            "docs_per_shard": self.docs_per_shard,
+            "n_buckets": self.n_buckets,
+            "block_size": self.block_size,
+        }
+
+    def _marker(self, stage: str) -> str:
+        return f"{self.path}/_stages/{stage}.json"
+
+    def _done(self, stage: str) -> bool:
+        m = self._marker(stage)
+        if not os.path.exists(m):
+            return False
+        with open(m) as f:
+            return json.load(f).get("fingerprint") == self._fingerprint()
+
+    def _mark(self, stage: str, **metrics) -> None:
+        with open(self._marker(stage), "w") as f:
+            json.dump(
+                {
+                    "stage": stage,
+                    "fingerprint": self._fingerprint(),
+                    "completed_at": time.time(),
+                    **metrics,
+                },
+                f,
+            )
+
+    # -- build ---------------------------------------------------------------
+    def build(
+        self,
+        tokens: DataFrame,
+        vocab: DataFrame,
+        doc_stats: DataFrame,
+        resume: bool = True,
+    ) -> PostingsIndex:
+        p = self.path
+
+        if not (resume and self._done("vocab")):
+            vocab.write.mode("overwrite").parquet(f"{p}/vocab")
+            self._mark("vocab")
+        vocab_t = self.spark.read.parquet(f"{p}/vocab")
+
+        if not (resume and self._done("doc_stats")):
+            (
+                doc_stats.withColumn(
+                    "shard",
+                    (F.col("doc_id") / F.lit(self.docs_per_shard)).cast("int"),
+                )
+                .repartition("shard")
+                .write.mode("overwrite")
+                .partitionBy("shard")
+                .parquet(f"{p}/doc_stats")
+            )
+            self._mark("doc_stats")
+        ds_t = self.spark.read.parquet(f"{p}/doc_stats").select("doc_id", "dl")
+
+        if not (resume and self._done("globals")):
+            g = compute_globals(ds_t)
+            with open(f"{p}/globals.json", "w") as f:
+                json.dump(
+                    {
+                        "n_docs": g.n_docs,
+                        "avgdl": g.avgdl,
+                        "docs_per_shard": self.docs_per_shard,
+                        "n_buckets": self.n_buckets,
+                        "block_size": self.block_size,
+                        "k1": self.cfg.k1,
+                        "b": self.cfg.b,
+                    },
+                    f,
+                )
+            self._mark("globals")
+        with open(f"{p}/globals.json") as f:
+            gj = json.load(f)
+        globs = CorpusGlobals(n_docs=gj["n_docs"], avgdl=gj["avgdl"])
+
+        if not (resume and self._done("postings")):
+            postings = build_postings(
+                tokens,
+                vocab_t,
+                ds_t,
+                globs,
+                cfg=self.cfg,
+                docs_per_shard=self.docs_per_shard,
+                block_size=self.block_size,
+            ).withColumn("bucket", bucket_col("term_id", self.n_buckets))
+            (
+                postings.repartition("bucket")
+                .write.mode("overwrite")
+                .partitionBy("bucket")
+                .parquet(f"{p}/postings")
+            )
+            self._mark("postings")
+
+        if not (resume and self._done("manifest")):
+            self._write_manifest(globs)
+            self._mark("manifest")
+
+        return PostingsIndex(
+            spark=self.spark,
+            path=p,
+            globs=globs,
+            docs_per_shard=self.docs_per_shard,
+            n_buckets=self.n_buckets,
+        )
+
+    def _write_manifest(self, globs: CorpusGlobals) -> None:
+        """Per-partition lineage + metrics (north rule): one row per
+        postings bucket partition, counting postings emitted and
+        compressed bytes; docs_tokenized comes from the shard-level
+        doc_stats (docs that produced >= 1 token)."""
+        p = self.path
+        postings = self.spark.read.parquet(f"{p}/postings")
+        ds = self.spark.read.parquet(f"{p}/doc_stats")
+        lineage = json.dumps(
+            {
+                "stages": ["vocab", "doc_stats", "globals", "postings"],
+                "fingerprint": self._fingerprint(),
+                "n_docs": globs.n_docs,
+                "avgdl": globs.avgdl,
+            }
+        )
+        per_bucket = postings.groupBy("bucket").agg(
+            F.sum("n").alias("postings_emitted"),
+            (
+                F.sum(F.length("doc_ids")) + F.sum(F.length("tfs"))
+            ).alias("bytes_compressed"),
+        )
+        docs_per_shard_df = ds.groupBy("shard").agg(
+            F.count(F.lit(1)).alias("docs_tokenized")
+        )
+        total_docs = globs.n_docs
+        manifest = per_bucket.select(
+            F.col("bucket").cast("int").alias("partition_id"),
+            F.lit(total_docs).cast("long").alias("docs_tokenized"),
+            F.col("postings_emitted").cast("long"),
+            F.col("bytes_compressed").cast("long"),
+            F.concat(F.lit(f"{p}/postings/bucket="), F.col("bucket")).alias(
+                "checkpoint_path"
+            ),
+            F.lit(lineage).alias("lineage"),
+        ).unionByName(
+            docs_per_shard_df.select(
+                F.col("shard").cast("int").alias("partition_id"),
+                F.col("docs_tokenized").cast("long"),
+                F.lit(0).cast("long").alias("postings_emitted"),
+                F.lit(0).cast("long").alias("bytes_compressed"),
+                F.concat(F.lit(f"{p}/doc_stats/shard="), F.col("shard")).alias(
+                    "checkpoint_path"
+                ),
+                F.lit(lineage).alias("lineage"),
+            )
+        )
+        manifest.write.mode("overwrite").parquet(f"{p}/manifest")
