@@ -153,6 +153,96 @@ def _q_globals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Training-pipeline operators (dedup / text analysis / similarity)
+# ---------------------------------------------------------------------------
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from top2vec_spark.operators.dedup import dedup_exact
+
+    return dedup_exact(_docs(spark, sf_dir)).select("doc_id")
+
+
+def _q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from top2vec_spark.operators.textquality import token_counts
+
+    return token_counts(_docs(spark, sf_dir)).select(
+        "doc_id", "n_tokens_ws", "n_tokens_bpe"
+    )
+
+
+def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from top2vec_spark.operators.textquality import quality_features
+
+    f = quality_features(_docs(spark, sf_dir))
+    return f.select(
+        "doc_id",
+        "n_chars_q",
+        "n_words",
+        F.round("alpha_ratio", 6).alias("alpha_ratio"),
+        F.round("digit_ratio", 6).alias("digit_ratio"),
+        F.round("punct_ratio", 6).alias("punct_ratio"),
+        F.round("uniq_word_ratio", 6).alias("uniq_word_ratio"),
+    )
+
+
+def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only check (argmax-over-heuristics not robustly
+    # SQL-portable across regex engines)
+    from top2vec_spark.operators.textquality import lang_id
+
+    return lang_id(_docs(spark, sf_dir)).select("doc_id", "lang_pred")
+
+
+def _q_cosine_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from top2vec_spark.operators.similarity import cosine_topk_sql
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = emb.filter(F.col("vec_id") == 7).first()["embedding"]
+    return cosine_topk_sql(emb, [float(x) for x in qvec], 10, round_digits=6)
+
+
+def _q_centroids_by_pos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from top2vec_spark.operators.similarity import label_centroids
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    c = label_centroids(emb)
+    return c.select(
+        "label", F.posexplode("centroid").alias("pos0", "comp")
+    ).select(
+        "label",
+        (F.col("pos0") + 1).alias("pos"),
+        F.round("comp", 6).alias("comp"),
+    )
+
+
+def _q_assign_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from top2vec_spark.operators.similarity import assign_nearest, label_centroids
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return assign_nearest(emb, label_centroids(emb)).select(
+        "vec_id", "assigned_label"
+    )
+
+
+_CENTROIDS_CTE = """
+by_pos AS (
+  SELECT label, unnest(embedding::DOUBLE[]) AS v,
+         generate_subscripts(embedding, 1) AS pos
+  FROM embeddings
+),
+means AS (
+  SELECT label, pos, avg(v) AS m FROM by_pos GROUP BY label, pos
+),
+cent AS (
+  SELECT label, array_agg(m ORDER BY pos) AS c,
+         sqrt(sum(m * m)) AS nrm
+  FROM means GROUP BY label
+),
+centroids AS (
+  SELECT label, list_transform(c, x -> x / nrm) AS c FROM cent
+)"""
+
+
+# ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
@@ -177,6 +267,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_top10_single": _bm25_query(["vector"], [], 10),
         "bm25_wand_top10": _bm25_wand_query(["table", "spark"], [], 10),
         "bm25_wand_top10_neg": _bm25_wand_query(["query", "window"], ["batch"], 10),
+        "dedup_exact": _q_dedup_exact,
+        "token_counts": _q_token_counts,
+        "quality_features": _q_quality,
+        "lang_id": _q_lang_id,
+        "cosine_top10": _q_cosine_top10,
+        "centroids_by_pos": _q_centroids_by_pos,
+        "assign_nearest": _q_assign_nearest,
     }
 
 
@@ -201,4 +298,66 @@ SELECT n_docs, round(avgdl, 6) AS avgdl FROM globals
         "bm25_top10_single": _bm25_oracle_sql(["vector"], [], 10),
         "bm25_wand_top10": _bm25_oracle_sql(["table", "spark"], [], 10),
         "bm25_wand_top10_neg": _bm25_oracle_sql(["query", "window"], ["batch"], 10),
+        "dedup_exact": """
+SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
+""",
+        "token_counts": r"""
+SELECT doc_id,
+       len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens_ws,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_tokens_bpe
+FROM documents
+""",
+        "quality_features": r"""
+SELECT doc_id,
+       len(text) AS n_chars_q,
+       len(regexp_split_to_array(trim(text), '\s+')) AS n_words,
+       round(len(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0
+             / greatest(len(text), 1), 6) AS alpha_ratio,
+       round(len(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0
+             / greatest(len(text), 1), 6) AS digit_ratio,
+       round(len(regexp_replace(text, '[^.,;:!?]', '', 'g')) * 1.0
+             / greatest(len(text), 1), 6) AS punct_ratio,
+       round(len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) * 1.0
+             / greatest(len(regexp_split_to_array(trim(text), '\s+')), 1), 6)
+             AS uniq_word_ratio
+FROM documents
+""",
+        # lang_id: rows-only (no oracle entry)
+        "cosine_top10": """
+WITH q AS (SELECT embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id = 7)
+SELECT vec_id,
+       round(list_dot_product(embedding::DOUBLE[], q.e)
+             / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                * sqrt(list_dot_product(q.e, q.e))), 6) AS score
+FROM embeddings, q
+ORDER BY score DESC, vec_id ASC LIMIT 10
+""",
+        "centroids_by_pos": f"""
+WITH {_CENTROIDS_CTE},
+flat AS (
+  SELECT label, unnest(c) AS comp, generate_subscripts(c, 1) AS pos
+  FROM centroids
+)
+SELECT label, pos, round(comp, 6) AS comp FROM flat
+""",
+        "assign_nearest": f"""
+WITH {_CENTROIDS_CTE},
+normed AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+           x -> x / greatest(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 1e-12)
+         ) AS v
+  FROM embeddings
+),
+scored AS (
+  SELECT n.vec_id, c.label, list_dot_product(n.v, c.c) AS s
+  FROM normed n CROSS JOIN centroids c
+),
+ranked AS (
+  SELECT vec_id, label,
+         row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, label ASC) AS rn
+  FROM scored
+)
+SELECT vec_id, label AS assigned_label FROM ranked WHERE rn = 1
+""",
     }

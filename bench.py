@@ -26,12 +26,6 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from top2vec_spark.operators.bm25 import term_weights
-from top2vec_spark.operators.corpus_stats import (
-    build_doc_stats,
-    build_vocab,
-    compute_globals,
-)
-from top2vec_spark.operators.tokens import tokenize_docs
 from top2vec_spark.operators.wand import wand_topk
 from top2vec_spark.plans.build import IndexBuilder
 from top2vec_spark.session import get_spark
@@ -60,17 +54,15 @@ def main() -> None:
     timings: dict[str, float] = {}
     try:
         t0 = time.time()
-        tokens = tokenize_docs(docs, ascii_fast_path=True)
-        vocab = build_vocab(tokens)
-        ds = build_doc_stats(tokens)
         index = IndexBuilder(
             spark, idx_dir, docs_per_shard=max(1024, n_docs // (4 * CPUS) or 1)
-        ).build(tokens, vocab, ds, resume=False)
+        ).build_from_docs(docs, resume=False)
         t_build = time.time() - t0
         timings["build"] = round(t_build, 3)
 
         vocab_c = index.vocab.cache()
         vocab_c.count()
+        index.cache()  # warm serving: postings pinned in memory
         g = index.globs
 
         lat: list[float] = []

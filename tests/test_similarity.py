@@ -1,0 +1,103 @@
+"""Similarity-search operators vs numpy oracles on the driver
+`embeddings` table."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from top2vec_spark.operators.similarity import (
+    assign_nearest,
+    cosine_topk,
+    cosine_topk_sql,
+    ivf_build,
+    ivf_topk,
+    label_centroids,
+)
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb_np(emb):
+    rows = emb.collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    mat = np.vstack([r["embedding"] for r in rows]).astype(np.float64)
+    labels = np.array([r["label"] for r in rows])
+    order = np.argsort(ids)
+    return ids[order], mat[order], labels[order]
+
+
+def np_cosine_topk(ids, mat, q, k):
+    qn = np.asarray(q, dtype=np.float64)
+    qn = qn / np.linalg.norm(qn)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1
+    scores = (mat @ qn) / norms
+    order = np.lexsort((ids, -scores))[:k]
+    return list(zip(ids[order].tolist(), scores[order].tolist()))
+
+
+@pytest.fixture(scope="module")
+def query_vec(emb_np):
+    _, mat, _ = emb_np
+    return mat[7].tolist()  # a real row as the query
+
+
+def test_cosine_topk_matches_numpy(emb, emb_np, query_vec):
+    ids, mat, _ = emb_np
+    expect = np_cosine_topk(ids, mat, query_vec, 10)
+    got = [(r["vec_id"], r["score"]) for r in cosine_topk(emb, query_vec, 10).collect()]
+    assert [g[0] for g in got] == [e[0] for e in expect]
+    for g, e in zip(got, expect):
+        assert g[1] == pytest.approx(e[1], abs=1e-9)
+    # self similarity first
+    assert got[0][0] == 7 and got[0][1] == pytest.approx(1.0)
+
+
+def test_sql_variant_same_ranks(emb, emb_np, query_vec):
+    ids, mat, _ = emb_np
+    expect = np_cosine_topk(ids, mat, query_vec, 10)
+    got = [(r["vec_id"], r["score"]) for r in cosine_topk_sql(emb, query_vec, 10).collect()]
+    assert [g[0] for g in got] == [e[0] for e in expect]
+
+
+def test_ivf_recall(emb, emb_np, query_vec):
+    ids, mat, _ = emb_np
+    assigned, cents = ivf_build(emb, n_cells=8, sample=500)
+    assigned = assigned.cache()
+    exact = {d for d, _ in np_cosine_topk(ids, mat, query_vec, 10)}
+    # full probe == exact
+    full = {r["vec_id"] for r in ivf_topk(assigned, cents, query_vec, 10, n_probe=8).collect()}
+    assert full == exact
+    # partial probe: high recall
+    part = {r["vec_id"] for r in ivf_topk(assigned, cents, query_vec, 10, n_probe=3).collect()}
+    assert len(part & exact) >= 7
+
+
+def test_label_centroids_match_numpy(emb, emb_np):
+    ids, mat, labels = emb_np
+    got = {r["label"]: np.array(r["centroid"]) for r in label_centroids(emb).collect()}
+    for lb in np.unique(labels):
+        m = mat[labels == lb].mean(axis=0)
+        m = m / np.linalg.norm(m)
+        np.testing.assert_allclose(got[int(lb)], m, atol=1e-9)
+
+
+def test_assign_nearest(emb, emb_np):
+    ids, mat, labels = emb_np
+    cents = label_centroids(emb)
+    got = {r["vec_id"]: r["assigned_label"] for r in assign_nearest(emb, cents).collect()}
+    # numpy oracle
+    crows = {r["label"]: np.array(r["centroid"]) for r in cents.collect()}
+    lbs = sorted(crows)
+    cm = np.vstack([crows[l] for l in lbs])
+    matn = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    best = np.argmax(matn @ cm.T, axis=1)
+    for i, vid in enumerate(ids):
+        assert got[int(vid)] == lbs[best[i]]

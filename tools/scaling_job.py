@@ -14,8 +14,6 @@ import time
 sys.path.insert(0, sys.path[0].rsplit("/tools", 1)[0] if "/tools" in sys.path[0] else ".")
 
 from top2vec_spark.operators.bm25 import term_weights
-from top2vec_spark.operators.corpus_stats import build_doc_stats, build_vocab
-from top2vec_spark.operators.tokens import tokenize_docs
 from top2vec_spark.operators.wand import wand_topk
 from top2vec_spark.plans.build import IndexBuilder
 from top2vec_spark.session import get_spark
@@ -32,16 +30,14 @@ def main() -> None:
     idx_dir = tempfile.mkdtemp(prefix=f"scale_idx_{cpus}_")
     try:
         t0 = time.time()
-        tokens = tokenize_docs(docs)  # full unicode pandas-UDF path
-        vocab = build_vocab(tokens)
-        ds = build_doc_stats(tokens)
         index = IndexBuilder(
             spark, idx_dir, docs_per_shard=max(512, n_docs // 128)
-        ).build(tokens, vocab, ds, resume=False)
+        ).build_from_docs(docs, resume=False)
         t_build = time.time() - t0
 
         vocab_c = index.vocab.cache()
         vocab_c.count()
+        index.cache()
         lats = []
         for pos, neg in QUERIES * 3:
             w = term_weights(spark, vocab_c, pos, neg)

@@ -60,12 +60,37 @@ class Top2VecSpark:
         self.cfg = cfg
         self.keep_documents = keep_documents
         self.docs = docs
+        self.min_count = min_count
         self.index_path = index_path
         self.tokens = tokenize_docs(docs, ascii_fast_path=ascii_fast_path)
         self.vocab = build_vocab(self.tokens, min_count=min_count)
         self.doc_stats = build_doc_stats(self.tokens)
         self._globals: CorpusGlobals | None = None
         self._index = None  # set by build_index() (postings/WAND path)
+
+    @classmethod
+    def from_pages(
+        cls,
+        spark: SparkSession,
+        pages: DataFrame,
+        lang_filter: str | None = None,
+        **kwargs,
+    ) -> "Top2VecSpark":
+        """Construct from the north-rule input shape
+        (url, warc_ts, html, text, lang): assigns deterministic dense
+        doc_ids by url order and extracts text from html where the
+        text column is null (the extract must round-trip
+        byte-identically with the tokenizer contract — FIXTURES.md §1).
+        """
+        from top2vec_spark.operators.tokens import assign_doc_ids
+
+        if lang_filter:
+            pages = pages.filter(F.col("lang") == lang_filter)
+        docs = assign_doc_ids(pages).withColumn(
+            "text",
+            F.coalesce(F.col("text"), F.decode(F.col("html"), "utf-8")),
+        )
+        return cls(spark, docs, **kwargs)
 
     # -- lazy cached globals ------------------------------------------------
     @property
@@ -87,7 +112,7 @@ class Top2VecSpark:
             self.spark, path or self.index_path, cfg=self.cfg
         )
         self._index = builder.build(
-            self.tokens, self.vocab, self.doc_stats, resume=resume
+            self.tokens, min_count=self.min_count, resume=resume
         )
         return self._index
 

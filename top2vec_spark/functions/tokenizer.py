@@ -49,6 +49,15 @@ from top2vec_spark.config import MAX_TOKEN_LEN, MIN_TOKEN_LEN
 RE_TAGS = re.compile(r"<([^>]+)>", re.UNICODE)
 # gensim.utils.PAT_ALPHABETIC
 PAT_ALPHABETIC = re.compile(r"(((?![\d])\w)+)", re.UNICODE)
+# Single-pass vectorized equivalent of PAT_ALPHABETIC + the
+# simple_preprocess filters (len 2..15, no leading '_'): token chars
+# are non-digit word chars ([^\W\d]); boundaries assert the previous/
+# next char is NOT a token char, so only maximal runs match and a
+# >15-char run matches nothing (instead of a 15-char prefix).
+# Equality with reference_tokenize is pinned by tests.
+PAT_TOKEN_FILTERED = re.compile(
+    r"(?<![^\W\d])(?!_)(?:(?!\d)\w){2,15}(?![^\W\d])", re.UNICODE
+)
 
 
 def strip_tags(s: str) -> str:
@@ -95,14 +104,9 @@ def _tokenize_series(texts: pd.Series) -> pd.Series:
     joined_is_ascii = s.str.len().eq(s.str.encode("utf-8").str.len()).all()
     if not joined_is_ascii:
         s = s.map(deaccent)
-    toks = s.str.findall(PAT_ALPHABETIC)
-    return toks.map(
-        lambda ms: [
-            m[0]
-            for m in ms
-            if MIN_TOKEN_LEN <= len(m[0]) <= MAX_TOKEN_LEN and not m[0].startswith("_")
-        ]
-    )
+    # one C-level regex pass yields the final filtered tokens — no
+    # per-token Python filter loop
+    return s.str.findall(PAT_TOKEN_FILTERED)
 
 
 @F.pandas_udf(T.ArrayType(T.StringType()))

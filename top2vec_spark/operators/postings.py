@@ -148,20 +148,20 @@ def encode_term_shard(
     return pd.DataFrame(out)
 
 
-def build_postings(
-    tokens: DataFrame,
+def build_postings_from_tf(
+    tf: DataFrame,
     vocab: DataFrame,
-    doc_stats: DataFrame,
     globs: CorpusGlobals,
     cfg: BM25Config = BM25Config(),
     docs_per_shard: int = DEFAULT_DOCS_PER_SHARD,
     block_size: int = POSTING_BLOCK_SIZE,
 ) -> DataFrame:
-    """tokens + stats -> compressed postings DataFrame (unsaved)."""
-    tf = tokens.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    """tf(doc_id, term, tf, dl) + vocab -> compressed postings
+    (unsaved). dl travels inside tf, so the only join is the vocab
+    dimension (broadcast-able) and the only shuffle is the
+    groupBy(term_id, shard) — the salted repartition-by-term."""
     enriched = (
         tf.join(vocab.select("term", "term_id", "df"), "term")
-        .join(doc_stats, "doc_id")
         .withColumn(
             "shard", (F.col("doc_id") / F.lit(docs_per_shard)).cast("int")
         )
@@ -175,6 +175,27 @@ def build_postings(
 
     return enriched.groupBy("term_id", "shard").applyInPandas(
         encode, POSTINGS_SCHEMA
+    )
+
+
+def build_postings(
+    tokens: DataFrame,
+    vocab: DataFrame,
+    doc_stats: DataFrame,
+    globs: CorpusGlobals,
+    cfg: BM25Config = BM25Config(),
+    docs_per_shard: int = DEFAULT_DOCS_PER_SHARD,
+    block_size: int = POSTING_BLOCK_SIZE,
+) -> DataFrame:
+    """tokens(doc_id, pos, term) variant (tests / ad-hoc)."""
+    tf = (
+        tokens.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .join(doc_stats, "doc_id")
+        .select("doc_id", "term", "tf", "dl")
+    )
+    return build_postings_from_tf(
+        tf, vocab, globs, cfg, docs_per_shard, block_size
     )
 
 

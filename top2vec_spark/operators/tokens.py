@@ -39,6 +39,47 @@ def tokenize_docs(
     )
 
 
+def doc_term_counts(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fused tokenize + per-doc term count: docs -> tf(doc_id, term,
+    tf, dl) in ONE Arrow pass — the index build's hot path.
+
+    Equivalent to ``tokenize_docs(...).groupBy(doc_id, term).count()``
+    joined with doc lengths, but never materializes the exploded
+    per-position rows and never shuffles them: counting happens inside
+    the pandas UDF per batch, so the only shuffle downstream is over
+    the ~unique-terms-per-doc rows (typically ~60% smaller than raw
+    tokens, and no (doc_id, term) shuffle for the tf agg at all).
+    """
+    import pandas as pd
+
+    from top2vec_spark.functions.tokenizer import _tokenize_series
+
+    def batch(pdfs):
+        for pdf in pdfs:
+            toks = _tokenize_series(pdf[text_col])
+            ids, terms, tfs, dls = [], [], [], []
+            for doc_id, tl in zip(pdf[id_col], toks):
+                dl = len(tl)
+                cnt = {}
+                for t in tl:
+                    cnt[t] = cnt.get(t, 0) + 1
+                ids.extend([doc_id] * len(cnt))
+                terms.extend(cnt.keys())
+                tfs.extend(cnt.values())
+                dls.extend([dl] * len(cnt))
+            yield pd.DataFrame(
+                {"doc_id": ids, "term": terms, "tf": tfs, "dl": dls}
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(
+        batch, "doc_id long, term string, tf long, dl long"
+    )
+
+
 def assign_doc_ids(pages: DataFrame, url_col: str = "url") -> DataFrame:
     """Deterministic dense doc_id (0..n-1) by url sort order.
 

@@ -3,6 +3,11 @@ metrics manifest (north rule; SURVEY.md §7.2 step 6).
 
 The index IS tables (no joblib blob like reference top2vec.py:939):
 
+    {path}/tf/           doc_id, term, tf, dl — the ONE materialized
+                         tokenization pass (fused tokenize+count,
+                         operators/tokens.doc_term_counts); vocab,
+                         doc_stats and postings all derive from it, so
+                         the expensive text scan happens exactly once
     {path}/vocab/        term, term_id, df, cf
     {path}/doc_stats/    partitioned by shard -> doc_id, dl (the dl
                          sidecar WAND kernels side-read per shard)
@@ -42,7 +47,7 @@ from top2vec_spark.operators.postings import (
     DEFAULT_DOCS_PER_SHARD,
     DEFAULT_N_BUCKETS,
     bucket_col,
-    build_postings,
+    build_postings_from_tf,
 )
 
 
@@ -53,10 +58,20 @@ class PostingsIndex:
     globs: CorpusGlobals
     docs_per_shard: int
     n_buckets: int
+    _postings: DataFrame = None
 
     @property
     def postings(self) -> DataFrame:
-        return self.spark.read.parquet(f"{self.path}/postings")
+        if self._postings is None:
+            self._postings = self.spark.read.parquet(f"{self.path}/postings")
+        return self._postings
+
+    def cache(self) -> "PostingsIndex":
+        """Pin the postings blocks in executor memory for warm query
+        serving (a long-lived query cluster would do exactly this)."""
+        self._postings = self.postings.cache()
+        self._postings.count()
+        return self
 
     @property
     def vocab(self) -> DataFrame:
@@ -140,23 +155,72 @@ class IndexBuilder:
             )
 
     # -- build ---------------------------------------------------------------
+    def build_from_docs(
+        self,
+        docs: DataFrame,
+        min_count: int = 0,
+        resume: bool = True,
+    ) -> PostingsIndex:
+        """Primary entry: docs(doc_id, text) -> index. One fused
+        tokenize+count Arrow pass materialized as the `tf` stage."""
+        from top2vec_spark.operators.tokens import doc_term_counts
+
+        return self._build_from_tf(
+            lambda: doc_term_counts(docs), min_count=min_count, resume=resume
+        )
+
     def build(
         self,
         tokens: DataFrame,
-        vocab: DataFrame,
-        doc_stats: DataFrame,
+        vocab: DataFrame = None,
+        doc_stats: DataFrame = None,
+        min_count: int = 0,
         resume: bool = True,
+    ) -> PostingsIndex:
+        """Build from a long-format tokens(doc_id, pos, term) table.
+        vocab/doc_stats args are accepted for backward compatibility
+        but recomputed from the materialized tf stage (strict-'>'
+        min_count, SURVEY.md P1) so tokenization runs once."""
+        def make_tf() -> DataFrame:
+            tf = tokens.groupBy("doc_id", "term").agg(
+                F.count(F.lit(1)).alias("tf")
+            )
+            dl = tokens.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+            return tf.join(dl, "doc_id").select("doc_id", "term", "tf", "dl")
+
+        return self._build_from_tf(make_tf, min_count=min_count, resume=resume)
+
+    def _build_from_tf(
+        self, make_tf, min_count: int, resume: bool
     ) -> PostingsIndex:
         p = self.path
 
+        if not (resume and self._done("tf")):
+            make_tf().write.mode("overwrite").parquet(f"{p}/tf")
+            self._mark("tf")
+        tf_t = self.spark.read.parquet(f"{p}/tf")
+
         if not (resume and self._done("vocab")):
-            vocab.write.mode("overwrite").parquet(f"{p}/vocab")
+            from pyspark.sql import Window as W
+
+            counts = (
+                tf_t.groupBy("term")
+                .agg(F.sum("tf").alias("cf"), F.count(F.lit(1)).alias("df"))
+                .filter(F.col("cf") > min_count)
+            )
+            w = W.orderBy(F.col("df").desc(), F.col("term").asc())
+            vocab_df = counts.withColumn(
+                "term_id", (F.row_number().over(w) - F.lit(1)).cast("long")
+            ).select("term", "term_id", "df", "cf")
+            vocab_df.write.mode("overwrite").parquet(f"{p}/vocab")
             self._mark("vocab")
         vocab_t = self.spark.read.parquet(f"{p}/vocab")
 
         if not (resume and self._done("doc_stats")):
             (
-                doc_stats.withColumn(
+                tf_t.groupBy("doc_id")
+                .agg(F.first("dl").alias("dl"))
+                .withColumn(
                     "shard",
                     (F.col("doc_id") / F.lit(self.docs_per_shard)).cast("int"),
                 )
@@ -189,10 +253,9 @@ class IndexBuilder:
         globs = CorpusGlobals(n_docs=gj["n_docs"], avgdl=gj["avgdl"])
 
         if not (resume and self._done("postings")):
-            postings = build_postings(
-                tokens,
+            postings = build_postings_from_tf(
+                tf_t,
                 vocab_t,
-                ds_t,
                 globs,
                 cfg=self.cfg,
                 docs_per_shard=self.docs_per_shard,
@@ -228,7 +291,7 @@ class IndexBuilder:
         ds = self.spark.read.parquet(f"{p}/doc_stats")
         lineage = json.dumps(
             {
-                "stages": ["vocab", "doc_stats", "globals", "postings"],
+                "stages": ["tf", "vocab", "doc_stats", "globals", "postings"],
                 "fingerprint": self._fingerprint(),
                 "n_docs": globs.n_docs,
                 "avgdl": globs.avgdl,
