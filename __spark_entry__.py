@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from top2vec_spark.config import BM25_B, BM25_K1, MAX_TOKEN_LEN, MIN_TOKEN_LEN
+from top2vec_spark.functions.tokenizer import duckdb_tokens_sql
 from top2vec_spark.operators.bm25 import bm25_scores, term_weights
 from top2vec_spark.operators.corpus_stats import (
     build_doc_stats,
@@ -223,6 +224,49 @@ def _q_assign_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bigram_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from top2vec_spark.operators.phrases import find_phrases
+
+    ph = find_phrases(_tokens(spark, sf_dir), min_count=2, threshold=0.0005)
+    return ph.select(
+        "phrase", "pair_count", F.round("score", 6).alias("score")
+    )
+
+
+def _q_chunks_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from top2vec_spark.operators.chunks import sequential_chunks
+    from top2vec_spark.functions.tokenizer import sql_tokens_expr
+
+    arr = _docs(spark, sf_dir).select(
+        "doc_id", sql_tokens_expr("text").alias("tokens")
+    )
+    ch = sequential_chunks(arr, chunk_length=20)
+    return ch.select(
+        "doc_id",
+        "chunk_id",
+        F.size("chunk").alias("n_chunk_tokens"),
+        F.element_at("chunk", 1).alias("first_tok"),
+    )
+
+
+def _q_ctfidf_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """c-TF-IDF topic words with lang as the class column (fully
+    SQL-expressible; the embedding-cluster variant is pytest-covered)."""
+    from top2vec_spark.operators.topics import topic_words_ctfidf
+
+    docs = _docs(spark, sf_dir)
+    tf = (
+        _tokens(spark, sf_dir)
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dt = docs.select("doc_id", F.col("lang").alias("topic_id"))
+    words = topic_words_ctfidf(tf, dt, top_n=10, round_digits=6)
+    return words.select(
+        F.col("topic_id").alias("lang"), "rank", "term", "ctfidf"
+    )
+
+
 _CENTROIDS_CTE = """
 by_pos AS (
   SELECT label, unnest(embedding::DOUBLE[]) AS v,
@@ -267,6 +311,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_top10_single": _bm25_query(["vector"], [], 10),
         "bm25_wand_top10": _bm25_wand_query(["table", "spark"], [], 10),
         "bm25_wand_top10_neg": _bm25_wand_query(["query", "window"], ["batch"], 10),
+        "bigram_phrases": _q_bigram_phrases,
+        "chunks_seq": _q_chunks_seq,
+        "ctfidf_by_lang": _q_ctfidf_by_lang,
         "dedup_exact": _q_dedup_exact,
         "token_counts": _q_token_counts,
         "quality_features": _q_quality,
@@ -298,6 +345,77 @@ SELECT n_docs, round(avgdl, 6) AS avgdl FROM globals
         "bm25_top10_single": _bm25_oracle_sql(["vector"], [], 10),
         "bm25_wand_top10": _bm25_oracle_sql(["table", "spark"], [], 10),
         "bm25_wand_top10_neg": _bm25_oracle_sql(["query", "window"], ["batch"], 10),
+        "bigram_phrases": f"""
+WITH tl AS (
+  SELECT doc_id, {duckdb_tokens_sql()} AS toks FROM documents
+),
+tokens_pos AS (
+  SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) AS pos
+  FROM tl
+),
+uni AS (SELECT term, count(*) AS cnt FROM tokens_pos GROUP BY term),
+vs AS (SELECT count(*) AS vocab_size FROM uni),
+pairs AS (
+  SELECT a.term AS term_a, b.term AS term_b, count(*) AS pair_count
+  FROM tokens_pos a JOIN tokens_pos b
+    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  GROUP BY a.term, b.term
+),
+scored AS (
+  SELECT term_a || ' ' || term_b AS phrase, pair_count,
+         (pair_count - 2) * (SELECT vocab_size * 1.0 FROM vs)
+           / (ua.cnt * ub.cnt) AS score
+  FROM pairs
+  JOIN uni ua ON ua.term = pairs.term_a
+  JOIN uni ub ON ub.term = pairs.term_b
+  WHERE pair_count >= 2
+)
+SELECT phrase, pair_count, round(score, 6) AS score
+FROM scored WHERE score > 0.0005
+""",
+        "chunks_seq": f"""
+WITH tl AS (
+  SELECT doc_id, {duckdb_tokens_sql()} AS toks FROM documents
+),
+ex AS (
+  SELECT doc_id, toks,
+         unnest(range(greatest(cast(ceil(len(toks) / 20.0) AS int), 1)))
+           AS chunk_id
+  FROM tl
+)
+SELECT doc_id, cast(chunk_id AS int) AS chunk_id,
+       cast(len(toks[chunk_id * 20 + 1 : least((chunk_id + 1) * 20, len(toks))])
+            AS int) AS n_chunk_tokens,
+       toks[chunk_id * 20 + 1] AS first_tok
+FROM ex
+""",
+        "ctfidf_by_lang": f"""
+WITH {_TOKENS_CTE},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tokens GROUP BY doc_id, term),
+dt AS (SELECT doc_id, lang AS topic_id FROM documents),
+ttf AS (
+  SELECT topic_id, term, sum(tf) AS ctf
+  FROM tf JOIN dt USING (doc_id) GROUP BY topic_id, term
+),
+clen AS (SELECT topic_id, sum(ctf) AS clen FROM ttf GROUP BY topic_id),
+al AS (SELECT avg(clen) AS avg_len FROM clen),
+cf AS (SELECT term, sum(tf) AS cf FROM tf GROUP BY term),
+scored AS (
+  SELECT ttf.topic_id, ttf.term,
+         round((ttf.ctf * 1.0 / clen.clen)
+               * ln(1.0 + (SELECT avg_len FROM al) / cf.cf), 6) AS ctfidf
+  FROM ttf JOIN clen USING (topic_id) JOIN cf USING (term)
+),
+ranked AS (
+  SELECT topic_id, term, ctfidf,
+         row_number() OVER (
+           PARTITION BY topic_id ORDER BY ctfidf DESC, term ASC
+         ) AS rank
+  FROM scored
+)
+SELECT topic_id AS lang, cast(rank AS int) AS rank, term, ctfidf
+FROM ranked WHERE rank <= 10
+""",
         "dedup_exact": """
 SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
 """,

@@ -25,7 +25,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from top2vec_spark.operators.bm25 import term_weights
+from top2vec_spark.operators.bm25 import resolve_query_terms
 from top2vec_spark.operators.wand import wand_topk
 from top2vec_spark.plans.build import IndexBuilder
 from top2vec_spark.session import get_spark
@@ -55,32 +55,33 @@ def main() -> None:
     try:
         t0 = time.time()
         index = IndexBuilder(
-            spark, idx_dir, docs_per_shard=max(1024, n_docs // (4 * CPUS) or 1)
+            spark, idx_dir, docs_per_shard=max(4096, n_docs // 32)
         ).build_from_docs(docs, resume=False)
         t_build = time.time() - t0
         timings["build"] = round(t_build, 3)
 
-        vocab_c = index.vocab.cache()
-        vocab_c.count()
         index.cache()  # warm serving: postings pinned in memory
+        vmap = {
+            r["term"]: (r["term_id"], r["df"]) for r in index.vocab.collect()
+        }
         g = index.globs
 
         lat: list[float] = []
         for name, pos, neg in QUERIES:
-            w = term_weights(spark, vocab_c, pos, neg)
             tq = time.time()
-            rows = wand_topk(spark, index, w, g, K).collect()
+            q = resolve_query_terms(vmap, pos, neg)
+            rows = wand_topk(spark, index, q, g, K).collect()
             dt = time.time() - tq
             timings[f"q_{name}"] = round(dt, 3)
             lat.append(dt)
             assert len(rows) <= K
 
         # p50 of the flagship query, warm
-        w = term_weights(spark, vocab_c, ["table", "spark"], [])
+        q = resolve_query_terms(vmap, ["table", "spark"], [])
         reps = []
         for _ in range(P50_REPEATS):
             tq = time.time()
-            wand_topk(spark, index, w, g, K).collect()
+            wand_topk(spark, index, q, g, K).collect()
             reps.append(time.time() - tq)
         p50 = statistics.median(reps)
 

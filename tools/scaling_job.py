@@ -13,7 +13,7 @@ import time
 
 sys.path.insert(0, sys.path[0].rsplit("/tools", 1)[0] if "/tools" in sys.path[0] else ".")
 
-from top2vec_spark.operators.bm25 import term_weights
+from top2vec_spark.operators.bm25 import resolve_query_terms
 from top2vec_spark.operators.wand import wand_topk
 from top2vec_spark.plans.build import IndexBuilder
 from top2vec_spark.session import get_spark
@@ -31,18 +31,19 @@ def main() -> None:
     try:
         t0 = time.time()
         index = IndexBuilder(
-            spark, idx_dir, docs_per_shard=max(512, n_docs // 128)
+            spark, idx_dir, docs_per_shard=max(4096, n_docs // 32)
         ).build_from_docs(docs, resume=False)
         t_build = time.time() - t0
 
-        vocab_c = index.vocab.cache()
-        vocab_c.count()
         index.cache()
+        vmap = {
+            r["term"]: (r["term_id"], r["df"]) for r in index.vocab.collect()
+        }
         lats = []
         for pos, neg in QUERIES * 3:
-            w = term_weights(spark, vocab_c, pos, neg)
             tq = time.time()
-            wand_topk(spark, index, w, index.globs, 10).collect()
+            q = resolve_query_terms(vmap, pos, neg)
+            wand_topk(spark, index, q, index.globs, 10).collect()
             lats.append(time.time() - tq)
         print(
             json.dumps(

@@ -114,9 +114,29 @@ class Top2VecSpark:
         self._index = builder.build(
             self.tokens, min_count=self.min_count, resume=resume
         )
+        if hasattr(self, "_vocab_map"):
+            del self._vocab_map  # re-derive from the built index vocab
         return self._index
 
     # -- queries ------------------------------------------------------------
+    _VOCAB_DRIVER_CAP = 2_000_000  # pin vocab on driver below this size
+
+    @property
+    def vocab_map(self) -> dict | None:
+        """Driver-side term -> (term_id, df) dict for zero-job query
+        planning (the reference's word_indexes dict, top2vec.py:673).
+        None when the vocabulary exceeds the driver cap — queries then
+        fall back to a filtered collect."""
+        if not hasattr(self, "_vocab_map"):
+            src = self._index.vocab if self._index is not None else self.vocab
+            if src.count() <= self._VOCAB_DRIVER_CAP:
+                self._vocab_map = {
+                    r["term"]: (r["term_id"], r["df"]) for r in src.collect()
+                }
+            else:
+                self._vocab_map = None
+        return self._vocab_map
+
     def _topk(
         self,
         pos: Sequence[str],
@@ -125,7 +145,10 @@ class Top2VecSpark:
         exclude_doc_ids: Sequence[int] = (),
         use_index: bool | None = None,
     ) -> DataFrame:
-        weights = bm25_ops.term_weights(self.spark, self.vocab, pos, neg)
+        lookup = self.vocab_map
+        qterms = bm25_ops.resolve_query_terms(
+            lookup if lookup is not None else self.vocab, pos, neg
+        )
         use_wand = self._index is not None if use_index is None else use_index
         if use_wand:
             from top2vec_spark.operators.wand import wand_topk
@@ -133,12 +156,13 @@ class Top2VecSpark:
             return wand_topk(
                 self.spark,
                 self._index,
-                weights,
+                qterms,
                 self.globals,
                 k,
                 cfg=self.cfg,
                 exclude_doc_ids=exclude_doc_ids,
             )
+        weights = self.spark.createDataFrame(qterms, bm25_ops.QTERM_SCHEMA)
         return bm25_ops.bm25_topk_bruteforce(
             self.tokens,
             self.doc_stats,
@@ -238,6 +262,103 @@ class Top2VecSpark:
         return cooc
 
     similar_words = search_words_by_keywords
+
+    def get_documents_by_ids(self, doc_ids: Sequence[int]) -> DataFrame:
+        """J1 (reference doc_id2index probe + array index,
+        top2vec.py:1251-1258): fetch documents by id."""
+        self._validate_doc_ids(doc_ids)
+        return self.docs.filter(F.col("doc_id").isin(list(doc_ids)))
+
+    # -- topic layer (SURVEY.md §7.6; semantics-changing substitute for
+    # UMAP+HDBSCAN is documented in operators/topics.py) -----------------
+    def compute_topics(self, embeddings: DataFrame, n_topics: int | None = None):
+        """Assign docs to topics via nearest-centroid over an
+        embeddings table (vec_id == doc_id), centroids from the label
+        column. Stores doc_topic + topic words (c-TF-IDF)."""
+        from top2vec_spark.operators.similarity import (
+            assign_nearest,
+            label_centroids,
+        )
+        from top2vec_spark.operators import topics as T
+
+        self._topic_embeddings = embeddings
+        cents = label_centroids(embeddings)
+        dt = assign_nearest(embeddings, cents).select(
+            F.col("vec_id").alias("doc_id"),
+            F.col("assigned_label").alias("topic_id"),
+            "score",
+        )
+        self.doc_topic = T.renumber_topics_by_size(dt).cache()
+        tf = (
+            self.tokens.groupBy("doc_id", "term")
+            .agg(F.count(F.lit(1)).alias("tf"))
+        )
+        self.topic_words = T.topic_words_ctfidf(tf, self.doc_topic).cache()
+        return self.doc_topic
+
+    def get_topic_sizes(self) -> DataFrame:
+        from top2vec_spark.operators import topics as T
+
+        self._require_topics()
+        return T.topic_sizes(self.doc_topic)
+
+    def get_topics(self, num_topics: int | None = None) -> DataFrame:
+        self._require_topics()
+        out = self.topic_words
+        if num_topics is not None:
+            out = out.filter(F.col("topic_id") < num_topics)
+        return out
+
+    def get_num_topics(self) -> int:
+        self._require_topics()
+        return self.doc_topic.select("topic_id").distinct().count()
+
+    def search_documents_by_topic(
+        self, topic_num: int, num_docs: int, return_documents: bool = True
+    ) -> DataFrame:
+        from top2vec_spark.operators import topics as T
+
+        self._require_topics()
+        res = T.search_documents_by_topic(self.doc_topic, topic_num, num_docs)
+        return self._project(res.select("doc_id", "score"), return_documents)
+
+    def hierarchical_topic_reduction(self, num_topics: int):
+        """L7 (top2vec.py:2270-2418): driver loop over collected topic
+        centroids + one distributed re-assignment."""
+        import numpy as np
+
+        from top2vec_spark.operators import topics as T
+        from top2vec_spark.operators.similarity import label_centroids
+
+        self._require_topics()
+        if not hasattr(self, "_topic_embeddings"):
+            raise ValueError("compute_topics(embeddings) must run first")
+        emb = self._topic_embeddings
+        cents_df = label_centroids(
+            emb.join(
+                self.doc_topic.select(
+                    F.col("doc_id").alias("vec_id"), "topic_id"
+                ),
+                "vec_id",
+            ).select("vec_id", "embedding", F.col("topic_id").alias("label"))
+        )
+        cents = {
+            int(r["label"]): np.array(r["centroid"]) for r in cents_df.collect()
+        }
+        sizes = {
+            int(r["topic_id"]): r["topic_size"]
+            for r in self.get_topic_sizes().collect()
+        }
+        reduced, hierarchy = T.hierarchical_topic_reduction(
+            cents, sizes, num_topics
+        )
+        return reduced, hierarchy
+
+    def _require_topics(self) -> None:
+        if not hasattr(self, "doc_topic"):
+            raise ValueError(
+                "no topics computed — call compute_topics(embeddings) first"
+            )
 
     # -- mutation (U1/U2) ---------------------------------------------------
     def add_documents(self, new_docs: DataFrame) -> "Top2VecSpark":

@@ -44,37 +44,58 @@ def idf(n_docs: int, df: int) -> float:
     return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
 
 
-def term_weights(
-    spark: SparkSession,
-    vocab: DataFrame,
+QTERM_SCHEMA = "term string, term_id long, df long, sign double"
+
+
+def resolve_query_terms(
+    vocab_lookup,
     pos_terms: Sequence[str],
     neg_terms: Sequence[str] = (),
-) -> DataFrame:
-    """Tiny (term, term_id, df, sign, idf-less) query-side table.
+) -> list[tuple[str, int, int, float]]:
+    """Driver-side query planning: lowercase keywords (reference
+    top2vec.py:1433-1434, T4), validate vocab membership
+    (top2vec.py:1426-1441), return (term, term_id, df, sign) tuples.
 
-    Keywords are lowercased before vocab lookup (reference
-    top2vec.py:1433-1434, T4). Unknown terms raise ValueError like the
-    reference's ``_validate_keywords`` (top2vec.py:1426-1441).
+    ``vocab_lookup`` is either a dict term -> (term_id, df) or a vocab
+    DataFrame (one filtered collect — used when the vocab is too big
+    to pin on the driver).
     """
     pos = [t.lower() for t in pos_terms]
     neg = [t.lower() for t in neg_terms]
     all_terms = list(dict.fromkeys(pos + neg))
     if not all_terms:
         raise ValueError("at least one keyword required")
-    found = (
-        vocab.filter(F.col("term").isin(all_terms))
-        .select("term", "term_id", "df")
-        .collect()
-    )
-    known = {r["term"] for r in found}
-    missing = [t for t in all_terms if t not in known]
+    if isinstance(vocab_lookup, dict):
+        found = {
+            t: vocab_lookup[t] for t in all_terms if t in vocab_lookup
+        }
+    else:
+        found = {
+            r["term"]: (r["term_id"], r["df"])
+            for r in vocab_lookup.filter(F.col("term").isin(all_terms))
+            .select("term", "term_id", "df")
+            .collect()
+        }
+    missing = [t for t in all_terms if t not in found]
     if missing:
         raise ValueError(f"keywords not in vocabulary: {missing}")
-    rows = [
-        (r["term"], r["term_id"], r["df"], -1.0 if r["term"] in set(neg) else 1.0)
-        for r in found
+    negset = set(neg)
+    return [
+        (t, found[t][0], found[t][1], -1.0 if t in negset else 1.0)
+        for t in all_terms
     ]
-    return spark.createDataFrame(rows, "term string, term_id long, df long, sign double")
+
+
+def term_weights(
+    spark: SparkSession,
+    vocab: DataFrame,
+    pos_terms: Sequence[str],
+    neg_terms: Sequence[str] = (),
+) -> DataFrame:
+    """DataFrame form of resolve_query_terms (query-side broadcast
+    table for the brute scorer)."""
+    rows = resolve_query_terms(vocab, pos_terms, neg_terms)
+    return spark.createDataFrame(rows, QTERM_SCHEMA)
 
 
 def bm25_score_col(cfg: BM25Config, n_docs: int) -> F.Column:

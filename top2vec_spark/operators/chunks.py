@@ -1,0 +1,92 @@
+"""Document chunkers — reference T5/T6 (SURVEY.md §2.2).
+
+T5 ``get_chunks`` (top2vec/top2vec.py:134-167): sequential windows of
+``chunk_length`` tokens, stride ``int(chunk_length * (1 -
+chunk_overlap_ratio))`` (min 1), capped at
+``min(max_num_chunks, ceil(n / chunk_length))`` chunks; an empty token
+list yields one empty chunk ([""] in the reference — here an empty
+array row).
+
+T6 ``get_random_chunks`` (top2vec.py:170-205): ``num_chunks =
+max(1, ceil(n * coverage / chunk_length))`` random start positions —
+the reference uses UNSEEDED np.random.choice (SURVEY.md Appendix A);
+we seed deterministically per (seed, doc_id).
+
+Both are pure DataFrame ops: F.sequence -> F.transform(slice) ->
+posexplode. No Python in the row path (T6's randomness comes from a
+hash-based uniform, all column expressions).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _ceil_div(a: Column, b: int) -> Column:
+    return F.ceil(a / F.lit(float(b))).cast("int")
+
+
+def sequential_chunks(
+    tokens_arr: DataFrame,
+    chunk_length: int,
+    max_num_chunks: int | None = None,
+    chunk_overlap_ratio: float = 0.0,
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """(doc_id, tokens) -> (doc_id, chunk_id, chunk tokens array).
+
+    Matches the reference arithmetic exactly: stride =
+    max(1, int(chunk_length * (1 - overlap))); n_chunks =
+    ceil(n / chunk_length) capped by max_num_chunks; chunk i covers
+    tokens[i*stride : i*stride + chunk_length].
+    """
+    stride = max(1, int(chunk_length * (1.0 - chunk_overlap_ratio)))
+    n = F.size(F.col(tokens_col))
+    n_chunks = _ceil_div(n, chunk_length)
+    if max_num_chunks is not None:
+        n_chunks = F.least(n_chunks, F.lit(int(max_num_chunks)))
+    n_chunks = F.greatest(n_chunks, F.lit(1))  # empty doc -> 1 empty chunk
+    starts = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1), lambda i: i * stride
+    )
+    chunks = F.transform(
+        starts, lambda s: F.slice(F.col(tokens_col), s + 1, chunk_length)
+    )
+    return tokens_arr.select(
+        "doc_id", F.posexplode(chunks).alias("chunk_id", "chunk")
+    )
+
+
+def random_chunks(
+    tokens_arr: DataFrame,
+    chunk_length: int,
+    chunk_len_coverage_ratio: float = 1.0,
+    max_num_chunks: int | None = None,
+    seed: int = 42,
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """Seeded re-expression of the reference's unseeded random chunker:
+    start positions are hash-derived uniforms over [0, max(n -
+    chunk_length, 0)] — deterministic per (seed, doc_id, chunk_id)."""
+    n = F.size(F.col(tokens_col))
+    n_chunks = F.greatest(
+        _ceil_div(n * F.lit(chunk_len_coverage_ratio), chunk_length), F.lit(1)
+    )
+    if max_num_chunks is not None:
+        n_chunks = F.least(n_chunks, F.lit(int(max_num_chunks)))
+    hi = F.greatest(n - F.lit(chunk_length), F.lit(0))
+    starts = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.pmod(
+            F.xxhash64(F.col("doc_id"), i, F.lit(seed)), hi + 1
+        ).cast("int"),
+    )
+    chunks = F.transform(
+        starts, lambda s: F.slice(F.col(tokens_col), s + 1, chunk_length)
+    )
+    return tokens_arr.select(
+        "doc_id", F.posexplode(chunks).alias("chunk_id", "chunk")
+    )

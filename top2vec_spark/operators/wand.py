@@ -232,7 +232,7 @@ def make_shard_kernel(
 def wand_topk(
     spark: SparkSession,
     index,
-    weights: DataFrame,
+    weights,
     globs: CorpusGlobals,
     k: int,
     cfg: BM25Config = BM25Config(),
@@ -240,14 +240,21 @@ def wand_topk(
 ) -> DataFrame:
     """Query the PostingsIndex: returns (doc_id, score), k rows,
     ordered (score DESC, doc_id ASC) — same contract as
-    bm25_topk_bruteforce."""
-    qrows = weights.collect()
+    bm25_topk_bruteforce.
+
+    ``weights`` is either the term_weights DataFrame or a plain list
+    of (term, term_id, df, sign) tuples (resolve_query_terms) — the
+    list form skips a driver round-trip per query.
+    """
+    qrows = weights if isinstance(weights, list) else [
+        (r["term"], r["term_id"], r["df"], r["sign"]) for r in weights.collect()
+    ]
     qinfo = {
-        int(r["term_id"]): (
-            float(r["sign"]),
-            math.log(1.0 + (globs.n_docs - r["df"] + 0.5) / (r["df"] + 0.5)),
+        int(term_id): (
+            float(sign),
+            math.log(1.0 + (globs.n_docs - df + 0.5) / (df + 0.5)),
         )
-        for r in qrows
+        for _, term_id, df, sign in qrows
     }
     term_ids = sorted(qinfo)
     buckets = sorted({t % index.n_buckets for t in term_ids})
