@@ -1,0 +1,113 @@
+"""Incremental append (U1): appended index answers queries
+rank+score-identically to a full rebuild over the union corpus."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from top2vec_spark.operators.bm25 import (
+    bm25_topk_bruteforce,
+    resolve_query_terms,
+    term_weights,
+)
+from top2vec_spark.operators.corpus_stats import (
+    build_doc_stats,
+    build_vocab,
+    compute_globals,
+)
+from top2vec_spark.operators.tokens import assign_doc_ids, tokenize_docs
+from top2vec_spark.operators.wand import wand_topk
+from top2vec_spark.plans.build import IndexBuilder, PostingsIndex
+from top2vec_spark.sources.pages import generate_pages_pdf
+
+QUERIES = [(["wa", "wb"], []), (["wc"], []), (["wa", "wd"], ["wb"])]
+
+
+@pytest.fixture(scope="module")
+def corpora(spark):
+    base_pdf = generate_pages_pdf(300, seed=31)
+    new_pdf = generate_pages_pdf(150, seed=32, start=10_000)
+    base = assign_doc_ids(spark.createDataFrame(base_pdf[["url", "text"]])).select(
+        "doc_id", "url", "text"
+    ).cache()
+    new = assign_doc_ids(spark.createDataFrame(new_pdf[["url", "text"]])).select(
+        "doc_id", "url", "text"
+    ).cache()
+    return base, new
+
+
+def test_append_matches_full_rebuild(spark, corpora, tmp_path):
+    base, new = corpora
+    dps, nb = 128, 8
+
+    # incremental: build base, then append shifted new docs
+    inc_path = str(tmp_path / "inc")
+    idx = IndexBuilder(spark, inc_path, docs_per_shard=dps, n_buckets=nb).build_from_docs(
+        base, resume=False
+    )
+    lo = idx.next_doc_id()
+    assert lo % dps == 0 and lo >= 300
+    shifted = new.withColumn("doc_id", (F.col("doc_id") + F.lit(lo)).cast("long"))
+    idx2 = idx.append_documents(shifted)
+    assert idx2.stats_fresh is False
+    assert idx2.globs.n_docs == 450
+
+    # full rebuild oracle over the union corpus
+    union = base.unionByName(shifted)
+    full_path = str(tmp_path / "full")
+    full = IndexBuilder(
+        spark, full_path, docs_per_shard=dps, n_buckets=nb
+    ).build_from_docs(union, resume=False)
+    assert full.globs == idx2.globs
+
+    tokens = tokenize_docs(union).cache()
+    vocab = build_vocab(tokens).cache()
+    ds = build_doc_stats(tokens).cache()
+    g = compute_globals(ds)
+
+    vmap = {r["term"]: (r["term_id"], r["df"]) for r in idx2.vocab.collect()}
+    for pos, neg in QUERIES:
+        q = resolve_query_terms(vmap, pos, neg)
+        got = wand_topk(spark, idx2, q, idx2.globs, 15).collect()
+        w = term_weights(spark, vocab, pos, neg)
+        expect = bm25_topk_bruteforce(tokens, ds, g, w, 15).collect()
+        assert [r["doc_id"] for r in got] == [r["doc_id"] for r in expect], (pos, neg)
+        for a, b in zip(got, expect):
+            assert a["score"] == pytest.approx(b["score"], abs=1e-9)
+
+    # stable term_ids: every base term keeps its id after the append
+    base_ids = {r["term"]: r["term_id"] for r in idx.vocab.collect()}
+    new_ids = {r["term"]: r["term_id"] for r in idx2.vocab.collect()}
+    for t, i in base_ids.items():
+        assert new_ids[t] == i
+
+    # reload from disk sees stats_fresh=False
+    loaded = PostingsIndex.load(spark, inc_path)
+    assert loaded.stats_fresh is False
+
+
+def test_append_rejects_low_ids(spark, corpora, tmp_path):
+    base, new = corpora
+    idx = IndexBuilder(
+        spark, str(tmp_path / "i2"), docs_per_shard=128, n_buckets=8
+    ).build_from_docs(base, resume=False)
+    with pytest.raises(ValueError, match="shard boundary"):
+        idx.append_documents(new)  # ids overlap the base range
+
+
+def test_api_add_documents_incremental(spark, corpora, tmp_path):
+    from top2vec_spark import Top2VecSpark
+
+    base, new = corpora
+    eng = Top2VecSpark(spark, base)
+    eng.build_index(str(tmp_path / "api_idx"))
+    n_before = eng._index.globs.n_docs
+    eng2 = eng.add_documents(new)
+    assert eng2._index.globs.n_docs == n_before + 150
+    res = eng2.search_documents_by_keywords(
+        ["wa"], 5, return_documents=False
+    ).collect()
+    assert len(res) == 5
+    scores = [r["score"] for r in res]
+    assert scores == sorted(scores, reverse=True)

@@ -51,7 +51,8 @@ def run(cpus: int, input_path: str) -> dict:
 
 
 def main() -> None:
-    workdir = tempfile.mkdtemp(prefix="scaling_input_")
+    scratch = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    workdir = tempfile.mkdtemp(prefix="scaling_input_", dir=scratch)
     input_path = f"{workdir}/pages_docs.parquet"
     print(f"generating {N_DOCS} synthetic pages...", file=sys.stderr)
     gen_input(input_path)

@@ -27,7 +27,10 @@ def main() -> None:
     docs = spark.read.parquet(input_path)  # doc_id, url, text
     n_docs = docs.count()
 
-    idx_dir = tempfile.mkdtemp(prefix=f"scale_idx_{cpus}_")
+    import os
+
+    scratch = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    idx_dir = tempfile.mkdtemp(prefix=f"scale_idx_{cpus}_", dir=scratch)
     try:
         t0 = time.time()
         index = IndexBuilder(

@@ -364,15 +364,44 @@ class Top2VecSpark:
     def add_documents(self, new_docs: DataFrame) -> "Top2VecSpark":
         """Reference add_documents (top2vec.py:1960-2061): append +
         incremental stats rebuild. Returns a new engine over the
-        union; id uniqueness enforced like top2vec.py:512-513."""
-        merged = self.docs.unionByName(new_docs, allowMissingColumns=True)
+        union; id uniqueness enforced like top2vec.py:512-513.
+
+        With a built index, the postings are appended INCREMENTALLY
+        (only the new docs are tokenized/encoded — new doc-shards,
+        no existing partition rewritten; plans/build.py
+        ``append_documents``). New doc_ids are remapped to start at
+        the next shard boundary."""
+        if self._index is not None:
+            lo = self._index.next_doc_id()
+            old_min = new_docs.agg(F.min("doc_id")).collect()[0][0]
+            shifted = new_docs.withColumn(
+                "doc_id", (F.col("doc_id") - F.lit(old_min) + F.lit(lo)).cast("long")
+            )
+            merged = self.docs.unionByName(shifted, allowMissingColumns=True)
+            out = Top2VecSpark(
+                self.spark,
+                merged,
+                min_count=self.min_count,
+                cfg=self.cfg,
+                keep_documents=self.keep_documents,
+            )
+            out._index = self._index.append_documents(shifted, cfg=self.cfg)
+            return out
         dup = (
-            merged.groupBy("doc_id").count().filter(F.col("count") > 1).limit(1).count()
+            self.docs.select("doc_id")
+            .join(new_docs.select("doc_id"), "doc_id", "inner")
+            .limit(1)
+            .count()
         )
         if dup:
             raise ValueError("duplicate doc_ids in add_documents")
+        merged = self.docs.unionByName(new_docs, allowMissingColumns=True)
         return Top2VecSpark(
-            self.spark, merged, cfg=self.cfg, keep_documents=self.keep_documents
+            self.spark,
+            merged,
+            min_count=self.min_count,
+            cfg=self.cfg,
+            keep_documents=self.keep_documents,
         )
 
     def delete_documents(self, doc_ids: Sequence[int]) -> "Top2VecSpark":

@@ -72,6 +72,12 @@ POSTINGS_SCHEMA = T.StructType(
         T.StructField("last_doc_id", T.LongType(), False),
         T.StructField("block_max_tf", T.IntegerType(), False),
         T.StructField("block_max_score", T.DoubleType(), False),
+        # min dl in the block: stat-INDEPENDENT, so WAND can recompute
+        # an admissible bound idf*tfpart(block_max_tf, block_min_dl)
+        # under current globals after incremental appends shift
+        # N/avgdl/df (block_max_score is exact but frozen at encode
+        # time — unsound for pruning once stats drift)
+        T.StructField("block_min_dl", T.LongType(), False),
     ]
 )
 
@@ -93,6 +99,7 @@ def encode_sorted_run(
     doc_ids: np.ndarray,
     tfs: np.ndarray,
     contrib: np.ndarray,
+    dls: np.ndarray,
     block_size: int,
     out: list,
 ) -> None:
@@ -126,6 +133,7 @@ def encode_sorted_run(
                 int(d[-1]),
                 int(t.max()),
                 float(c.max()),
+                int(dls[lo:hi].min()),
             )
         )
 
@@ -140,6 +148,7 @@ def encode_partition(
     b: float,
     n_docs: int,
     avgdl: float,
+    df_map=None,
 ):
     """mapInPandas kernel: one shuffle partition holds many complete
     (term_id, shard) runs, pre-sorted by (term_id, shard, doc_id) via
@@ -158,7 +167,14 @@ def encode_partition(
     shard = pdf["shard"].to_numpy().astype(np.int64)
     doc = pdf["doc_id"].to_numpy().astype(np.int64)
     tf = pdf["tf"].to_numpy().astype(np.int64)
-    dfv = pdf["df"].to_numpy().astype(np.int64)
+    # df either shuffles as a column (compat) or arrives as a
+    # broadcast dict term_id -> df (saves 8 bytes/row in the big
+    # repartition-by-term shuffle)
+    dfv = (
+        pdf["df"].to_numpy().astype(np.int64)
+        if df_map is None
+        else None
+    )
     dl = pdf["dl"].to_numpy().astype(np.float64)
 
     # vectorized BM25 contribution for every row (idf via np.log is
@@ -178,7 +194,8 @@ def encode_partition(
         t_id = int(tid[s])
         idf = idf_cache.get(t_id)
         if idf is None:
-            idf = math.log(1.0 + (n_docs - int(dfv[s]) + 0.5) / (int(dfv[s]) + 0.5))
+            df_val = int(df_map[t_id]) if df_map is not None else int(dfv[s])
+            idf = math.log(1.0 + (n_docs - df_val + 0.5) / (df_val + 0.5))
             idf_cache[t_id] = idf
         encode_sorted_run(
             t_id,
@@ -186,6 +203,7 @@ def encode_partition(
             doc[s:e],
             tf[s:e],
             idf * tf_part[s:e],
+            dl[s:e],
             block_size,
             out,
         )
@@ -206,17 +224,39 @@ def build_postings_from_tf(
 ) -> DataFrame:
     """tf(doc_id, term, tf, dl) + vocab -> compressed postings
     (unsaved). dl travels inside tf, so the only join is the vocab
-    dimension (broadcast-able) and the only shuffle is the
-    groupBy(term_id, shard) — the salted repartition-by-term."""
-    enriched = (
-        tf.join(vocab.select("term", "term_id", "df"), "term")
-        .withColumn(
-            "shard", (F.col("doc_id") / F.lit(docs_per_shard)).cast("int")
-        )
-        .select("term_id", "shard", "doc_id", "tf", "df", "dl")
-    )
+    dimension (broadcast) and the only shuffle is the repartition on
+    (term_id, shard) — the salted repartition-by-term.
 
+    df rides a broadcast dict (term_id -> df) instead of a shuffle
+    column while the vocabulary fits (8 bytes/row off the big
+    shuffle); above the cap it degrades to the df-column form.
+    """
+    spark = tf.sparkSession
     k1, b, n_docs, avgdl = cfg.k1, cfg.b, globs.n_docs, globs.avgdl
+
+    DF_BROADCAST_CAP = 5_000_000
+    df_bc = None
+    if vocab.count() <= DF_BROADCAST_CAP:
+        df_map = {
+            int(r["term_id"]): int(r["df"])
+            for r in vocab.select("term_id", "df").collect()
+        }
+        df_bc = spark.sparkContext.broadcast(df_map)
+        enriched = (
+            tf.join(F.broadcast(vocab.select("term", "term_id")), "term")
+            .withColumn(
+                "shard", (F.col("doc_id") / F.lit(docs_per_shard)).cast("int")
+            )
+            .select("term_id", "shard", "doc_id", "tf", "dl")
+        )
+    else:
+        enriched = (
+            tf.join(vocab.select("term", "term_id", "df"), "term")
+            .withColumn(
+                "shard", (F.col("doc_id") / F.lit(docs_per_shard)).cast("int")
+            )
+            .select("term_id", "shard", "doc_id", "tf", "df", "dl")
+        )
 
     # THE salted repartition-by-term (north rule): hash-shuffle on
     # (term_id, shard) spreads head terms across partitions; the
@@ -225,12 +265,25 @@ def build_postings_from_tf(
     # groupBy().applyInPandas() here would build a pandas frame per
     # (term, shard) group, whose constant cost dominates when salting
     # makes groups small (measured 3x slower at fixture scale).
-    shuffled = enriched.repartition("term_id", "shard").sortWithinPartitions(
-        "term_id", "shard", "doc_id"
+    # 4x overpartitioning vs cores smooths run-size skew stragglers
+    # (measured: 34s -> 19s at 400k docs / local[32]).
+    n_encode_parts = max(
+        tf.sparkSession.sparkContext.defaultParallelism * 4, 8
     )
+    shuffled = enriched.repartition(
+        n_encode_parts, "term_id", "shard"
+    ).sortWithinPartitions("term_id", "shard", "doc_id")
 
     def encode(pdfs):
-        yield from encode_partition(pdfs, block_size, k1, b, n_docs, avgdl)
+        yield from encode_partition(
+            pdfs,
+            block_size,
+            k1,
+            b,
+            n_docs,
+            avgdl,
+            df_map=df_bc.value if df_bc is not None else None,
+        )
 
     return shuffled.mapInPandas(encode, POSTINGS_SCHEMA)
 

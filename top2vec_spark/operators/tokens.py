@@ -39,20 +39,18 @@ def tokenize_docs(
     )
 
 
-def doc_term_counts(
+def doc_term_counts_packed(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Fused tokenize + per-doc term count: docs -> tf(doc_id, term,
-    tf, dl) in ONE Arrow pass — the index build's hot path.
+    """Fused tokenize + per-doc term count, ARRAY-PACKED: docs ->
+    (doc_id, terms array, tfs array, dl) — one row per document.
 
-    Equivalent to ``tokenize_docs(...).groupBy(doc_id, term).count()``
-    joined with doc lengths, but never materializes the exploded
-    per-position rows and never shuffles them: counting happens inside
-    the pandas UDF per batch, so the only shuffle downstream is over
-    the ~unique-terms-per-doc rows (typically ~60% smaller than raw
-    tokens, and no (doc_id, term) shuffle for the tf agg at all).
+    This is the build's canonical tf representation: ~56x fewer rows
+    than the long format through Arrow, parquet, and re-reads (the
+    long-format materialization of ~90M tiny rows was the top
+    non-scaling cost at 1.6M docs — row overhead, not data bytes).
     """
     import pandas as pd
 
@@ -61,23 +59,69 @@ def doc_term_counts(
     def batch(pdfs):
         for pdf in pdfs:
             toks = _tokenize_series(pdf[text_col])
-            ids, terms, tfs, dls = [], [], [], []
-            for doc_id, tl in zip(pdf[id_col], toks):
-                dl = len(tl)
+            terms, tfs, dls = [], [], []
+            for tl in toks:
                 cnt = {}
                 for t in tl:
                     cnt[t] = cnt.get(t, 0) + 1
-                ids.extend([doc_id] * len(cnt))
-                terms.extend(cnt.keys())
-                tfs.extend(cnt.values())
-                dls.extend([dl] * len(cnt))
+                terms.append(list(cnt.keys()))
+                tfs.append(list(cnt.values()))
+                dls.append(len(tl))
             yield pd.DataFrame(
-                {"doc_id": ids, "term": terms, "tf": tfs, "dl": dls}
+                {
+                    "doc_id": pdf[id_col],
+                    "terms": terms,
+                    "tfs": tfs,
+                    "dl": dls,
+                }
             )
 
     return docs.select(id_col, text_col).mapInPandas(
-        batch, "doc_id long, term string, tf long, dl long"
+        batch, "doc_id long, terms array<string>, tfs array<long>, dl long"
     )
+
+
+def explode_packed_tf(packed: DataFrame) -> DataFrame:
+    """(doc_id, terms, tfs, dl) -> long tf(doc_id, term, tf, dl)
+    (JVM-side explode, codegen)."""
+    return packed.select(
+        "doc_id",
+        "dl",
+        F.explode(F.arrays_zip("terms", "tfs")).alias("z"),
+    ).select(
+        "doc_id",
+        F.col("z.terms").alias("term"),
+        F.col("z.tfs").alias("tf"),
+        "dl",
+    )
+
+
+def pack_tokens(tokens: DataFrame) -> DataFrame:
+    """tokens(doc_id, pos, term) -> packed tf (for the
+    long-format-input compatibility path; one groupBy)."""
+    tf = tokens.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    return (
+        tf.groupBy("doc_id")
+        .agg(
+            F.collect_list("term").alias("terms"),
+            F.collect_list("tf").alias("tfs"),
+            F.sum("tf").alias("dl"),
+        )
+        .select("doc_id", "terms", "tfs", "dl")
+    )
+
+
+def doc_term_counts(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fused tokenize + per-doc term count: docs -> tf(doc_id, term,
+    tf, dl) in ONE Arrow pass — the index build's hot path.
+
+    Convenience wrapper: packed transfer + JVM explode.
+    """
+    return explode_packed_tf(doc_term_counts_packed(docs, text_col, id_col))
 
 
 def assign_doc_ids(pages: DataFrame, url_col: str = "url") -> DataFrame:

@@ -52,6 +52,12 @@ from top2vec_spark.operators.corpus_stats import CorpusGlobals
 
 _SEED_BLOCKS = 4  # blocks fully scored to seed the pruning threshold
 
+# dl sidecar cache: Spark reuses Python workers across queries
+# (spark.python.worker.reuse), so warm queries skip the per-shard
+# parquet read. Keyed by (stats_path, shard); appends create NEW
+# shards, so existing entries never go stale.
+_DL_CACHE: dict = {}
+
 
 def _score_tf(tf, dl, idf, k1, b, avgdl):
     return idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl))
@@ -65,10 +71,18 @@ def make_shard_kernel(
     avgdl: float,
     exclude: frozenset[int],
     stats_path: str,
+    fresh_stats: bool = True,
 ):
     """Build the per-shard kernel. qinfo: term_id -> (sign, idf).
     ``stats_path`` is the shard-partitioned doc_stats parquet dir; the
-    kernel reads only its shard's file (dl sidecar)."""
+    kernel reads only its shard's file (dl sidecar).
+
+    ``fresh_stats=False`` (after incremental appends shifted
+    N/avgdl/df): stored block_max_score values were computed under OLD
+    stats and may UNDER-estimate current scores — pruning with them
+    would be unsound. The kernel then recomputes admissible bounds
+    from the stat-independent (block_max_tf, block_min_dl) metadata
+    under the CURRENT idf/avgdl."""
 
     def kernel(blocks_pdf: pd.DataFrame) -> pd.DataFrame:
         from top2vec_spark.operators.codec import decode_block
@@ -78,17 +92,23 @@ def make_shard_kernel(
         if blocks_pdf.empty:
             return empty
         shard = int(blocks_pdf["shard"].iloc[0])
-        stats_pdf = pd.read_parquet(
-            f"{stats_path}/shard={shard}", columns=["doc_id", "dl"]
-        )
-        if stats_pdf.empty:
-            return empty
-
-        # dl lookup (shard-local): sorted doc_id -> dl
-        s_ids = stats_pdf["doc_id"].to_numpy().astype(np.int64)
-        s_order = np.argsort(s_ids)
-        s_ids = s_ids[s_order]
-        s_dl = stats_pdf["dl"].to_numpy().astype(np.float64)[s_order]
+        cached = _DL_CACHE.get((stats_path, shard))
+        if cached is None:
+            stats_pdf = pd.read_parquet(
+                f"{stats_path}/shard={shard}", columns=["doc_id", "dl"]
+            )
+            if stats_pdf.empty:
+                return empty
+            # dl lookup (shard-local): sorted doc_id -> dl
+            s_ids = stats_pdf["doc_id"].to_numpy().astype(np.int64)
+            s_order = np.argsort(s_ids)
+            s_ids = s_ids[s_order]
+            s_dl = stats_pdf["dl"].to_numpy().astype(np.float64)[s_order]
+            if len(_DL_CACHE) > 256:
+                _DL_CACHE.clear()
+            _DL_CACHE[(stats_path, shard)] = (s_ids, s_dl)
+        else:
+            s_ids, s_dl = cached
 
         def dl_of(docs: np.ndarray) -> np.ndarray:
             pos = np.searchsorted(s_ids, docs)
@@ -99,12 +119,18 @@ def make_shard_kernel(
         for tid, grp in blocks_pdf.groupby("term_id"):
             grp = grp.sort_values(["shard", "block_id"], kind="stable")
             sign, idf = qinfo[int(tid)]
+            if fresh_stats:
+                maxs = grp["block_max_score"].to_numpy().astype(np.float64)
+            else:
+                mtf = grp["block_max_tf"].to_numpy().astype(np.float64)
+                mdl = grp["block_min_dl"].to_numpy().astype(np.float64)
+                maxs = _score_tf(mtf, mdl, idf, k1, b, avgdl)
             terms[int(tid)] = {
                 "sign": sign,
                 "idf": idf,
                 "firsts": grp["first_doc_id"].to_numpy().astype(np.int64),
                 "lasts": grp["last_doc_id"].to_numpy().astype(np.int64),
-                "maxs": grp["block_max_score"].to_numpy().astype(np.float64),
+                "maxs": maxs,
                 "n": grp["n"].to_numpy().astype(np.int64),
                 "doc_bytes": grp["doc_ids"].tolist(),
                 "tf_bytes": grp["tfs"].tolist(),
@@ -270,6 +296,7 @@ def wand_topk(
         globs.avgdl,
         frozenset(int(x) for x in exclude_doc_ids),
         index.doc_stats_path,
+        fresh_stats=getattr(index, "stats_fresh", True),
     )
     per_shard = blocks.groupBy("shard").applyInPandas(
         lambda pdf: kernel(pdf), "doc_id long, score double"

@@ -58,6 +58,7 @@ class PostingsIndex:
     globs: CorpusGlobals
     docs_per_shard: int
     n_buckets: int
+    stats_fresh: bool = True  # False after appends shift N/avgdl/df
     _postings: DataFrame = None
 
     @property
@@ -99,6 +100,131 @@ class PostingsIndex:
             globs=CorpusGlobals(n_docs=g["n_docs"], avgdl=g["avgdl"]),
             docs_per_shard=g["docs_per_shard"],
             n_buckets=g["n_buckets"],
+            stats_fresh=g.get("stats_fresh", True),
+        )
+
+    # -- incremental append (U1, reference add_documents
+    # top2vec.py:1960-2061) ------------------------------------------------
+    def next_doc_id(self) -> int:
+        """First doc_id for appended documents: aligned UP to the next
+        shard boundary, so appends create only NEW doc-shards and
+        never rewrite an existing doc_stats/postings partition
+        (doc_id is a surrogate — gaps are free)."""
+        row = self.doc_stats.agg(F.max("doc_id").alias("m")).collect()[0]
+        hi = int(row["m"]) + 1 if row["m"] is not None else 0
+        dps = self.docs_per_shard
+        return ((hi + dps - 1) // dps) * dps
+
+    def append_documents(self, new_docs: DataFrame, cfg=None) -> "PostingsIndex":
+        """Incremental index append: tokenize ONLY the new docs, write
+        their tf/doc_stats/postings into new shard partitions, merge
+        vocabulary counts (existing term_ids stay stable — new terms
+        get ids after the old max, a documented deviation from the
+        fresh-build df-ordering so bucket pruning keeps working), and
+        refresh globals. Marks stats_fresh=False: WAND switches to
+        stat-independent (block_max_tf, block_min_dl) pruning bounds;
+        exact scores are always computed under CURRENT globals, so
+        query results equal a full rebuild's (pytest-pinned).
+
+        ``new_docs`` must carry doc_id >= next_doc_id() (use
+        assign-then-offset) and a text column.
+        """
+        from top2vec_spark.config import BM25Config
+        from top2vec_spark.operators.tokens import (
+            doc_term_counts_packed,
+            explode_packed_tf,
+        )
+
+        cfg = cfg or BM25Config()
+        p = self.path
+        spark = self.spark
+
+        lo = self.next_doc_id()
+        bad = new_docs.filter(F.col("doc_id") < lo).limit(1).count()
+        if bad:
+            raise ValueError(
+                f"appended doc_ids must be >= {lo} (next shard boundary)"
+            )
+
+        packed_new = doc_term_counts_packed(new_docs)
+        packed_new.write.mode("append").parquet(f"{p}/tf")
+        tf_new = explode_packed_tf(packed_new)
+
+        # merge vocab counts; stable term_ids for existing terms
+        old_vocab = self.vocab
+        new_counts = (
+            explode_packed_tf(spark.read.parquet(f"{p}/tf"))
+            .groupBy("term")
+            .agg(F.sum("tf").alias("cf"), F.count(F.lit(1)).alias("df"))
+        )
+        from pyspark.sql import Window as W
+
+        max_id = old_vocab.agg(F.max("term_id")).collect()[0][0] or 0
+        joined = new_counts.join(
+            old_vocab.select("term", "term_id"), "term", "left"
+        )
+        w = W.orderBy(F.col("df").desc(), F.col("term").asc())
+        merged = joined.withColumn(
+            "term_id",
+            F.coalesce(
+                F.col("term_id"),
+                (F.row_number().over(w) + F.lit(int(max_id))).cast("long"),
+            ),
+        ).select("term", "term_id", "df", "cf")
+        merged.write.mode("overwrite").parquet(f"{p}/vocab_new")
+        spark.read.parquet(f"{p}/vocab_new").write.mode("overwrite").parquet(
+            f"{p}/vocab"
+        )
+
+        # new doc_stats shards (append: only new shard partitions)
+        (
+            packed_new.select("doc_id", "dl")
+            .withColumn(
+                "shard", (F.col("doc_id") / F.lit(self.docs_per_shard)).cast("int")
+            )
+            .repartition("shard")
+            .write.mode("append")
+            .partitionBy("shard")
+            .parquet(f"{p}/doc_stats")
+        )
+
+        # refresh globals (exact scoring uses these; bounds go
+        # stat-independent via stats_fresh=False)
+        ds = spark.read.parquet(f"{p}/doc_stats").select("doc_id", "dl")
+        globs = compute_globals(ds)
+
+        # encode ONLY the new shards' postings and append
+        vocab_t = spark.read.parquet(f"{p}/vocab")
+        postings_new = build_postings_from_tf(
+            tf_new,
+            vocab_t,
+            globs,
+            cfg=cfg,
+            docs_per_shard=self.docs_per_shard,
+            block_size=POSTING_BLOCK_SIZE,
+        ).withColumn("bucket", bucket_col("term_id", self.n_buckets))
+        (
+            postings_new.repartition("bucket")
+            .write.mode("append")
+            .partitionBy("bucket")
+            .parquet(f"{p}/postings")
+        )
+
+        with open(f"{p}/globals.json") as f:
+            gj = json.load(f)
+        gj.update(
+            {"n_docs": globs.n_docs, "avgdl": globs.avgdl, "stats_fresh": False}
+        )
+        with open(f"{p}/globals.json", "w") as f:
+            json.dump(gj, f)
+
+        return PostingsIndex(
+            spark=spark,
+            path=p,
+            globs=globs,
+            docs_per_shard=self.docs_per_shard,
+            n_buckets=self.n_buckets,
+            stats_fresh=False,
         )
 
 
@@ -130,6 +256,7 @@ class IndexBuilder:
             "docs_per_shard": self.docs_per_shard,
             "n_buckets": self.n_buckets,
             "block_size": self.block_size,
+            "tf_format": "packed-v2",  # invalidates pre-packed indexes
         }
 
     def _marker(self, stage: str) -> str:
@@ -162,11 +289,25 @@ class IndexBuilder:
         resume: bool = True,
     ) -> PostingsIndex:
         """Primary entry: docs(doc_id, text) -> index. One fused
-        tokenize+count Arrow pass materialized as the `tf` stage."""
-        from top2vec_spark.operators.tokens import doc_term_counts
+        tokenize+count Arrow pass materialized as the packed `tf`
+        stage (one row/doc with term/tf arrays — ~56x fewer rows than
+        the long format through Arrow/parquet/shuffle, which was the
+        top non-scaling cost)."""
+        from top2vec_spark.operators.tokens import doc_term_counts_packed
 
-        return self._build_from_tf(
-            lambda: doc_term_counts(docs), min_count=min_count, resume=resume
+        # Compact parquet inputs coalesce into very few splits
+        # (spark.sql.files.maxPartitionBytes), starving the
+        # CPU-heavy tokenize UDF of parallelism — fan out first.
+        # (At petabyte scale inputs arrive in thousands of splits and
+        # this is a no-op.)
+        target = self.spark.sparkContext.defaultParallelism * 2
+        if docs.rdd.getNumPartitions() < target:
+            docs = docs.repartition(target)
+
+        return self._build_from_packed(
+            lambda: doc_term_counts_packed(docs),
+            min_count=min_count,
+            resume=resume,
         )
 
     def build(
@@ -181,24 +322,24 @@ class IndexBuilder:
         vocab/doc_stats args are accepted for backward compatibility
         but recomputed from the materialized tf stage (strict-'>'
         min_count, SURVEY.md P1) so tokenization runs once."""
-        def make_tf() -> DataFrame:
-            tf = tokens.groupBy("doc_id", "term").agg(
-                F.count(F.lit(1)).alias("tf")
-            )
-            dl = tokens.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-            return tf.join(dl, "doc_id").select("doc_id", "term", "tf", "dl")
+        from top2vec_spark.operators.tokens import pack_tokens
 
-        return self._build_from_tf(make_tf, min_count=min_count, resume=resume)
+        return self._build_from_packed(
+            lambda: pack_tokens(tokens), min_count=min_count, resume=resume
+        )
 
-    def _build_from_tf(
-        self, make_tf, min_count: int, resume: bool
+    def _build_from_packed(
+        self, make_packed, min_count: int, resume: bool
     ) -> PostingsIndex:
+        from top2vec_spark.operators.tokens import explode_packed_tf
+
         p = self.path
 
         if not (resume and self._done("tf")):
-            make_tf().write.mode("overwrite").parquet(f"{p}/tf")
+            make_packed().write.mode("overwrite").parquet(f"{p}/tf")
             self._mark("tf")
-        tf_t = self.spark.read.parquet(f"{p}/tf")
+        packed_t = self.spark.read.parquet(f"{p}/tf")
+        tf_t = explode_packed_tf(packed_t)
 
         if not (resume and self._done("vocab")):
             from pyspark.sql import Window as W
@@ -218,8 +359,7 @@ class IndexBuilder:
 
         if not (resume and self._done("doc_stats")):
             (
-                tf_t.groupBy("doc_id")
-                .agg(F.first("dl").alias("dl"))
+                packed_t.select("doc_id", "dl")
                 .withColumn(
                     "shard",
                     (F.col("doc_id") / F.lit(self.docs_per_shard)).cast("int"),

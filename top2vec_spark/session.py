@@ -41,7 +41,16 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # v2 committer: task outputs move to the destination at task
+        # commit instead of a serial driver-side rename pass at job
+        # commit — the v1 rename loop is a hidden Amdahl term that
+        # caps multi-core scaling of write-heavy stages
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
     )
+    # shuffle/spill on tmpfs when available — the single-box analogue
+    # of per-node SSD scratch (disk ext4 serializes at high core counts)
+    if os.path.isdir("/dev/shm"):
+        builder = builder.config("spark.local.dir", "/dev/shm/spark-local")
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
