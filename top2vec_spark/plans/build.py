@@ -47,6 +47,7 @@ from top2vec_spark.operators.postings import (
     DEFAULT_DOCS_PER_SHARD,
     DEFAULT_N_BUCKETS,
     bucket_col,
+    build_postings_from_packed,
     build_postings_from_tf,
 )
 
@@ -148,7 +149,6 @@ class PostingsIndex:
 
         packed_new = doc_term_counts_packed(new_docs)
         packed_new.write.mode("append").parquet(f"{p}/tf")
-        tf_new = explode_packed_tf(packed_new)
 
         # merge vocab counts; stable term_ids for existing terms
         old_vocab = self.vocab
@@ -196,7 +196,7 @@ class PostingsIndex:
         # encode ONLY the new shards' postings and append
         vocab_t = spark.read.parquet(f"{p}/vocab")
         postings_new = build_postings_from_tf(
-            tf_new,
+            explode_packed_tf(packed_new),
             vocab_t,
             globs,
             cfg=cfg,
@@ -393,8 +393,14 @@ class IndexBuilder:
         globs = CorpusGlobals(n_docs=gj["n_docs"], avgdl=gj["avgdl"])
 
         if not (resume and self._done("postings")):
+            # JVM explode + repartition-by-(term,shard): Tungsten owns
+            # the 90M-row sort/shuffle. The alternative map-side-encode
+            # kernel (build_postings_from_packed) shuffles 30x fewer
+            # bytes but pays Arrow list<string> -> Python object
+            # materialization — a win on network-shuffle clusters, a
+            # loss on this single box (measured).
             postings = build_postings_from_tf(
-                tf_t,
+                explode_packed_tf(packed_t),
                 vocab_t,
                 globs,
                 cfg=self.cfg,
