@@ -1,0 +1,60 @@
+"""U2 tombstone deletes: queries skip deleted docs immediately;
+conservation invariant mirrors the reference suite
+(test_top2vec.py:183-205)."""
+
+from __future__ import annotations
+
+import pytest
+
+from top2vec_spark.operators.bm25 import resolve_query_terms
+from top2vec_spark.operators.tokens import assign_doc_ids
+from top2vec_spark.operators.wand import wand_topk
+from top2vec_spark.plans.build import IndexBuilder, PostingsIndex
+from top2vec_spark.sources.pages import generate_pages_pdf
+
+
+def test_tombstone_delete(spark, tmp_path):
+    pdf = generate_pages_pdf(200, seed=51)
+    docs = assign_doc_ids(spark.createDataFrame(pdf[["url", "text"]])).select(
+        "doc_id", "url", "text"
+    )
+    path = str(tmp_path / "didx")
+    idx = IndexBuilder(spark, path, docs_per_shard=64, n_buckets=8).build_from_docs(
+        docs, resume=False
+    )
+    vmap = {r["term"]: (r["term_id"], r["df"]) for r in idx.vocab.collect()}
+    q = resolve_query_terms(vmap, ["wa", "wb"], [])
+    before = wand_topk(spark, idx, q, idx.globs, 10).collect()
+    victims = [r["doc_id"] for r in before[:3]]
+
+    idx.delete_documents(victims)
+    after = wand_topk(spark, idx, q, idx.globs, 10).collect()
+    assert not (set(victims) & {r["doc_id"] for r in after})
+    assert len(after) == 10
+    # survivors keep their relative order and scores
+    surv_before = [(r["doc_id"], r["score"]) for r in before if r["doc_id"] not in victims]
+    assert [(r["doc_id"], r["score"]) for r in after[: len(surv_before)]] == surv_before
+
+    # idempotent + persisted across load
+    idx.delete_documents(victims)
+    loaded = PostingsIndex.load(spark, path)
+    assert set(victims) <= loaded.tombstones
+    again = wand_topk(spark, loaded, q, loaded.globs, 10).collect()
+    assert [r["doc_id"] for r in again] == [r["doc_id"] for r in after]
+
+
+def test_api_delete_with_index(spark, tmp_path):
+    from top2vec_spark import Top2VecSpark
+
+    pdf = generate_pages_pdf(150, seed=52)
+    docs = assign_doc_ids(spark.createDataFrame(pdf[["url", "text"]]))
+    eng = Top2VecSpark(spark, docs)
+    eng.build_index(str(tmp_path / "aidx"))
+    top = eng.search_documents_by_keywords(["wa"], 3, return_documents=False).collect()
+    gone = top[0]["doc_id"]
+    eng.delete_documents([gone])
+    res = eng.search_documents_by_keywords(["wa"], 3, return_documents=False).collect()
+    assert gone not in {r["doc_id"] for r in res}
+    assert eng.docs.filter(f"doc_id = {gone}").count() == 0
+    with pytest.raises(ValueError):
+        eng.delete_documents([10**9])

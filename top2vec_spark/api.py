@@ -405,10 +405,26 @@ class Top2VecSpark:
         )
 
     def delete_documents(self, doc_ids: Sequence[int]) -> "Top2VecSpark":
-        """Reference delete_documents (top2vec.py:2063-2122)."""
+        """Reference delete_documents (top2vec.py:2063-2122). With a
+        built index: tombstone marking (= hnswlib mark_deleted,
+        top2vec.py:2104-2110) — queries skip the docs immediately, no
+        partition rewrites; stats compact on next full rebuild (the
+        reference likewise does not retrain after deletes). The WAND
+        path is authoritative post-delete; forcing use_index=False
+        bypasses tombstones (like bypassing the reference's index).
+        Without an index: engine over the filtered corpus."""
+        self._validate_doc_ids(doc_ids)
+        if self._index is not None:
+            self._index.delete_documents(doc_ids)
+            self.docs = self.docs.filter(~F.col("doc_id").isin(list(doc_ids)))
+            return self
         remaining = self.docs.filter(~F.col("doc_id").isin(list(doc_ids)))
         return Top2VecSpark(
-            self.spark, remaining, cfg=self.cfg, keep_documents=self.keep_documents
+            self.spark,
+            remaining,
+            min_count=self.min_count,
+            cfg=self.cfg,
+            keep_documents=self.keep_documents,
         )
 
     # -- helpers ------------------------------------------------------------

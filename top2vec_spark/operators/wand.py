@@ -288,13 +288,18 @@ def wand_topk(
     blocks = index.postings.filter(
         F.col("bucket").isin(buckets) & F.col("term_id").isin(term_ids)
     )
+    # tombstoned docs (U2 deletes) are excluded exactly like
+    # query-side exclusions — skipped at scoring, never returned
+    exclude = frozenset(int(x) for x in exclude_doc_ids) | getattr(
+        index, "tombstones", frozenset()
+    )
     kernel = make_shard_kernel(
         qinfo,
         k,
         cfg.k1,
         cfg.b,
         globs.avgdl,
-        frozenset(int(x) for x in exclude_doc_ids),
+        exclude,
         index.doc_stats_path,
         fresh_stats=getattr(index, "stats_fresh", True),
     )

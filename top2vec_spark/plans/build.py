@@ -104,6 +104,36 @@ class PostingsIndex:
             stats_fresh=g.get("stats_fresh", True),
         )
 
+    # -- tombstone delete (U2, reference delete_documents
+    # top2vec.py:2063-2122 / hnswlib mark_deleted) ---------------------------
+    @property
+    def tombstones(self) -> frozenset[int]:
+        """doc_ids marked deleted. Mirrors the reference's ANN
+        mark_deleted semantics: postings keep the entries, queries
+        skip them; corpus stats keep pre-delete values until a
+        rebuild compacts (documented, matches the reference which
+        also does not retrain after deletes)."""
+        if not hasattr(self, "_tombstones"):
+            try:
+                rows = self.spark.read.parquet(f"{self.path}/tombstones").collect()
+                self._tombstones = frozenset(int(r["doc_id"]) for r in rows)
+            except Exception:
+                self._tombstones = frozenset()
+        return self._tombstones
+
+    def delete_documents(self, doc_ids) -> "PostingsIndex":
+        """Mark doc_ids deleted (idempotent append to the tombstone
+        table). O(len(doc_ids)) — no partition rewrites."""
+        ids = sorted({int(x) for x in doc_ids})
+        if not ids:
+            return self
+        self.spark.createDataFrame(
+            [(i,) for i in ids], "doc_id long"
+        ).write.mode("append").parquet(f"{self.path}/tombstones")
+        if hasattr(self, "_tombstones"):
+            del self._tombstones
+        return self
+
     # -- incremental append (U1, reference add_documents
     # top2vec.py:1960-2061) ------------------------------------------------
     def next_doc_id(self) -> int:
