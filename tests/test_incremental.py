@@ -111,3 +111,41 @@ def test_api_add_documents_incremental(spark, corpora, tmp_path):
     assert len(res) == 5
     scores = [r["score"] for r in res]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_append_is_o_batch_and_idempotent(spark, corpora, tmp_path):
+    """(a) append never re-reads the base tf history: deleting
+    {path}/tf after the build must not break an append (O(batch)
+    proof). (b) replaying the same epoch is a no-op (exactly-once for
+    foreachBatch retries)."""
+    import shutil
+
+    base, new = corpora
+    p = str(tmp_path / "obatch")
+    idx = IndexBuilder(
+        spark, p, docs_per_shard=128, n_buckets=8
+    ).build_from_docs(base, resume=False)
+    lo = idx.next_doc_id()
+    shifted = new.withColumn(
+        "doc_id", (F.col("doc_id") + F.lit(lo)).cast("long")
+    ).cache()
+    shifted.count()
+
+    shutil.rmtree(f"{p}/tf")  # base history gone: append must not care
+    idx2 = idx.append_documents(shifted, epoch_id="ep1")
+    assert idx2.globs.n_docs == 450
+
+    # replay the SAME epoch: no-op, stats unchanged
+    idx3 = idx2.append_documents(shifted, epoch_id="ep1")
+    assert idx3.globs.n_docs == 450
+    assert idx3.globs.sum_dl == idx2.globs.sum_dl
+    # postings not duplicated: total emitted rows for one head term
+    n_blocks_2 = idx2.postings.count()
+    n_blocks_3 = idx3.postings.count()
+    assert n_blocks_2 == n_blocks_3
+
+    # queries still serve correctly after the replay
+    vmap = {r["term"]: (r["term_id"], r["df"]) for r in idx3.vocab.collect()}
+    q = resolve_query_terms(vmap, ["wa"], [])
+    got = wand_topk(spark, idx3, q, idx3.globs, 5).collect()
+    assert len(got) == 5

@@ -74,7 +74,7 @@ def test_stream_appends_match_batch(spark, tmp_path):
     # df conservation: vocab df equals docs-per-term over the union
     from top2vec_spark.operators.tokens import explode_packed_tf
 
-    total_tf = explode_packed_tf(final.spark.read.parquet(f"{final.path}/tf"))
+    total_tf = explode_packed_tf(final.packed_tf)
     df_check = {
         r["term"]: r["cnt"]
         for r in total_tf.groupBy("term")

@@ -123,3 +123,40 @@ def test_api_uses_wand_after_build(spark, tmp_path):
     ).collect()
     assert [r["doc_id"] for r in wand] == [r["doc_id"] for r in brute]
     assert [r["score"] for r in wand] == [r["score"] for r in brute]
+
+
+def test_wand_negative_only_docs(spark, tmp_path):
+    """Adversarial regression (round-1 advice): when fewer than k docs
+    score positively, documents matching ONLY negative keywords can
+    still belong in the top-k (their negative score beats the more
+    negative positive-matching docs). WAND must enumerate negative
+    blocks as candidate sources once theta <= 0 — exactly like brute
+    force ranks them."""
+    rows = []
+    # 12 docs with one 'pos' drowned in 'neg' -> strongly negative net
+    for i in range(12):
+        rows.append((i, "pos " + "neg " * (60 + i) + "filler common"))
+    # 4 long docs with a single 'neg' -> mildly negative (rank higher)
+    for i in range(4):
+        rows.append((12 + i, "neg common filler " + "pad " * (35 + i)))
+    # 30 docs with neither query term: keep idf(neg) meaningful
+    for i in range(30):
+        rows.append((16 + i, "common filler pad extra words"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    tokens = tokenize_docs(docs).cache()
+    vocab = build_vocab(tokens).cache()
+    ds = build_doc_stats(tokens).cache()
+    g = compute_globals(ds)
+    index = IndexBuilder(
+        spark, str(tmp_path / "negidx"), docs_per_shard=8, n_buckets=4,
+        block_size=4,
+    ).build(tokens, resume=False)
+
+    w = term_weights(spark, vocab, ["pos"], ["neg"])
+    brute = bm25_topk_bruteforce(tokens, ds, g, w, 10).collect()
+    wand = wand_topk(spark, index, w, g, 10).collect()
+    # neg-only docs must appear (they are the least-negative scores)
+    assert {12, 13, 14, 15} <= {r["doc_id"] for r in brute}
+    assert [r["doc_id"] for r in wand] == [r["doc_id"] for r in brute]
+    for a, b in zip(wand, brute):
+        assert a["score"] == b["score"]

@@ -53,6 +53,8 @@ def build_doc_stats(tokens: DataFrame) -> DataFrame:
 class CorpusGlobals:
     n_docs: int
     avgdl: float
+    sum_dl: int = 0  # exact token total; lets appends update avgdl
+    #                  bit-identically to a full recompute
 
 
 def compute_globals(doc_stats: DataFrame) -> CorpusGlobals:
@@ -62,8 +64,11 @@ def compute_globals(doc_stats: DataFrame) -> CorpusGlobals:
     no tokens rows, hence dl undefined); the brute scorer and WAND use
     the same N so ranks are consistent. Exact df/N required — BM25
     score-identity forbids approx_count_distinct (SURVEY.md A8).
-    """
+    avgdl is derived from the EXACT long sum (not a float-accumulated
+    avg), so incremental appends reproduce it bit-identically by
+    adding the new batch's exact dl sum (plans/build.py)."""
     row = doc_stats.agg(
-        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")
     ).collect()[0]
-    return CorpusGlobals(n_docs=int(row["n"]), avgdl=float(row["avgdl"]))
+    n, s = int(row["n"]), int(row["s"] or 0)
+    return CorpusGlobals(n_docs=n, avgdl=s / n if n else 0.0, sum_dl=s)

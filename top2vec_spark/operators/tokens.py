@@ -125,21 +125,56 @@ def doc_term_counts(
 
 
 def assign_doc_ids(pages: DataFrame, url_col: str = "url") -> DataFrame:
-    """Deterministic dense doc_id (0..n-1) by url sort order.
+    """Deterministic dense doc_id (0..n-1) by url sort order — JVM-only.
 
     Replaces the reference's implicit ``range(0, n)`` ids and
     ``doc_id2index`` dict (top2vec.py:524-528). A global
-    ``row_number`` over url is a single-partition window — fine for
-    fixtures, NOT for 10^12 rows; at scale we use
-    ``zipWithIndex``-style two-phase numbering: per-partition counts
-    collected (tiny), then offset + local rank. Implemented the
-    scalable way here.
+    ``row_number`` over url would be a single-partition window — fine
+    for fixtures, NOT for 10^12 rows. Two-phase numbering instead:
+
+    1. range-partition by url (equal keys co-locate; partition p holds
+       a contiguous url range, so global order = partition order) and
+       sort within partitions;
+    2. count rows per partition (tiny collect), prefix-sum into
+       per-partition offsets;
+    3. doc_id = offset[partition] + (local row_number - 1), the local
+       window running per partition — no single-partition stage.
+
+    Everything stays JVM-side (whole-stage codegen; no RDD/Python
+    round-trip of the corpus — the old ``rdd.zipWithIndex`` variant
+    pickled every row out to Python and back). The repartitioned frame
+    is persisted for the duration of the two jobs so the count job and
+    the numbering job see identical partitioning (range sampling is
+    seeded per-plan; persistence removes any recompute ambiguity).
     """
-    # Two-phase dense numbering: range-partition by url (global order
-    # preserved across partition boundaries), sort within partitions,
-    # then zipWithIndex (one count job + local offsets — no global
-    # single-partition window).
-    parts = pages.repartitionByRange(F.col(url_col)).sortWithinPartitions(url_col)
-    schema = parts.schema.add("doc_id", "long", False)
-    indexed = parts.rdd.zipWithIndex().map(lambda t: (*t[0], t[1]))
-    return pages.sparkSession.createDataFrame(indexed, schema)
+    from pyspark import StorageLevel
+    from pyspark.sql import Window as W
+
+    parts = (
+        pages.repartitionByRange(F.col(url_col))
+        .sortWithinPartitions(url_col)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    counts = sorted(
+        (r["_pid"], r["cnt"])
+        for r in parts.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    )
+    offsets, acc = {}, 0
+    for pid, cnt in counts:
+        offsets[pid] = acc
+        acc += cnt
+    spark = pages.sparkSession
+    off_df = spark.createDataFrame(
+        [(int(pid), int(off)) for pid, off in offsets.items()],
+        "_pid int, _off long",
+    )
+    w = W.partitionBy("_pid").orderBy(url_col)
+    return (
+        parts.join(F.broadcast(off_df), "_pid")
+        .withColumn(
+            "doc_id",
+            (F.row_number().over(w) - F.lit(1) + F.col("_off")).cast("long"),
+        )
+        .drop("_pid", "_off")
+    )

@@ -54,8 +54,10 @@ _SEED_BLOCKS = 4  # blocks fully scored to seed the pruning threshold
 
 # dl sidecar cache: Spark reuses Python workers across queries
 # (spark.python.worker.reuse), so warm queries skip the per-shard
-# parquet read. Keyed by (stats_path, shard); appends create NEW
-# shards, so existing entries never go stale.
+# parquet read. Keyed by (stats_path, build_id, shard): appends create
+# NEW shards (existing entries stay valid), and a full REBUILD at the
+# same path gets a fresh build_id, so stale doc lengths from a prior
+# corpus can never serve a rebuilt index.
 _DL_CACHE: dict = {}
 
 
@@ -72,6 +74,7 @@ def make_shard_kernel(
     exclude: frozenset[int],
     stats_path: str,
     fresh_stats: bool = True,
+    build_id: str = "",
 ):
     """Build the per-shard kernel. qinfo: term_id -> (sign, idf).
     ``stats_path`` is the shard-partitioned doc_stats parquet dir; the
@@ -92,7 +95,8 @@ def make_shard_kernel(
         if blocks_pdf.empty:
             return empty
         shard = int(blocks_pdf["shard"].iloc[0])
-        cached = _DL_CACHE.get((stats_path, shard))
+        cache_key = (stats_path, build_id, shard)
+        cached = _DL_CACHE.get(cache_key)
         if cached is None:
             stats_pdf = pd.read_parquet(
                 f"{stats_path}/shard={shard}", columns=["doc_id", "dl"]
@@ -106,7 +110,7 @@ def make_shard_kernel(
             s_dl = stats_pdf["dl"].to_numpy().astype(np.float64)[s_order]
             if len(_DL_CACHE) > 256:
                 _DL_CACHE.clear()
-            _DL_CACHE[(stats_path, shard)] = (s_ids, s_dl)
+            _DL_CACHE[cache_key] = (s_ids, s_dl)
         else:
             s_ids, s_dl = cached
 
@@ -202,8 +206,15 @@ def make_shard_kernel(
         # events at block boundaries; UB(d) = Σ_t blockmax of t's block
         # covering d (0 where no block covers)
         surviving: list[tuple[int, int]] = []  # (tid, block_idx)
-        if theta == -math.inf:
-            # no pruning possible: take every block of every term
+        if theta <= 0:
+            # No pruning possible. theta == -inf: fewer than k seed
+            # docs. theta <= 0 finite: every positive region is hot
+            # (positive block maxima are >= 0 >= theta), AND docs
+            # matching ONLY negative terms (score < 0, upper bound 0)
+            # may still belong in the top-k — the positive-term step
+            # function cannot see them, so negative-term blocks must
+            # be candidate sources too. Take every block of every
+            # term (still exact; just no skipping this query).
             for tid, t in terms.items():
                 surviving += [(tid, j) for j in range(t["firsts"].size)]
         else:
@@ -302,6 +313,7 @@ def wand_topk(
         exclude,
         index.doc_stats_path,
         fresh_stats=getattr(index, "stats_fresh", True),
+        build_id=getattr(index, "build_id", ""),
     )
     per_shard = blocks.groupBy("shard").applyInPandas(
         lambda pdf: kernel(pdf), "doc_id long, score double"

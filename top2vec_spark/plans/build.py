@@ -8,11 +8,16 @@ The index IS tables (no joblib blob like reference top2vec.py:939):
                          operators/tokens.doc_term_counts); vocab,
                          doc_stats and postings all derive from it, so
                          the expensive text scan happens exactly once
-    {path}/vocab/        term, term_id, df, cf
+    {path}/vocab/        term, term_id, df, cf (appends publish new
+                         versions vocab_v_<epoch> + atomic pointer
+                         flip in globals.json)
     {path}/doc_stats/    partitioned by shard -> doc_id, dl (the dl
                          sidecar WAND kernels side-read per shard)
-    {path}/postings/     partitioned by bucket=pmod(term_id, n_buckets)
-                         -> compressed block rows (operators/postings.py)
+    {path}/postings/     partitioned by (bucket=pmod(term_id,
+                         n_buckets), epoch) -> compressed block rows
+                         (operators/postings.py); base build = epoch
+                         "base", each append its own epoch dir
+    {path}/tf_appends/   per-epoch packed tf of incremental appends
     {path}/manifest/     partition_id, docs_tokenized, postings_emitted,
                          bytes_compressed, checkpoint_path, lineage
     {path}/globals.json  n_docs, avgdl, docs_per_shard, n_buckets, k1, b
@@ -52,6 +57,16 @@ from top2vec_spark.operators.postings import (
 )
 
 
+def _atomic_json(path: str, obj: dict) -> None:
+    """Atomic publish for small metadata files: write a temp sibling,
+    then os.replace (atomic on POSIX) — readers never observe a
+    partial/destroyed file even if the writer dies mid-publish."""
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(obj, f)
+    os.replace(tmp, path)
+
+
 @dataclass
 class PostingsIndex:
     spark: SparkSession
@@ -60,6 +75,8 @@ class PostingsIndex:
     docs_per_shard: int
     n_buckets: int
     stats_fresh: bool = True  # False after appends shift N/avgdl/df
+    build_id: str = ""  # fresh per full build; keys worker-side caches
+    vocab_dir: str = "vocab"  # current vocab version (appends flip it)
     _postings: DataFrame = None
 
     @property
@@ -77,7 +94,7 @@ class PostingsIndex:
 
     @property
     def vocab(self) -> DataFrame:
-        return self.spark.read.parquet(f"{self.path}/vocab")
+        return self.spark.read.parquet(f"{self.path}/{self.vocab_dir}")
 
     @property
     def doc_stats(self) -> DataFrame:
@@ -91,6 +108,19 @@ class PostingsIndex:
     def manifest(self) -> DataFrame:
         return self.spark.read.parquet(f"{self.path}/manifest")
 
+    @property
+    def packed_tf(self) -> DataFrame:
+        """The complete packed tf lineage: the base build's tf plus
+        every applied append epoch's staged tf (epochs are recorded in
+        globals.json at publish time, so a crashed half-applied epoch
+        is never included)."""
+        with open(f"{self.path}/globals.json") as f:
+            eps = json.load(f).get("appends", [])
+        paths = [f"{self.path}/tf"] + [
+            f"{self.path}/tf_appends/{e}" for e in eps
+        ]
+        return self.spark.read.parquet(*paths)
+
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "PostingsIndex":
         with open(f"{path}/globals.json") as f:
@@ -98,10 +128,16 @@ class PostingsIndex:
         return cls(
             spark=spark,
             path=path,
-            globs=CorpusGlobals(n_docs=g["n_docs"], avgdl=g["avgdl"]),
+            globs=CorpusGlobals(
+                n_docs=g["n_docs"],
+                avgdl=g["avgdl"],
+                sum_dl=g.get("sum_dl", round(g["avgdl"] * g["n_docs"])),
+            ),
             docs_per_shard=g["docs_per_shard"],
             n_buckets=g["n_buckets"],
             stats_fresh=g.get("stats_fresh", True),
+            build_id=g.get("build_id", ""),
+            vocab_dir=g.get("vocab_dir", "vocab"),
         )
 
     # -- tombstone delete (U2, reference delete_documents
@@ -114,10 +150,11 @@ class PostingsIndex:
         rebuild compacts (documented, matches the reference which
         also does not retrain after deletes)."""
         if not hasattr(self, "_tombstones"):
-            try:
-                rows = self.spark.read.parquet(f"{self.path}/tombstones").collect()
+            tpath = f"{self.path}/tombstones"
+            if os.path.isdir(tpath):
+                rows = self.spark.read.parquet(tpath).collect()
                 self._tombstones = frozenset(int(r["doc_id"]) for r in rows)
-            except Exception:
+            else:  # no probe-by-exception: keeps logs clean
                 self._tombstones = frozenset()
         return self._tombstones
 
@@ -146,19 +183,58 @@ class PostingsIndex:
         dps = self.docs_per_shard
         return ((hi + dps - 1) // dps) * dps
 
-    def append_documents(self, new_docs: DataFrame, cfg=None) -> "PostingsIndex":
+    def epoch_base_doc_id(self, epoch_id) -> int:
+        """Stable first doc_id for a named append epoch: recorded in a
+        marker on first call, replayed from it afterwards — so a
+        foreachBatch retry of the same epoch reuses the SAME id range
+        even if a previous attempt already appended doc_stats (which
+        would otherwise advance next_doc_id and duplicate the batch
+        under fresh ids)."""
+        os.makedirs(f"{self.path}/_appends", exist_ok=True)
+        m = f"{self.path}/_appends/{epoch_id}.base.json"
+        if os.path.exists(m):
+            with open(m) as f:
+                return int(json.load(f)["base_doc_id"])
+        lo = self.next_doc_id()
+        _atomic_json(m, {"base_doc_id": lo})
+        return lo
+
+    def append_documents(
+        self, new_docs: DataFrame, cfg=None, epoch_id=None
+    ) -> "PostingsIndex":
         """Incremental index append: tokenize ONLY the new docs, write
         their tf/doc_stats/postings into new shard partitions, merge
-        vocabulary counts (existing term_ids stay stable — new terms
-        get ids after the old max, a documented deviation from the
-        fresh-build df-ordering so bucket pruning keeps working), and
-        refresh globals. Marks stats_fresh=False: WAND switches to
-        stat-independent (block_max_tf, block_min_dl) pruning bounds;
-        exact scores are always computed under CURRENT globals, so
-        query results equal a full rebuild's (pytest-pinned).
+        the new batch's term counts into the stored vocabulary
+        (existing term_ids stay stable — new terms get ids after the
+        old max, a documented deviation from the fresh-build
+        df-ordering so bucket pruning keeps working), and update
+        globals EXACTLY (old sum_dl + new batch's long sum — identical
+        to a full recompute). Marks stats_fresh=False: WAND switches
+        to stat-independent (block_max_tf, block_min_dl) pruning
+        bounds; exact scores are always computed under CURRENT
+        globals, so query results equal a full rebuild's
+        (pytest-pinned).
+
+        Cost is O(new batch): nothing re-reads the existing tf/vocab
+        history beyond one broadcast-sized vocab merge join.
+
+        Crash safety / idempotency (per-epoch staging):
+        - ``epoch_id`` names the append (streaming passes the batch
+          id; default is a fresh timestamp = apply-once semantics).
+        - A replayed epoch whose ``.done`` marker exists is a no-op
+          (exactly-once per micro-batch under foreachBatch retries).
+        - Each sub-step is individually resumable: the new packed tf
+          lands in an epoch-private dir (overwrite = idempotent
+          retry), doc_stats/postings use dynamic-partition OVERWRITE
+          of the epoch's own partitions (appends only ever create new
+          doc-shards, and postings carry an epoch partition column),
+          and the vocab is published as a new versioned directory with
+          an atomic pointer flip in globals.json — a crash at any
+          point leaves the live index readable and the retry
+          converges to the same state.
 
         ``new_docs`` must carry doc_id >= next_doc_id() (use
-        assign-then-offset) and a text column.
+        epoch_base_doc_id / assign-then-offset) and a text column.
         """
         from top2vec_spark.config import BM25Config
         from top2vec_spark.operators.tokens import (
@@ -169,84 +245,151 @@ class PostingsIndex:
         cfg = cfg or BM25Config()
         p = self.path
         spark = self.spark
+        ep = str(epoch_id) if epoch_id is not None else f"t{time.time_ns()}"
+        adir = f"{p}/_appends"
+        os.makedirs(adir, exist_ok=True)
+        if os.path.exists(f"{adir}/{ep}.done.json"):
+            return PostingsIndex.load(spark, p)  # epoch already applied
 
-        lo = self.next_doc_id()
-        bad = new_docs.filter(F.col("doc_id") < lo).limit(1).count()
-        if bad:
-            raise ValueError(
-                f"appended doc_ids must be >= {lo} (next shard boundary)"
+        def sub_done(name: str) -> bool:
+            return os.path.exists(f"{adir}/{ep}.{name}.json")
+
+        def sub_mark(name: str, **metrics) -> None:
+            _atomic_json(f"{adir}/{ep}.{name}.json", {"epoch": ep, **metrics})
+
+        def sub_read(name: str) -> dict:
+            with open(f"{adir}/{ep}.{name}.json") as f:
+                return json.load(f)
+
+        tf_dir = f"{p}/tf_appends/{ep}"
+        if not sub_done("tf"):
+            # validate only on the first attempt: a retry after the
+            # doc_stats sub-step would see an advanced next_doc_id
+            lo = self.next_doc_id()
+            bad = new_docs.filter(F.col("doc_id") < lo).limit(1).count()
+            if bad:
+                raise ValueError(
+                    f"appended doc_ids must be >= {lo} (next shard boundary)"
+                )
+            doc_term_counts_packed(new_docs).write.mode("overwrite").parquet(
+                tf_dir
             )
+            sub_mark("tf")
+        packed_new = spark.read.parquet(tf_dir)
 
-        packed_new = doc_term_counts_packed(new_docs)
-        packed_new.write.mode("append").parquet(f"{p}/tf")
+        # merge ONLY the new batch's counts into the stored vocab
+        # (never re-aggregates tf history — O(batch), not O(corpus))
+        vocab_dir_new = f"vocab_v_{ep}"
+        if not sub_done("vocab"):
+            from pyspark.sql import Window as W
 
-        # merge vocab counts; stable term_ids for existing terms
-        old_vocab = self.vocab
-        new_counts = (
-            explode_packed_tf(spark.read.parquet(f"{p}/tf"))
-            .groupBy("term")
-            .agg(F.sum("tf").alias("cf"), F.count(F.lit(1)).alias("df"))
-        )
-        from pyspark.sql import Window as W
-
-        max_id = old_vocab.agg(F.max("term_id")).collect()[0][0] or 0
-        joined = new_counts.join(
-            old_vocab.select("term", "term_id"), "term", "left"
-        )
-        w = W.orderBy(F.col("df").desc(), F.col("term").asc())
-        merged = joined.withColumn(
-            "term_id",
-            F.coalesce(
-                F.col("term_id"),
-                (F.row_number().over(w) + F.lit(int(max_id))).cast("long"),
-            ),
-        ).select("term", "term_id", "df", "cf")
-        merged.write.mode("overwrite").parquet(f"{p}/vocab_new")
-        spark.read.parquet(f"{p}/vocab_new").write.mode("overwrite").parquet(
-            f"{p}/vocab"
-        )
-
-        # new doc_stats shards (append: only new shard partitions)
-        (
-            packed_new.select("doc_id", "dl")
-            .withColumn(
-                "shard", (F.col("doc_id") / F.lit(self.docs_per_shard)).cast("int")
+            old_vocab = self.vocab
+            max_id = old_vocab.agg(F.max("term_id")).collect()[0][0] or 0
+            new_counts = (
+                explode_packed_tf(packed_new)
+                .groupBy("term")
+                .agg(
+                    F.sum("tf").alias("cf_new"),
+                    F.count(F.lit(1)).alias("df_new"),
+                )
             )
-            .repartition("shard")
-            .write.mode("append")
-            .partitionBy("shard")
-            .parquet(f"{p}/doc_stats")
+            joined = old_vocab.join(new_counts, "term", "full_outer")
+            w = W.orderBy(F.col("df").desc(), F.col("term").asc())
+            merged = (
+                joined.select(
+                    "term",
+                    "term_id",
+                    (
+                        F.coalesce(F.col("df"), F.lit(0))
+                        + F.coalesce(F.col("df_new"), F.lit(0))
+                    ).alias("df"),
+                    (
+                        F.coalesce(F.col("cf"), F.lit(0))
+                        + F.coalesce(F.col("cf_new"), F.lit(0))
+                    ).alias("cf"),
+                )
+                .withColumn(
+                    "term_id",
+                    F.coalesce(
+                        F.col("term_id"),
+                        (F.row_number().over(w) + F.lit(int(max_id))).cast(
+                            "long"
+                        ),
+                    ),
+                )
+                .select("term", "term_id", "df", "cf")
+            )
+            merged.write.mode("overwrite").parquet(f"{p}/{vocab_dir_new}")
+            sub_mark("vocab")
+        vocab_t = spark.read.parquet(f"{p}/{vocab_dir_new}")
+
+        # new doc_stats shards: dynamic-partition overwrite touches
+        # ONLY the epoch's (new) shard dirs — idempotent on retry
+        if not sub_done("doc_stats"):
+            agg = packed_new.agg(
+                F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")
+            ).collect()[0]
+            self._overwrite_partitions(
+                packed_new.select("doc_id", "dl")
+                .withColumn(
+                    "shard",
+                    (F.col("doc_id") / F.lit(self.docs_per_shard)).cast("int"),
+                )
+                .repartition("shard"),
+                ["shard"],
+                f"{p}/doc_stats",
+            )
+            sub_mark(
+                "doc_stats", n_new=int(agg["n"]), sum_dl_new=int(agg["s"] or 0)
+            )
+        dsm = sub_read("doc_stats")
+
+        # exact incremental globals (== full recompute: long sums)
+        n_docs = self.globs.n_docs + int(dsm["n_new"])
+        sum_dl = self.globs.sum_dl + int(dsm["sum_dl_new"])
+        globs = CorpusGlobals(
+            n_docs=n_docs,
+            avgdl=sum_dl / n_docs if n_docs else 0.0,
+            sum_dl=sum_dl,
         )
 
-        # refresh globals (exact scoring uses these; bounds go
-        # stat-independent via stats_fresh=False)
-        ds = spark.read.parquet(f"{p}/doc_stats").select("doc_id", "dl")
-        globs = compute_globals(ds)
+        # encode ONLY the new shards' postings into the epoch's own
+        # (bucket, epoch) partitions — dynamic overwrite = idempotent
+        if not sub_done("postings"):
+            postings_new = (
+                build_postings_from_tf(
+                    explode_packed_tf(packed_new),
+                    vocab_t,
+                    globs,
+                    cfg=cfg,
+                    docs_per_shard=self.docs_per_shard,
+                    block_size=POSTING_BLOCK_SIZE,
+                )
+                .withColumn("bucket", bucket_col("term_id", self.n_buckets))
+                .withColumn("epoch", F.lit(f"ep_{ep}"))
+            )
+            self._overwrite_partitions(
+                postings_new.repartition("bucket"),
+                ["bucket", "epoch"],
+                f"{p}/postings",
+            )
+            sub_mark("postings")
 
-        # encode ONLY the new shards' postings and append
-        vocab_t = spark.read.parquet(f"{p}/vocab")
-        postings_new = build_postings_from_tf(
-            explode_packed_tf(packed_new),
-            vocab_t,
-            globs,
-            cfg=cfg,
-            docs_per_shard=self.docs_per_shard,
-            block_size=POSTING_BLOCK_SIZE,
-        ).withColumn("bucket", bucket_col("term_id", self.n_buckets))
-        (
-            postings_new.repartition("bucket")
-            .write.mode("append")
-            .partitionBy("bucket")
-            .parquet(f"{p}/postings")
-        )
-
+        # atomic publish: flip vocab pointer + stats in one rename
         with open(f"{p}/globals.json") as f:
             gj = json.load(f)
         gj.update(
-            {"n_docs": globs.n_docs, "avgdl": globs.avgdl, "stats_fresh": False}
+            {
+                "n_docs": globs.n_docs,
+                "avgdl": globs.avgdl,
+                "sum_dl": globs.sum_dl,
+                "stats_fresh": False,
+                "vocab_dir": vocab_dir_new,
+                "appends": gj.get("appends", []) + [ep],
+            }
         )
-        with open(f"{p}/globals.json", "w") as f:
-            json.dump(gj, f)
+        _atomic_json(f"{p}/globals.json", gj)
+        sub_mark("done")
 
         return PostingsIndex(
             spark=spark,
@@ -255,7 +398,24 @@ class PostingsIndex:
             docs_per_shard=self.docs_per_shard,
             n_buckets=self.n_buckets,
             stats_fresh=False,
+            build_id=gj.get("build_id", ""),
+            vocab_dir=vocab_dir_new,
         )
+
+    def _overwrite_partitions(
+        self, df: DataFrame, part_cols: list, path: str
+    ) -> None:
+        """mode=overwrite under dynamic partitionOverwriteMode:
+        replaces exactly the partitions present in ``df`` (retry-safe
+        append of brand-new partitions), leaving all others intact."""
+        conf = self.spark.conf
+        key = "spark.sql.sources.partitionOverwriteMode"
+        prev = conf.get(key, "static")
+        conf.set(key, "dynamic")
+        try:
+            df.write.mode("overwrite").partitionBy(*part_cols).parquet(path)
+        finally:
+            conf.set(key, prev)
 
 
 class IndexBuilder:
@@ -267,7 +427,12 @@ class IndexBuilder:
         docs_per_shard: int = DEFAULT_DOCS_PER_SHARD,
         n_buckets: int = DEFAULT_N_BUCKETS,
         block_size: int = POSTING_BLOCK_SIZE,
+        input_fingerprint: str | None = None,
     ) -> None:
+        """``input_fingerprint``: an identity of the INPUT DATA (e.g.
+        row count + xxhash64 aggregate, or source file mtimes). Folded
+        into the stage fingerprint so ``resume=True`` can never reuse
+        an index built from different data at the same path."""
         if not path:
             raise ValueError("IndexBuilder requires an index path")
         self.spark = spark
@@ -276,6 +441,7 @@ class IndexBuilder:
         self.docs_per_shard = docs_per_shard
         self.n_buckets = n_buckets
         self.block_size = block_size
+        self.input_fingerprint = input_fingerprint
         os.makedirs(f"{path}/_stages", exist_ok=True)
 
     # -- stage markers -------------------------------------------------------
@@ -286,7 +452,8 @@ class IndexBuilder:
             "docs_per_shard": self.docs_per_shard,
             "n_buckets": self.n_buckets,
             "block_size": self.block_size,
-            "tf_format": "packed-v2",  # invalidates pre-packed indexes
+            "layout": "epoch-v3",  # invalidates pre-epoch-layout indexes
+            "input": self.input_fingerprint,
         }
 
     def _marker(self, stage: str) -> str:
@@ -404,23 +571,31 @@ class IndexBuilder:
 
         if not (resume and self._done("globals")):
             g = compute_globals(ds_t)
-            with open(f"{p}/globals.json", "w") as f:
-                json.dump(
-                    {
-                        "n_docs": g.n_docs,
-                        "avgdl": g.avgdl,
-                        "docs_per_shard": self.docs_per_shard,
-                        "n_buckets": self.n_buckets,
-                        "block_size": self.block_size,
-                        "k1": self.cfg.k1,
-                        "b": self.cfg.b,
-                    },
-                    f,
-                )
+            _atomic_json(
+                f"{p}/globals.json",
+                {
+                    "n_docs": g.n_docs,
+                    "avgdl": g.avgdl,
+                    "sum_dl": g.sum_dl,
+                    "docs_per_shard": self.docs_per_shard,
+                    "n_buckets": self.n_buckets,
+                    "block_size": self.block_size,
+                    "k1": self.cfg.k1,
+                    "b": self.cfg.b,
+                    # fresh per build: keys worker-side dl caches so a
+                    # rebuild at the same path never serves stale stats
+                    "build_id": f"b{time.time_ns()}",
+                    "vocab_dir": "vocab",
+                },
+            )
             self._mark("globals")
         with open(f"{p}/globals.json") as f:
             gj = json.load(f)
-        globs = CorpusGlobals(n_docs=gj["n_docs"], avgdl=gj["avgdl"])
+        globs = CorpusGlobals(
+            n_docs=gj["n_docs"],
+            avgdl=gj["avgdl"],
+            sum_dl=gj.get("sum_dl", round(gj["avgdl"] * gj["n_docs"])),
+        )
 
         if not (resume and self._done("postings")):
             # JVM explode + repartition-by-(term,shard): Tungsten owns
@@ -429,18 +604,26 @@ class IndexBuilder:
             # bytes but pays Arrow list<string> -> Python object
             # materialization — a win on network-shuffle clusters, a
             # loss on this single box (measured).
-            postings = build_postings_from_tf(
-                explode_packed_tf(packed_t),
-                vocab_t,
-                globs,
-                cfg=self.cfg,
-                docs_per_shard=self.docs_per_shard,
-                block_size=self.block_size,
-            ).withColumn("bucket", bucket_col("term_id", self.n_buckets))
+            postings = (
+                build_postings_from_tf(
+                    explode_packed_tf(packed_t),
+                    vocab_t,
+                    globs,
+                    cfg=self.cfg,
+                    docs_per_shard=self.docs_per_shard,
+                    block_size=self.block_size,
+                )
+                .withColumn("bucket", bucket_col("term_id", self.n_buckets))
+                # epoch partition column: the base build is epoch
+                # "base"; each incremental append writes its own
+                # (bucket, epoch=ep_*) dirs, so append retries can
+                # dynamic-overwrite ONLY their epoch (crash-safe)
+                .withColumn("epoch", F.lit("base"))
+            )
             (
                 postings.repartition("bucket")
                 .write.mode("overwrite")
-                .partitionBy("bucket")
+                .partitionBy("bucket", "epoch")
                 .parquet(f"{p}/postings")
             )
             self._mark("postings")
@@ -455,6 +638,9 @@ class IndexBuilder:
             globs=globs,
             docs_per_shard=self.docs_per_shard,
             n_buckets=self.n_buckets,
+            stats_fresh=gj.get("stats_fresh", True),
+            build_id=gj.get("build_id", ""),
+            vocab_dir=gj.get("vocab_dir", "vocab"),
         )
 
     def _write_manifest(self, globs: CorpusGlobals) -> None:

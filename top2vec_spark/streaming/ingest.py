@@ -41,7 +41,12 @@ class StreamingIndexer:
     def _apply_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        lo = self.index.next_doc_id()
+        # epoch-stable base id + epoch-keyed append: a foreachBatch
+        # RETRY of the same epoch reuses the same id range and hits the
+        # append's idempotent per-epoch staging (plans/build.py) — a
+        # replayed batch is a no-op once its .done marker exists, so
+        # the "exactly-once per batch" contract holds across restarts.
+        lo = self.index.epoch_base_doc_id(epoch_id)
         from pyspark.sql import Window as W
         from pyspark.sql.functions import row_number
 
@@ -51,7 +56,7 @@ class StreamingIndexer:
         docs = batch_df.withColumn(
             "doc_id", (row_number().over(w) - 1 + F.lit(lo)).cast("long")
         ).select("doc_id", F.col(self.text_col).alias("text"))
-        self.index = self.index.append_documents(docs)
+        self.index = self.index.append_documents(docs, epoch_id=epoch_id)
         self.batches_applied += 1
 
     def start(
