@@ -107,6 +107,19 @@ def _bm25_query(pos: list[str], neg: list[str], k: int):
     return run
 
 
+def _input_fingerprint(docs: DataFrame) -> str:
+    """Cheap content identity of the input corpus (row count + exact
+    xxhash64 sum): folded into the index resume markers so regenerated
+    parquet at the same path invalidates a cached index instead of
+    silently serving answers from the wrong corpus."""
+    r = docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        # bit_xor: order-insensitive and overflow-free (ANSI-safe)
+        F.expr("bit_xor(xxhash64(doc_id, text))").alias("h"),
+    ).collect()[0]
+    return f"{r['n']}:{r['h']}"
+
+
 def _bm25_wand_query(pos: list[str], neg: list[str], k: int):
     """Same contract as _bm25_query but answered by the compressed
     posting index + block-max WAND (operators/wand.py) — proves the
@@ -118,13 +131,19 @@ def _bm25_wand_query(pos: list[str], neg: list[str], k: int):
         from top2vec_spark.operators.wand import wand_topk
         from top2vec_spark.plans.build import IndexBuilder
 
-        tokens = tokenize_docs(_docs(spark, sf_dir), ascii_fast_path=True).cache()
+        docs = _docs(spark, sf_dir)
+        tokens = tokenize_docs(docs, ascii_fast_path=True).cache()
         vocab = build_vocab(tokens)
         ds = build_doc_stats(tokens)
-        # deterministic path + resume=True => the build is a cache
+        # deterministic path + resume=True => the build is a cache;
+        # the input fingerprint invalidates it if the data changed
         tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
         index = IndexBuilder(
-            spark, f"/tmp/t2v_entry_idx_{tag}", docs_per_shard=256, n_buckets=16
+            spark,
+            f"/tmp/t2v_entry_idx_{tag}",
+            docs_per_shard=256,
+            n_buckets=16,
+            input_fingerprint=_input_fingerprint(docs),
         ).build(tokens, vocab, ds, resume=True)
         w = term_weights(spark, index.vocab, pos, neg)
         res = wand_topk(spark, index, w, index.globs, k)
@@ -135,6 +154,48 @@ def _bm25_wand_query(pos: list[str], neg: list[str], k: int):
         )
 
     return run
+
+
+def _q_pages_ingest_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule ingest path end-to-end: documents re-shaped into the
+    Iceberg-page schema (url, warc_ts, html, text, lang) with text
+    NULL so extraction decodes html; Top2VecSpark.from_pages assigns
+    deterministic url-ordered doc_ids (JVM two-phase numbering —
+    zero-padded urls reproduce the original ids), builds the postings
+    index, and answers with WAND. Oracled against the same DuckDB BM25
+    SQL as bm25_wand_top10 — proving byte-identical extracted text per
+    url and the whole pages->index->query chain."""
+    import hashlib
+
+    from top2vec_spark.api import Top2VecSpark
+
+    docs = _docs(spark, sf_dir)
+    pages = docs.select(
+        F.format_string("https://example.com/%012d", F.col("doc_id")).alias(
+            "url"
+        ),
+        F.to_timestamp(F.lit("2026-01-01 00:00:00")).alias("warc_ts"),
+        F.encode(F.col("text"), "utf-8").alias("html"),
+        F.lit(None).cast("string").alias("text"),
+        F.col("lang"),
+    )
+    eng = Top2VecSpark.from_pages(spark, pages, ascii_fast_path=True)
+    tag = hashlib.sha1(f"pages:{sf_dir}".encode()).hexdigest()[:10]
+    eng.build_index(
+        f"/tmp/t2v_entry_pages_{tag}",
+        resume=True,
+        input_fingerprint=_input_fingerprint(docs),
+        docs_per_shard=256,
+        n_buckets=16,
+    )
+    res = eng.search_documents_by_keywords(
+        ["table", "spark"], 10, return_documents=False, use_index=True
+    )
+    return (
+        res.select("doc_id", F.round("score", 4).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
 
 
 def _q_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -267,6 +328,62 @@ def _q_ctfidf_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bm25_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ngram_vocab path end-to-end: mined bigrams enter the vocabulary
+    and the postings index as first-class terms, so the multi-word
+    keyword "table hash" retrieves through WAND exactly like a unigram
+    (reference top2vec.py:876-890 re-expression; augment semantics
+    documented in operators/phrases.tokens_with_phrases)."""
+    import hashlib
+
+    from top2vec_spark.operators.phrases import find_phrases, tokens_with_phrases
+    from top2vec_spark.operators.wand import wand_topk
+    from top2vec_spark.plans.build import IndexBuilder
+
+    docs = _docs(spark, sf_dir)
+    tokens = tokenize_docs(docs, ascii_fast_path=True).cache()
+    ph = find_phrases(tokens, min_count=2, threshold=0.0005)
+    aug = tokens_with_phrases(tokens, ph).cache()
+    vocab = build_vocab(aug)
+    ds = build_doc_stats(aug)
+    tag = hashlib.sha1(f"phr:{sf_dir}".encode()).hexdigest()[:10]
+    index = IndexBuilder(
+        spark,
+        f"/tmp/t2v_entry_phr_{tag}",
+        docs_per_shard=256,
+        n_buckets=16,
+        input_fingerprint=_input_fingerprint(docs),
+    ).build(aug, vocab, ds, resume=True)
+    w = term_weights(spark, index.vocab, ["table hash"], [])
+    res = wand_topk(spark, index, w, index.globs, 10)
+    return (
+        res.select("doc_id", F.round("score", 4).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+
+
+def _q_search_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword->topic search (reference search_topics re-expression,
+    operators/topics.search_topics_scores) with lang as the class
+    column — fully SQL-expressible; the embedding-cluster variant is
+    pytest-covered (tests/test_topic_api.py)."""
+    from top2vec_spark.operators.topics import ctfidf_scores, search_topics_scores
+
+    docs = _docs(spark, sf_dir)
+    tf = (
+        _tokens(spark, sf_dir)
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dt = docs.select("doc_id", F.col("lang").alias("topic_id"))
+    ctf = ctfidf_scores(tf, dt)
+    res = search_topics_scores(
+        ctf, ["table", "spark"], ["slow"], num_topics=None, round_digits=6
+    )
+    return res.select(F.col("topic_id").alias("lang"), "score")
+
+
 _CENTROIDS_CTE = """
 by_pos AS (
   SELECT label, unnest(embedding::DOUBLE[]) AS v,
@@ -311,9 +428,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_top10_single": _bm25_query(["vector"], [], 10),
         "bm25_wand_top10": _bm25_wand_query(["table", "spark"], [], 10),
         "bm25_wand_top10_neg": _bm25_wand_query(["query", "window"], ["batch"], 10),
+        "pages_ingest_wand": _q_pages_ingest_wand,
+        "bm25_phrase_top10": _q_bm25_phrase,
         "bigram_phrases": _q_bigram_phrases,
         "chunks_seq": _q_chunks_seq,
         "ctfidf_by_lang": _q_ctfidf_by_lang,
+        "search_topics_by_lang": _q_search_topics,
         "dedup_exact": _q_dedup_exact,
         "token_counts": _q_token_counts,
         "quality_features": _q_quality,
@@ -345,6 +465,7 @@ SELECT n_docs, round(avgdl, 6) AS avgdl FROM globals
         "bm25_top10_single": _bm25_oracle_sql(["vector"], [], 10),
         "bm25_wand_top10": _bm25_oracle_sql(["table", "spark"], [], 10),
         "bm25_wand_top10_neg": _bm25_oracle_sql(["query", "window"], ["batch"], 10),
+        "pages_ingest_wand": _bm25_oracle_sql(["table", "spark"], [], 10),
         "bigram_phrases": f"""
 WITH tl AS (
   SELECT doc_id, {duckdb_tokens_sql()} AS toks FROM documents
@@ -415,6 +536,79 @@ ranked AS (
 )
 SELECT topic_id AS lang, cast(rank AS int) AS rank, term, ctfidf
 FROM ranked WHERE rank <= 10
+""",
+        "bm25_phrase_top10": f"""
+WITH tl AS (
+  SELECT doc_id, {duckdb_tokens_sql()} AS toks FROM documents
+),
+tokens_pos AS (
+  SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) AS pos
+  FROM tl
+),
+uni AS (SELECT term, count(*) AS cnt FROM tokens_pos GROUP BY term),
+vs AS (SELECT count(*) AS vocab_size FROM uni),
+occ AS (
+  SELECT a.doc_id AS doc_id, a.term AS term_a, b.term AS term_b
+  FROM tokens_pos a JOIN tokens_pos b
+    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+),
+pc AS (SELECT term_a, term_b, count(*) AS pair_count FROM occ GROUP BY term_a, term_b),
+phr AS (
+  SELECT pc.term_a, pc.term_b
+  FROM pc JOIN uni ua ON ua.term = pc.term_a JOIN uni ub ON ub.term = pc.term_b
+  WHERE pc.pair_count >= 2
+    AND (pc.pair_count - 2) * (SELECT vocab_size * 1.0 FROM vs)
+        / (ua.cnt * ub.cnt) > 0.0005
+),
+tokens AS (
+  SELECT doc_id, term FROM tokens_pos
+  UNION ALL
+  SELECT occ.doc_id, occ.term_a || ' ' || occ.term_b AS term
+  FROM occ JOIN phr USING (term_a, term_b)
+),
+doc_stats AS (SELECT doc_id, count(*) AS dl FROM tokens GROUP BY doc_id),
+globals AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM doc_stats),
+vocab AS (SELECT term, count(DISTINCT doc_id) AS df FROM tokens GROUP BY term),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tokens
+  WHERE term = 'table hash' GROUP BY doc_id, term
+),
+scored AS (
+  SELECT tf.doc_id,
+         sum(ln(1.0 + (globals.n_docs - vocab.df + 0.5) / (vocab.df + 0.5))
+             * (tf.tf * ({BM25_K1} + 1.0))
+             / (tf.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * doc_stats.dl / globals.avgdl))
+         ) AS score
+  FROM tf
+  JOIN vocab USING (term) JOIN doc_stats USING (doc_id)
+  CROSS JOIN globals
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(score, 4) AS score
+FROM scored ORDER BY round(score, 4) DESC, doc_id ASC LIMIT 10
+""",
+        "search_topics_by_lang": f"""
+WITH {_TOKENS_CTE},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tokens GROUP BY doc_id, term),
+dt AS (SELECT doc_id, lang AS topic_id FROM documents),
+ttf AS (
+  SELECT topic_id, term, sum(tf) AS ctf
+  FROM tf JOIN dt USING (doc_id) GROUP BY topic_id, term
+),
+clen AS (SELECT topic_id, sum(ctf) AS clen FROM ttf GROUP BY topic_id),
+al AS (SELECT avg(clen) AS avg_len FROM clen),
+cf AS (SELECT term, sum(tf) AS cf FROM tf GROUP BY term),
+scored AS (
+  SELECT ttf.topic_id, ttf.term,
+         (ttf.ctf * 1.0 / clen.clen)
+           * ln(1.0 + (SELECT avg_len FROM al) / cf.cf) AS ctfidf
+  FROM ttf JOIN clen USING (topic_id) JOIN cf USING (term)
+),
+q(term, sign) AS (VALUES ('table', 1.0), ('spark', 1.0), ('slow', -1.0))
+SELECT topic_id AS lang, round(sum(sign * ctfidf), 6) AS score
+FROM scored JOIN q USING (term)
+GROUP BY topic_id
+ORDER BY score DESC, lang ASC
 """,
         "dedup_exact": """
 SELECT min(doc_id) AS doc_id FROM documents GROUP BY text

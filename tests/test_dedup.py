@@ -7,7 +7,6 @@ import pytest
 from pyspark.sql import functions as F
 
 from top2vec_spark.operators.dedup import (
-    _shingle_hashes_fnv,
     dedup_exact,
     exact_duplicates,
     lsh_candidate_pairs,
@@ -57,9 +56,14 @@ def test_minhash_estimates_jaccard(spark, tokens_arr):
     assert (sigs[0] == sigs[1]).all() and (sigs[0] == sigs[4]).all()
     # near dup -> high but not perfect agreement
     agree = (sigs[0] == sigs[2]).mean()
-    toks = {r["doc_id"]: r["tokens"] for r in tokens_arr.collect()}
-    sa = set(_shingle_hashes_fnv(toks[0], 3).tolist())
-    sb = set(_shingle_hashes_fnv(toks[2], 3).tolist())
+    # hash-free oracle: Jaccard over raw string 3-gram shingle SETS is
+    # identical to Jaccard over (injective w.h.p.) hashed shingles
+    toks = {r["doc_id"]: list(r["tokens"]) for r in tokens_arr.collect()}
+
+    def str_shingles(ts):
+        return {tuple(ts[i : i + 3]) for i in range(len(ts) - 2)}
+
+    sa, sb = str_shingles(toks[0]), str_shingles(toks[2])
     true_j = len(sa & sb) / len(sa | sb)
     assert abs(agree - true_j) < 0.2
     # unrelated docs -> low agreement
@@ -67,12 +71,14 @@ def test_minhash_estimates_jaccard(spark, tokens_arr):
 
 
 def test_lsh_pipeline_finds_near_dups(spark, tokens_arr):
-    # 32 bands x 4 rows -> LSH s-curve threshold (1/32)^(1/4) ~= 0.42,
-    # appropriate for verifying pairs down to est_jaccard 0.5
+    # 32 bands x 4 rows -> LSH s-curve threshold (1/32)^(1/4) ~= 0.42.
+    # verify threshold 0.45: the near-dup pair's true Jaccard is 0.54
+    # and the 128-hash estimate has sigma ~= 0.044, so 0.45 accepts it
+    # with >2 sigma margin while unrelated pairs (< 0.2) stay excluded
     pairs = {
         (r["doc_a"], r["doc_b"]): r["est_jaccard"]
         for r in minhash_near_duplicates(
-            tokens_arr, bands=32, threshold=0.5
+            tokens_arr, bands=32, threshold=0.45
         ).collect()
     }
     assert (0, 1) in pairs and pairs[(0, 1)] == 1.0

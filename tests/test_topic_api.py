@@ -1,0 +1,211 @@
+"""Round-2 API surface: search_topics / query_topics /
+get_documents_topics / vector entry points / reduced-topic mirror /
+topic merge / tokenizer+chunker hooks — invariants mirroring the
+reference suite shapes (test_top2vec.py: descending scores, size
+conservation, self-consistency)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def engine(spark):
+    from top2vec_spark import Top2VecSpark
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    eng = Top2VecSpark(spark, docs, ascii_fast_path=True)
+    eng.compute_topics(emb)
+    return eng
+
+
+def test_search_topics_descending_and_relevant(engine):
+    # pick a term known to the vocab with decent frequency
+    term = (
+        engine.vocab.orderBy(F.col("df").desc()).limit(5).collect()[2]["term"]
+    )
+    res = engine.search_topics([term], 5).collect()
+    assert 1 <= len(res) <= 5
+    scores = [r["score"] for r in res]
+    assert scores == sorted(scores, reverse=True)
+    # the top topic must actually contain the term among its words
+    top_topic = res[0]["topic_id"]
+    words = {
+        r["term"]
+        for r in engine.get_topics().filter(
+            F.col("topic_id") == top_topic
+        ).collect()
+    }
+    assert term in words or scores[0] > 0
+
+
+def test_search_topics_unknown_keyword_raises(engine):
+    with pytest.raises(ValueError, match="has not been learned"):
+        engine.search_topics(["zzzznotaword"], 3)
+
+
+def test_query_topics(engine):
+    term = engine.vocab.orderBy(F.col("df").desc()).first()["term"]
+    res = engine.query_topics(f"Some text about {term}!", 3).collect()
+    assert len(res) >= 1
+    scores = [r["score"] for r in res]
+    assert scores == sorted(scores, reverse=True)
+    with pytest.raises(ValueError, match="vocabulary"):
+        engine.query_topics("zzzznotaword qqqqq", 3)
+
+
+def test_get_documents_topics_single(engine):
+    got = {r["doc_id"]: r for r in engine.get_documents_topics([3, 7, 11]).collect()}
+    assert set(got) == {3, 7, 11}
+    stored = {
+        r["doc_id"]: r["topic_id"]
+        for r in engine.doc_topic.filter(F.col("doc_id").isin([3, 7, 11])).collect()
+    }
+    for d in (3, 7, 11):
+        assert got[d]["topic_id"] == stored[d]
+        assert got[d]["rank"] == 1
+
+
+def test_get_documents_topics_topn(engine):
+    res = engine.get_documents_topics([3, 7], num_topics=3).collect()
+    by_doc = {}
+    for r in res:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for d, rows in by_doc.items():
+        rows.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rows] == [1, 2, 3]
+        scores = [r["score"] for r in rows]
+        assert scores == sorted(scores, reverse=True)
+    # rank-1 equals the stored assignment
+    stored = {
+        r["doc_id"]: r["topic_id"]
+        for r in engine.doc_topic.filter(F.col("doc_id").isin([3, 7])).collect()
+    }
+    for d in (3, 7):
+        assert by_doc[d][0]["topic_id"] == stored[d]
+
+
+def test_vector_entry_points(spark, engine):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 7).first()["embedding"]]
+
+    docs = engine.search_documents_by_vector(qvec, 5, return_documents=False).collect()
+    assert docs[0]["doc_id"] == 7  # self is the nearest vector
+    assert [r["score"] for r in docs] == sorted(
+        [r["score"] for r in docs], reverse=True
+    )
+
+    topics = engine.search_topics_by_vector(qvec, 3).collect()
+    assert len(topics) == 3
+    # best topic by vector == the doc's assigned topic
+    assigned = engine.doc_topic.filter(F.col("doc_id") == 7).first()["topic_id"]
+    assert topics[0]["topic_id"] == assigned
+
+    # word vectors: synthesize from topic centroids (term == topic word)
+    wv = engine.spark.createDataFrame(
+        [(f"w{r['label']}", [float(x) for x in r["centroid"]])
+         for r in engine.topic_centroids.collect()],
+        "term string, embedding array<double>",
+    )
+    engine.set_word_vectors(wv)
+    words = engine.search_words_by_vector(qvec, 3).collect()
+    assert words[0]["term"] == f"w{assigned}"
+
+
+def test_reduced_mirror_and_hierarchy(engine):
+    n0 = engine.get_num_topics()
+    reduced, hierarchy = engine.hierarchical_topic_reduction(4)
+    assert engine.get_num_topics(reduced=True) == 4
+    # conservation invariant (reference test_top2vec.py:241-248)
+    sizes = engine.get_topic_sizes(reduced=True).collect()
+    assert sum(r["topic_size"] for r in sizes) == 500
+    # sizes descending by reduced id
+    by_id = sorted(sizes, key=lambda r: r["topic_id"])
+    vals = [r["topic_size"] for r in by_id]
+    assert vals == sorted(vals, reverse=True)
+    # hierarchy covers all original topics exactly once
+    h = engine.get_topic_hierarchy()
+    assert len(h) == 4
+    flat = sorted(t for grp in h for t in grp)
+    assert flat == list(range(n0))
+    # reduced query surfaces work
+    words = engine.get_topics(reduced=True).collect()
+    assert {r["topic_id"] for r in words} <= {0, 1, 2, 3}
+    term = engine.vocab.orderBy(F.col("df").desc()).first()["term"]
+    st = engine.search_topics([term], 2, reduced=True).collect()
+    assert len(st) >= 1
+    docs = engine.search_documents_by_topic(
+        0, 5, return_documents=False, reduced=True
+    ).collect()
+    assert len(docs) == 5
+    dt = engine.get_documents_topics([3], reduced=True).collect()
+    assert dt[0]["topic_id"] in {0, 1, 2, 3}
+
+
+def test_merge_duplicate_topics(spark):
+    """Two labels with near-identical centroids merge into one."""
+    from top2vec_spark import Top2VecSpark
+
+    rng = np.random.default_rng(7)
+    base_a = rng.normal(size=8)
+    base_b = rng.normal(size=8)
+    rows = []
+    for i in range(30):
+        v = base_a + rng.normal(scale=0.01, size=8)
+        rows.append((i, [float(x) for x in v], 0))
+    for i in range(30, 50):
+        v = base_a + rng.normal(scale=0.01, size=8)
+        rows.append((i, [float(x) for x in v], 1))  # duplicate of label 0
+    for i in range(50, 70):
+        v = base_b + rng.normal(scale=0.01, size=8)
+        rows.append((i, [float(x) for x in v], 2))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    docs = spark.createDataFrame(
+        [(i, f"doc number {i} words here") for i in range(70)],
+        "doc_id long, text string",
+    )
+    eng = Top2VecSpark(spark, docs, ascii_fast_path=True)
+    eng.compute_topics(emb)
+    assert eng.get_num_topics() == 3
+    n = eng.merge_duplicate_topics(threshold=0.95)
+    assert n == 2
+    sizes = {r["topic_id"]: r["topic_size"] for r in eng.get_topic_sizes().collect()}
+    assert sizes == {0: 50, 1: 20}
+
+
+def test_custom_tokenizer_hook(spark, tiny_docs):
+    from top2vec_spark import Top2VecSpark
+
+    # NOTE: query keywords are lowercased by the engine (reference T4
+    # quirk), so a custom tokenizer must emit lowercase terms for
+    # keyword search to resolve them.
+    def bigram_tokenizer(text):
+        ws = text.lower().split()
+        return ws + [f"{a}_{b}" for a, b in zip(ws, ws[1:])]
+
+    eng = Top2VecSpark(spark, tiny_docs, tokenizer=bigram_tokenizer)
+    vocab = {r["term"] for r in eng.vocab.collect()}
+    assert "the" in vocab and "the_cat" in vocab  # custom contract in force
+    res = eng.search_documents_by_keywords(
+        ["the_cat"], 1, return_documents=False
+    ).collect()
+    assert res[0]["doc_id"] == 0
+
+
+def test_custom_chunker_hook(spark, tiny_docs):
+    from top2vec_spark import Top2VecSpark
+
+    eng = Top2VecSpark(spark, tiny_docs)
+    ch = eng.chunk_documents(chunker=lambda t: [t[:10], t[10:]]).collect()
+    assert {r["doc_id"] for r in ch} == {0, 1, 2, 3, 4, 5}
+    assert all(r["chunk_id"] in (0, 1) for r in ch)
+    # default path: sequential over tokens
+    seq = eng.chunk_documents(chunk_length=3).collect()
+    assert all(len(r["chunk"]) <= 3 for r in seq)

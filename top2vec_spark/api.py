@@ -55,14 +55,46 @@ class Top2VecSpark:
         keep_documents: bool = True,
         ascii_fast_path: bool = False,
         index_path: str | None = None,
+        tokenizer=None,
+        ngram_vocab: bool = False,
+        phrase_min_count: int = 5,
+        phrase_threshold: float = 10.0,
     ) -> None:
+        """``tokenizer``: optional str -> list[str] callable replacing
+        the built-in contract tokenizer everywhere (the reference's
+        custom-tokenizer hook, top2vec.py:411-415). Runs as an
+        Arrow-batched UDF — slower than the built-in C-level path but
+        fully supported.
+
+        ``ngram_vocab=True`` (reference top2vec.py:876-890): mined
+        bigram phrases enter the vocabulary/index as first-class terms
+        with their own postings, so multi-word keywords like
+        "machine learning" retrieve (operators/phrases.
+        tokens_with_phrases — augment semantics, documented)."""
         self.spark = spark
         self.cfg = cfg
         self.keep_documents = keep_documents
         self.docs = docs
         self.min_count = min_count
         self.index_path = index_path
-        self.tokens = tokenize_docs(docs, ascii_fast_path=ascii_fast_path)
+        self.ascii_fast_path = ascii_fast_path
+        self.tokenizer = tokenizer
+        self.ngram_vocab = ngram_vocab
+        self.tokens = tokenize_docs(
+            docs, ascii_fast_path=ascii_fast_path, tokenizer=tokenizer
+        )
+        if ngram_vocab:
+            from top2vec_spark.operators.phrases import (
+                find_phrases,
+                tokens_with_phrases,
+            )
+
+            self.phrases = find_phrases(
+                self.tokens,
+                min_count=phrase_min_count,
+                threshold=phrase_threshold,
+            ).cache()
+            self.tokens = tokens_with_phrases(self.tokens, self.phrases)
         self.vocab = build_vocab(self.tokens, min_count=min_count)
         self.doc_stats = build_doc_stats(self.tokens)
         self._globals: CorpusGlobals | None = None
@@ -102,14 +134,25 @@ class Top2VecSpark:
             self._globals = compute_globals(self.doc_stats)
         return self._globals
 
-    def build_index(self, path: str | None = None, resume: bool = True):
+    def build_index(
+        self,
+        path: str | None = None,
+        resume: bool = True,
+        input_fingerprint: str | None = None,
+        **builder_kwargs,
+    ):
         """Build the compressed postings index (checkpoint-resumable).
         Returns the PostingsIndex; queries automatically use WAND once
-        built."""
+        built. ``input_fingerprint`` ties resume markers to the input
+        data identity (plans/build.IndexBuilder)."""
         from top2vec_spark.plans.build import IndexBuilder
 
         builder = IndexBuilder(
-            self.spark, path or self.index_path, cfg=self.cfg
+            self.spark,
+            path or self.index_path,
+            cfg=self.cfg,
+            input_fingerprint=input_fingerprint,
+            **builder_kwargs,
         )
         self._index = builder.build(
             self.tokens, min_count=self.min_count, resume=resume
@@ -198,10 +241,16 @@ class Top2VecSpark:
         if not isinstance(query, str):
             raise ValueError("query must be a string")
         toks = reference_tokenize(query)
-        known = {
-            r["term"]
-            for r in self.vocab.filter(F.col("term").isin(list(set(toks)))).collect()
-        }
+        lookup = self.vocab_map
+        if lookup is not None:  # zero-job planning path
+            known = {t for t in set(toks) if t in lookup}
+        else:
+            known = {
+                r["term"]
+                for r in self.vocab.filter(
+                    F.col("term").isin(list(set(toks)))
+                ).collect()
+            }
         terms = [t for t in toks if t in known]
         if not terms:
             raise ValueError("no query tokens found in vocabulary")
@@ -263,6 +312,35 @@ class Top2VecSpark:
 
     similar_words = search_words_by_keywords
 
+    def chunk_documents(
+        self,
+        chunk_length: int = 100,
+        max_num_chunks: int | None = None,
+        chunk_overlap_ratio: float = 0.0,
+        chunker=None,
+    ) -> DataFrame:
+        """T5/H3 (reference get_chunks + document_chunker hook,
+        top2vec.py:134-167, 365-415): chunk every document. Default is
+        the pure-column sequential chunker over tokens; a ``chunker``
+        callable (str -> list[str]) switches to the user seam."""
+        from top2vec_spark.operators.chunks import custom_chunks, sequential_chunks
+
+        if chunker is not None:
+            return custom_chunks(self.docs, chunker)
+        arr = self.tokens.groupBy("doc_id").agg(
+            F.array_sort(
+                F.collect_list(F.struct("pos", "term"))
+            ).alias("pt")
+        ).select(
+            "doc_id", F.transform("pt", lambda x: x["term"]).alias("tokens")
+        )
+        return sequential_chunks(
+            arr,
+            chunk_length=chunk_length,
+            max_num_chunks=max_num_chunks,
+            chunk_overlap_ratio=chunk_overlap_ratio,
+        )
+
     def get_documents_by_ids(self, doc_ids: Sequence[int]) -> DataFrame:
         """J1 (reference doc_id2index probe + array index,
         top2vec.py:1251-1258): fetch documents by id."""
@@ -274,7 +352,9 @@ class Top2VecSpark:
     def compute_topics(self, embeddings: DataFrame, n_topics: int | None = None):
         """Assign docs to topics via nearest-centroid over an
         embeddings table (vec_id == doc_id), centroids from the label
-        column. Stores doc_topic + topic words (c-TF-IDF)."""
+        column. Stores doc_topic, topic words (c-TF-IDF), per-topic
+        centroids keyed by the FINAL (size-renumbered) topic ids, and
+        the full c-TF-IDF relation for keyword->topic search."""
         from top2vec_spark.operators.similarity import (
             assign_nearest,
             label_centroids,
@@ -282,6 +362,7 @@ class Top2VecSpark:
         from top2vec_spark.operators import topics as T
 
         self._topic_embeddings = embeddings
+        self._doc_vectors = embeddings  # doubles as the by-vector corpus
         cents = label_centroids(embeddings)
         dt = assign_nearest(embeddings, cents).select(
             F.col("vec_id").alias("doc_id"),
@@ -289,61 +370,223 @@ class Top2VecSpark:
             "score",
         )
         self.doc_topic = T.renumber_topics_by_size(dt).cache()
-        tf = (
+        self.topic_centroids = label_centroids(
+            embeddings.join(
+                self.doc_topic.select(F.col("doc_id").alias("vec_id"), "topic_id"),
+                "vec_id",
+            ).select("vec_id", "embedding", F.col("topic_id").alias("label"))
+        ).cache()
+        self._tf = (
             self.tokens.groupBy("doc_id", "term")
             .agg(F.count(F.lit(1)).alias("tf"))
+            .cache()
         )
-        self.topic_words = T.topic_words_ctfidf(tf, self.doc_topic).cache()
+        self._ctfidf = T.ctfidf_scores(self._tf, self.doc_topic).cache()
+        self.topic_words = T.topic_words_ctfidf(self._tf, self.doc_topic).cache()
         return self.doc_topic
 
-    def get_topic_sizes(self) -> DataFrame:
+    def get_topic_sizes(self, reduced: bool = False) -> DataFrame:
         from top2vec_spark.operators import topics as T
 
-        self._require_topics()
-        return T.topic_sizes(self.doc_topic)
+        return T.topic_sizes(self._dt(reduced))
 
-    def get_topics(self, num_topics: int | None = None) -> DataFrame:
-        self._require_topics()
-        out = self.topic_words
+    def get_topics(
+        self, num_topics: int | None = None, reduced: bool = False
+    ) -> DataFrame:
+        self._require_topics(reduced)
+        out = self.topic_words_reduced if reduced else self.topic_words
         if num_topics is not None:
             out = out.filter(F.col("topic_id") < num_topics)
         return out
 
-    def get_num_topics(self) -> int:
-        self._require_topics()
-        return self.doc_topic.select("topic_id").distinct().count()
+    def get_num_topics(self, reduced: bool = False) -> int:
+        return self._dt(reduced).select("topic_id").distinct().count()
 
     def search_documents_by_topic(
-        self, topic_num: int, num_docs: int, return_documents: bool = True
+        self,
+        topic_num: int,
+        num_docs: int,
+        return_documents: bool = True,
+        reduced: bool = False,
     ) -> DataFrame:
         from top2vec_spark.operators import topics as T
 
-        self._require_topics()
-        res = T.search_documents_by_topic(self.doc_topic, topic_num, num_docs)
+        res = T.search_documents_by_topic(self._dt(reduced), topic_num, num_docs)
         return self._project(res.select("doc_id", "score"), return_documents)
 
+    def get_documents_topics(
+        self,
+        doc_ids: Sequence[int],
+        reduced: bool = False,
+        num_topics: int = 1,
+    ) -> DataFrame:
+        """Reference get_documents_topics (top2vec.py:1873-1958): the
+        topic(s) of each given doc. num_topics=1 reads the stored
+        assignment (J3 equi-join); num_topics>1 scores the docs'
+        embeddings against every topic centroid (W4 top-N). Returns
+        (doc_id, rank, topic_id, score) ordered doc_id, rank."""
+        from top2vec_spark.operators.similarity import assign_topn
+
+        self._validate_doc_ids(doc_ids)
+        dt = self._dt(reduced)
+        ids = list(doc_ids)
+        if num_topics <= 1:
+            return (
+                dt.filter(F.col("doc_id").isin(ids))
+                .select("doc_id", F.lit(1).alias("rank"), "topic_id", "score")
+                .orderBy("doc_id")
+            )
+        if not hasattr(self, "_topic_embeddings"):
+            raise ValueError("compute_topics(embeddings) must run first")
+        emb = self._topic_embeddings.filter(F.col("vec_id").isin(ids))
+        cents = self._centroid_df(reduced)
+        return (
+            assign_topn(emb, cents, num_topics)
+            .select(
+                F.col("vec_id").alias("doc_id"),
+                "rank",
+                F.col("label").alias("topic_id"),
+                "score",
+            )
+            .orderBy("doc_id", "rank")
+        )
+
+    def search_topics(
+        self,
+        keywords: Sequence[str],
+        num_topics: int,
+        keywords_neg: Sequence[str] = (),
+        reduced: bool = False,
+    ) -> DataFrame:
+        """Reference search_topics (top2vec.py:3015-3079) re-expressed:
+        topics ranked by summed c-TF-IDF of the (lowercased) keywords,
+        negatives subtracting. Unknown keywords raise ValueError like
+        the reference's _validate_keywords (top2vec.py:1420-1432)."""
+        from top2vec_spark.operators import topics as T
+
+        self._require_topics(reduced)
+        self._validate_num(num_topics)
+        pos = [k.lower() for k in keywords]
+        neg = [k.lower() for k in keywords_neg]
+        self._validate_keywords(pos + neg)
+        src = self._ctfidf_reduced if reduced else self._ctfidf
+        return T.search_topics_scores(src, pos, neg, num_topics)
+
+    def query_topics(
+        self, query: str, num_topics: int, reduced: bool = False
+    ) -> DataFrame:
+        """Reference query_topics (top2vec.py:2497-2571): tokenize the
+        free-text query with the T1 contract, drop OOV tokens, rank
+        topics like search_topics."""
+        from top2vec_spark.operators import topics as T
+
+        if not isinstance(query, str):
+            raise ValueError("query must be a string")
+        self._require_topics(reduced)
+        self._validate_num(num_topics)
+        toks = reference_tokenize(query)
+        lookup = self.vocab_map
+        if lookup is not None:
+            terms = [t for t in toks if t in lookup]
+        else:
+            known = {
+                r["term"]
+                for r in self.vocab.filter(
+                    F.col("term").isin(list(set(toks)))
+                ).collect()
+            }
+            terms = [t for t in toks if t in known]
+        if not terms:
+            raise ValueError("no query tokens found in vocabulary")
+        src = self._ctfidf_reduced if reduced else self._ctfidf
+        return T.search_topics_scores(src, terms, (), num_topics)
+
+    # -- vector entry points (reference top2vec.py:2574-2784) ----------------
+    def set_document_vectors(self, embeddings: DataFrame) -> None:
+        """Register a (vec_id == doc_id, embedding) table for
+        search_documents_by_vector (compute_topics sets it too)."""
+        self._doc_vectors = embeddings
+
+    def set_word_vectors(self, word_vectors: DataFrame) -> None:
+        """Register a (term, embedding) table for
+        search_words_by_vector."""
+        self._word_vectors = word_vectors
+
+    def search_documents_by_vector(
+        self, vector: Sequence[float], num_docs: int, return_documents: bool = True
+    ) -> DataFrame:
+        """Reference search_documents_by_vector (top2vec.py:2574-2650):
+        exact cosine top-k over the registered document embeddings
+        (operators/similarity.cosine_topk — per-partition matmul +
+        TakeOrderedAndProject)."""
+        from top2vec_spark.operators.similarity import cosine_topk
+
+        if not hasattr(self, "_doc_vectors"):
+            raise ValueError(
+                "no document vectors — compute_topics or "
+                "set_document_vectors first"
+            )
+        self._validate_num(num_docs)
+        res = cosine_topk(self._doc_vectors, vector, num_docs).select(
+            F.col("vec_id").alias("doc_id"), "score"
+        )
+        return self._project(res, return_documents)
+
+    def search_words_by_vector(
+        self, vector: Sequence[float], num_words: int
+    ) -> DataFrame:
+        """Reference search_words_by_vector (top2vec.py:2652-2713):
+        cosine top-k over a registered (term, embedding) table."""
+        from top2vec_spark.operators.similarity import cosine_topk_sql
+
+        if not hasattr(self, "_word_vectors"):
+            raise ValueError("no word vectors — set_word_vectors first")
+        self._validate_num(num_words)
+        return cosine_topk_sql(
+            self._word_vectors, vector, num_words, id_col="term"
+        ).select(F.col("vec_id").alias("term"), "score")
+
+    def search_topics_by_vector(
+        self, vector: Sequence[float], num_topics: int, reduced: bool = False
+    ) -> DataFrame:
+        """Reference search_topics_by_vector (top2vec.py:2715-2784):
+        cosine against the (tiny, driver-held) topic centroids."""
+        import numpy as np
+
+        self._require_topics(reduced)
+        self._validate_num(num_topics)
+        rows = self._centroid_df(reduced).collect()
+        q = np.asarray(list(vector), dtype=np.float64)
+        q = q / (np.linalg.norm(q) or 1.0)
+        scored = sorted(
+            (
+                (float(np.dot(np.asarray(r["centroid"]), q)), int(r["label"]))
+                for r in rows
+            ),
+            key=lambda x: (-x[0], x[1]),
+        )[:num_topics]
+        return self.spark.createDataFrame(
+            [(t, s) for s, t in scored], "topic_id long, score double"
+        )
+
+    # -- topic reduction / merge (L7, U3) ------------------------------------
     def hierarchical_topic_reduction(self, num_topics: int):
         """L7 (top2vec.py:2270-2418): driver loop over collected topic
-        centroids + one distributed re-assignment."""
+        centroids, then a MAPPING join (original topic -> merged
+        topic) materializes the reduced mirror — doc_topic_reduced,
+        topic_words_reduced, reduced centroids and the hierarchy —
+        so every reduced=True query surface works afterwards. Sizes
+        are conserved exactly (membership mapping, no re-assignment),
+        mirroring the reference's reduced size invariant
+        (test_top2vec.py:241-248)."""
         import numpy as np
 
         from top2vec_spark.operators import topics as T
-        from top2vec_spark.operators.similarity import label_centroids
 
         self._require_topics()
-        if not hasattr(self, "_topic_embeddings"):
-            raise ValueError("compute_topics(embeddings) must run first")
-        emb = self._topic_embeddings
-        cents_df = label_centroids(
-            emb.join(
-                self.doc_topic.select(
-                    F.col("doc_id").alias("vec_id"), "topic_id"
-                ),
-                "vec_id",
-            ).select("vec_id", "embedding", F.col("topic_id").alias("label"))
-        )
         cents = {
-            int(r["label"]): np.array(r["centroid"]) for r in cents_df.collect()
+            int(r["label"]): np.array(r["centroid"])
+            for r in self.topic_centroids.collect()
         }
         sizes = {
             int(r["topic_id"]): r["topic_size"]
@@ -352,12 +595,121 @@ class Top2VecSpark:
         reduced, hierarchy = T.hierarchical_topic_reduction(
             cents, sizes, num_topics
         )
+        mapping, ordered = T.reduced_topic_mapping(hierarchy, sizes)
+        mdf = self.spark.createDataFrame(
+            [(int(o), int(n)) for o, n in mapping.items()],
+            "topic_id long, reduced_id long",
+        )
+        self.doc_topic_reduced = (
+            self.doc_topic.join(F.broadcast(mdf), "topic_id")
+            .select("doc_id", F.col("reduced_id").alias("topic_id"), "score")
+            .cache()
+        )
+        self.topic_words_reduced = T.topic_words_ctfidf(
+            self._tf, self.doc_topic_reduced
+        ).cache()
+        self._ctfidf_reduced = T.ctfidf_scores(
+            self._tf, self.doc_topic_reduced
+        ).cache()
+        self._hierarchy = ordered
+        # reduced centroids keyed by the new ids (surviving original
+        # topic s carries the merged centroid for group mapping[s])
+        self._centroids_reduced = {
+            mapping[s]: v for s, v in reduced.items()
+        }
         return reduced, hierarchy
 
-    def _require_topics(self) -> None:
+    def get_topic_hierarchy(self) -> list:
+        """Reference get_topic_hierarchy (top2vec.py:2244-2268): the
+        original topic ids inside each reduced topic, indexed by the
+        reduced topic id."""
+        if not hasattr(self, "_hierarchy"):
+            raise ValueError(
+                "no reduced topics — call hierarchical_topic_reduction first"
+            )
+        return self._hierarchy
+
+    def merge_duplicate_topics(self, threshold: float = 0.9) -> int:
+        """U3 (reference top2vec.py:1064-1086): merge topics whose
+        centroids are near-duplicates (cosine > threshold), then
+        renumber by size and refresh the topic tables. Returns the
+        number of topics after merging."""
+        import numpy as np
+
+        from top2vec_spark.operators import topics as T
+        from top2vec_spark.operators.similarity import label_centroids
+
+        self._require_topics()
+        cents = {
+            int(r["label"]): np.array(r["centroid"])
+            for r in self.topic_centroids.collect()
+        }
+        mapping = T.merge_duplicate_topics(cents, threshold)
+        if all(o == m for o, m in mapping.items()):
+            return len(cents)
+        mdf = self.spark.createDataFrame(
+            [(int(o), int(m)) for o, m in mapping.items()],
+            "topic_id long, merged_id long",
+        )
+        merged_dt = (
+            self.doc_topic.join(F.broadcast(mdf), "topic_id")
+            .select("doc_id", F.col("merged_id").alias("topic_id"), "score")
+        )
+        self.doc_topic = T.renumber_topics_by_size(merged_dt).cache()
+        self.topic_centroids = label_centroids(
+            self._topic_embeddings.join(
+                self.doc_topic.select(F.col("doc_id").alias("vec_id"), "topic_id"),
+                "vec_id",
+            ).select("vec_id", "embedding", F.col("topic_id").alias("label"))
+        ).cache()
+        self._ctfidf = T.ctfidf_scores(self._tf, self.doc_topic).cache()
+        self.topic_words = T.topic_words_ctfidf(self._tf, self.doc_topic).cache()
+        return self.doc_topic.select("topic_id").distinct().count()
+
+    # -- topic-layer helpers --------------------------------------------------
+    def _dt(self, reduced: bool) -> DataFrame:
+        self._require_topics(reduced)
+        return self.doc_topic_reduced if reduced else self.doc_topic
+
+    def _centroid_df(self, reduced: bool) -> DataFrame:
+        if not reduced:
+            return self.topic_centroids
+        return self.spark.createDataFrame(
+            [
+                (int(t), [float(x) for x in v])
+                for t, v in sorted(self._centroids_reduced.items())
+            ],
+            "label long, centroid array<double>",
+        )
+
+    def _require_topics(self, reduced: bool = False) -> None:
         if not hasattr(self, "doc_topic"):
             raise ValueError(
                 "no topics computed — call compute_topics(embeddings) first"
+            )
+        if reduced and not hasattr(self, "doc_topic_reduced"):
+            raise ValueError(
+                "no reduced topics — call hierarchical_topic_reduction first"
+            )
+
+    def _validate_keywords(self, words: Sequence[str]) -> None:
+        """Reference _validate_keywords (top2vec.py:1420-1432):
+        unknown words raise."""
+        lookup = self.vocab_map
+        if lookup is not None:
+            missing = [w for w in words if w not in lookup]
+        else:
+            found = {
+                r["term"]
+                for r in self.vocab.filter(
+                    F.col("term").isin(list(set(words)))
+                ).collect()
+            }
+            missing = [w for w in words if w not in found]
+        if missing:
+            raise ValueError(
+                f"{missing} has not been learned by the model so it cannot "
+                "be searched"
             )
 
     # -- mutation (U1/U2) ---------------------------------------------------
@@ -453,10 +805,19 @@ class Top2VecSpark:
             raise ValueError("doc_ids do not exist")
 
     def _doc_terms(self, ids: Sequence[int]) -> list[str]:
+        """Distinct terms of the given docs. Filters the doc TABLE
+        before tokenizing (predicate reaches the parquet scan), so the
+        expensive tokenizer UDF runs over len(ids) rows — not the
+        whole corpus, which the lazy `tokens` relation would
+        re-tokenize per query."""
         if not ids:
             return []
         rows = (
-            self.tokens.filter(F.col("doc_id").isin(list(ids)))
+            tokenize_docs(
+                self.docs.filter(F.col("doc_id").isin(list(ids))),
+                ascii_fast_path=self.ascii_fast_path,
+                tokenizer=self.tokenizer,
+            )
             .select("term")
             .distinct()
             .collect()

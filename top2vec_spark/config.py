@@ -28,10 +28,10 @@ DEFAULT_MIN_COUNT: int = 0
 # to amortize skip-pointer overhead.
 POSTING_BLOCK_SIZE: int = 128
 
-# Salting for head-term skew (SURVEY.md §4.2): a term with document
-# frequency df gets ceil(df / SALT_DF_PER_SALT) salt buckets, capped.
-SALT_DF_PER_SALT: int = 250_000
-SALT_MAX: int = 64
+# Head-term skew is handled by the (term_id, doc-shard) encode keys
+# (operators/postings.py): a term's salt count is implicitly
+# proportional to how many doc-shards it appears in — no separate
+# salting constants needed.
 
 
 @dataclass(frozen=True)

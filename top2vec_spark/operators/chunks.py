@@ -60,6 +60,37 @@ def sequential_chunks(
     )
 
 
+def custom_chunks(
+    docs: DataFrame,
+    chunker,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """H3 hook parity (reference document_chunker callable,
+    top2vec.py:365-415): a user Python callable str -> list[str]
+    applied per document. This is the documented SLOW path — the
+    callable runs row-at-a-time inside an Arrow-batched mapInPandas
+    (batch transfer amortized, per-row Python not); the built-in
+    sequential/random chunkers stay pure column expressions."""
+    import pandas as pd
+
+    def batch(pdfs):
+        for pdf in pdfs:
+            ids, cids, chunks = [], [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                for ci, ch in enumerate(chunker(text or "")):
+                    ids.append(did)
+                    cids.append(ci)
+                    chunks.append(ch)
+            yield pd.DataFrame(
+                {"doc_id": ids, "chunk_id": cids, "chunk_text": chunks}
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(
+        batch, "doc_id long, chunk_id int, chunk_text string"
+    )
+
+
 def random_chunks(
     tokens_arr: DataFrame,
     chunk_length: int,

@@ -30,28 +30,45 @@ from pyspark.sql import types as T
 # ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
+def _content_keys(docs: DataFrame, text_col: str):
+    """Grouping keys for exact dedup: two INDEPENDENT xxhash64 values
+    (different seed tuples) plus the byte length. A single 64-bit hash
+    collides w.h.p. at ~2^32 distinct texts (guaranteed at the module's
+    stated 10^12-doc scale); the combined ~128-bit + length key drives
+    the collision probability below 10^-18 while every key stays a
+    fixed-width JVM codegen expression — no full-text shuffle."""
+    return [
+        F.xxhash64(F.col(text_col)).alias("h1"),
+        F.xxhash64(F.col(text_col), F.lit(0x5F3759DF)).alias("h2"),
+        F.length(F.col(text_col)).alias("ln"),
+    ]
+
+
 def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Groups of byte-identical texts: (content_hash, n_dups, doc_ids,
     keep_doc_id). xxhash64 is a Spark built-in (JVM, codegen)."""
     return (
-        docs.select("doc_id", F.xxhash64(F.col(text_col)).alias("content_hash"))
-        .groupBy("content_hash")
+        docs.select("doc_id", *_content_keys(docs, text_col))
+        .groupBy("h1", "h2", "ln")
         .agg(
             F.count(F.lit(1)).alias("n_dups"),
             F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
             F.min("doc_id").alias("keep_doc_id"),
         )
         .filter(F.col("n_dups") > 1)
+        .select(
+            F.col("h1").alias("content_hash"), "n_dups", "doc_ids", "keep_doc_id"
+        )
     )
 
 
 def dedup_exact(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Keep the smallest doc_id per identical text. Window-free:
-    min(doc_id) per hash then semi-join — scales without a global
-    sort."""
+    min(doc_id) per content key then semi-join — scales without a
+    global sort."""
     keep = (
-        docs.select("doc_id", F.xxhash64(F.col(text_col)).alias("h"))
-        .groupBy("h")
+        docs.select("doc_id", *_content_keys(docs, text_col))
+        .groupBy("h1", "h2", "ln")
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
@@ -71,44 +88,27 @@ def _minhash_params(num_hashes: int, seed: int) -> tuple[np.ndarray, np.ndarray]
     return a, b
 
 
-def minhash_signatures(
-    tokens_arr: DataFrame,
-    num_hashes: int = 128,
-    shingle_n: int = 3,
-    seed: int = 42,
+def token_hashes(
+    tokens_arr: DataFrame, tokens_col: str = "tokens", id_col: str = "doc_id"
 ) -> DataFrame:
-    """(doc_id, tokens array) -> (doc_id, sig array<long>).
-
-    Deterministic: Python's str hash is randomized per process, so
-    shingle hashing uses a fixed FNV-style fold instead of hash().
-    """
-    a, b = _minhash_params(num_hashes, seed)
-
-    def batch(pdfs):
-        for pdf in pdfs:
-            sigs = []
-            for toks in pdf["tokens"]:
-                sh = _shingle_hashes_fnv(list(toks), shingle_n)
-                if sh.size == 0:
-                    sigs.append(np.full(num_hashes, -1, dtype=np.int64))
-                    continue
-                # universal hash h_i(x) = (a_i * x + b_i) mod M61, min over x
-                prod = (sh[None, :] * a[:, None] + b[:, None]) % np.uint64(_M61)
-                sigs.append(prod.min(axis=1).astype(np.int64))
-            yield pd.DataFrame(
-                {"doc_id": pdf["doc_id"], "sig": [s.tolist() for s in sigs]}
-            )
-
-    return tokens_arr.mapInPandas(batch, "doc_id long, sig array<long>")
+    """(doc_id, tokens array<string>) -> (doc_id, thash array<long>):
+    per-token xxhash64 computed JVM-SIDE (codegen, runs at scan
+    speed). Every downstream signature kernel consumes int64 arrays
+    only — string bytes never reach Python. This is what keeps
+    MinHash/SimHash viable at 100 TB: the Python side does pure numpy
+    folds over fixed-width ints."""
+    return tokens_arr.select(
+        F.col(id_col).alias("doc_id"),
+        F.transform(F.col(tokens_col), lambda t: F.xxhash64(t)).alias("thash"),
+    )
 
 
-def _shingle_hashes_fnv(tokens: list, n: int) -> np.ndarray:
-    th = np.empty(len(tokens), dtype=np.uint64)
-    for i, t in enumerate(tokens):  # per-token, not per-char: bounded
-        h = np.uint64(0xCBF29CE484222325)
-        for ch in t.encode("utf-8"):
-            h = np.uint64((int(h) ^ ch) * 0x100000001B3 & 0xFFFFFFFFFFFFFFFF)
-        th[i] = h
+def _shingles(th: np.ndarray, n: int) -> np.ndarray:
+    """Unique n-gram shingle hashes from per-token hashes — vectorized
+    rolling multiply-add fold (no per-byte / per-char Python). Docs
+    shorter than n degrade to their unique token hashes (same
+    contract as round-1's FNV fold)."""
+    th = th.astype(np.uint64, copy=False)
     if th.size < n:
         return np.unique(th) if th.size else th
     mult = np.uint64(0x9E3779B97F4A7C15)
@@ -117,6 +117,44 @@ def _shingle_hashes_fnv(tokens: list, n: int) -> np.ndarray:
         for j in range(1, n):
             acc = acc * mult + th[j : th.size - n + 1 + j]
     return np.unique(acc)
+
+
+def minhash_signatures(
+    tokens_arr: DataFrame,
+    num_hashes: int = 128,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """(doc_id, tokens array) -> (doc_id, sig array<long>).
+
+    Deterministic: tokens are hashed JVM-side with xxhash64 (Python's
+    str hash is per-process randomized and never used); the Python
+    kernel sees only int64 arrays and runs a numpy shingle fold +
+    universal-hash min — no per-row/per-byte Python anywhere.
+    """
+    a, b = _minhash_params(num_hashes, seed)
+
+    def batch(pdfs):
+        for pdf in pdfs:
+            sigs = []
+            for th in pdf["thash"]:
+                sh = _shingles(np.asarray(th, dtype=np.int64), shingle_n)
+                if sh.size == 0:
+                    sigs.append(np.full(num_hashes, -1, dtype=np.int64))
+                    continue
+                # universal hash h_i(x) = (a_i * x + b_i) mod M61, min over x
+                with np.errstate(over="ignore"):
+                    prod = (sh[None, :] * a[:, None] + b[:, None]) % np.uint64(
+                        _M61
+                    )
+                sigs.append(prod.min(axis=1).astype(np.int64))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "sig": [s.tolist() for s in sigs]}
+            )
+
+    return token_hashes(tokens_arr).mapInPandas(
+        batch, "doc_id long, sig array<long>"
+    )
 
 
 def lsh_candidate_pairs(
@@ -200,17 +238,21 @@ def ngram_jaccard(
 
     def batch(pdfs):
         for pdf in pdfs:
-            out = []
-            for _, r in pdf.iterrows():
-                sa = set(_shingle_hashes_fnv(list(r["toks_a"]), shingle_n).tolist())
-                sb = set(_shingle_hashes_fnv(list(r["toks_b"]), shingle_n).tolist())
-                inter = len(sa & sb)
-                union = len(sa | sb) or 1
-                out.append((r["doc_a"], r["doc_b"], inter / union))
-            yield pd.DataFrame(out, columns=["doc_a", "doc_b", "jaccard"])
+            da = pdf["doc_a"].to_numpy()
+            db = pdf["doc_b"].to_numpy()
+            ja = np.empty(da.size, dtype=np.float64)
+            for i in range(da.size):  # per candidate PAIR (not per row
+                # of data): numpy set ops over pre-hashed int arrays
+                sa = _shingles(np.asarray(pdf["th_a"].iloc[i], np.int64), shingle_n)
+                sb = _shingles(np.asarray(pdf["th_b"].iloc[i], np.int64), shingle_n)
+                inter = np.intersect1d(sa, sb, assume_unique=True).size
+                union = sa.size + sb.size - inter
+                ja[i] = inter / (union or 1)
+            yield pd.DataFrame({"doc_a": da, "doc_b": db, "jaccard": ja})
 
-    a = tokens_arr.select(F.col("doc_id").alias("doc_a"), F.col("tokens").alias("toks_a"))
-    b = tokens_arr.select(F.col("doc_id").alias("doc_b"), F.col("tokens").alias("toks_b"))
+    th = token_hashes(tokens_arr)
+    a = th.select(F.col("doc_id").alias("doc_a"), F.col("thash").alias("th_a"))
+    b = th.select(F.col("doc_id").alias("doc_b"), F.col("thash").alias("th_b"))
     return (
         pairs.join(a, "doc_a")
         .join(b, "doc_b")
@@ -222,14 +264,15 @@ def ngram_jaccard(
 # SimHash
 # ---------------------------------------------------------------------------
 def simhash_fingerprints(tokens_arr: DataFrame, seed: int = 42) -> DataFrame:
-    """64-bit Charikar SimHash over token hashes, tf-weighted —
-    vectorized bit-vote accumulation per Arrow batch."""
+    """64-bit Charikar SimHash over the doc's UNIQUE token hashes
+    (set semantics) — JVM-side xxhash64 per token, numpy bit-vote
+    accumulation per Arrow batch; no per-byte Python."""
 
     def batch(pdfs):
         for pdf in pdfs:
             fps = []
-            for toks in pdf["tokens"]:
-                th = _shingle_hashes_fnv(list(toks), 1)
+            for th_raw in pdf["thash"]:
+                th = _shingles(np.asarray(th_raw, dtype=np.int64), 1)
                 if th.size == 0:
                     fps.append(0)
                     continue
@@ -239,7 +282,7 @@ def simhash_fingerprints(tokens_arr: DataFrame, seed: int = 42) -> DataFrame:
                 fps.append(fp - (1 << 64) if fp >= (1 << 63) else fp)
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "simhash": fps})
 
-    return tokens_arr.mapInPandas(batch, "doc_id long, simhash long")
+    return token_hashes(tokens_arr).mapInPandas(batch, "doc_id long, simhash long")
 
 
 def simhash_near_duplicates(

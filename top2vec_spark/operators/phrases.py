@@ -72,3 +72,36 @@ def find_phrases(
         "pair_count",
         "score",
     )
+
+
+def tokens_with_phrases(tokens: DataFrame, phrases: DataFrame) -> DataFrame:
+    """ngram_vocab path (reference top2vec.py:876-890): AUGMENT the
+    token stream with one pseudo-token per occurrence of each mined
+    phrase — "machine learning" becomes a first-class vocabulary term
+    with its own df/cf/postings, so multi-word keywords retrieve
+    through the same index as unigrams.
+
+    Documented deviation: gensim's Phrases REPLACES the constituent
+    pair in the stream; we ADD the phrase token and keep the unigrams,
+    so all unigram statistics (and every existing oracle) stay
+    unchanged while phrases become searchable. The extra rows are
+    bounded by the mined-phrase occurrence count.
+
+    Plan shape: the phrase table joins BROADCAST against the adjacent
+    -pair stream (phrases are a bounded dimension — min_count filters
+    the tail), so the only wide work is the same per-doc lead() window
+    bigram_counts already does."""
+    w = W.partitionBy("doc_id").orderBy("pos")
+    pairs = tokens.withColumn("term_b", F.lead("term").over(w)).filter(
+        F.col("term_b").isNotNull()
+    )
+    ph = phrases.select(
+        F.col("term_a").alias("_pa"),
+        F.col("term_b").alias("_pb"),
+        "phrase",
+    )
+    phrase_tokens = pairs.join(
+        F.broadcast(ph),
+        (F.col("term") == F.col("_pa")) & (F.col("term_b") == F.col("_pb")),
+    ).select("doc_id", "pos", F.col("phrase").alias("term"))
+    return tokens.select("doc_id", "pos", "term").unionByName(phrase_tokens)

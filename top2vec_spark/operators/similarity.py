@@ -122,14 +122,14 @@ def ivf_build(
     At 10^12 rows the assigned table is written partitioned by cell so
     queries prune to n_probe cells (partition pruning, like postings
     buckets)."""
-    samp = np.vstack(
-        [
-            r[vec_col]
-            for r in embeddings.select(vec_col)
-            .limit(sample)
-            .collect()
-        ]
-    ).astype(np.float64)
+    # uniform .sample(), NOT .limit(): limit takes the first partitions
+    # only, which biases the centroids on sorted/clustered data
+    n_total = embeddings.count()
+    frac = min(1.0, (sample * 1.25) / max(n_total, 1))
+    samp_df = (
+        embeddings.select(vec_col).sample(fraction=frac, seed=seed).limit(sample)
+    )
+    samp = np.vstack([r[vec_col] for r in samp_df.collect()]).astype(np.float64)
     samp /= np.maximum(np.linalg.norm(samp, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)
     cents = samp[rng.choice(samp.shape[0], size=min(n_cells, samp.shape[0]), replace=False)]
@@ -250,4 +250,48 @@ def assign_nearest(
 
     return embeddings.select("vec_id", "embedding").mapInPandas(
         batch, "vec_id long, assigned_label long, score double"
+    )
+
+
+def assign_topn(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    n: int,
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-vector top-N nearest centroids (W4; reference
+    get_documents_topics num_topics>1, top2vec.py:1873-1958):
+    broadcast centroid matrix, numpy matmul per Arrow batch, argsort
+    top-N, exploded to (vec_id, rank, label, score) — rank 1 = best,
+    ties broken label ASC (lexsort)."""
+    cent_rows = sorted(centroids.collect(), key=lambda r: r[label_col])
+    labels = np.array([r[label_col] for r in cent_rows], dtype=np.int64)
+    mat = np.vstack([r["centroid"] for r in cent_rows]).astype(np.float64)
+    n = min(n, labels.size)
+    bc = embeddings.sparkSession.sparkContext.broadcast((labels, mat))
+
+    def batch(pdfs):
+        lb, m = bc.value
+        idx_lb = np.arange(lb.size)
+        for pdf in pdfs:
+            v = _as_matrix(pdf["embedding"]).astype(np.float64)
+            v = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+            sims = v @ m.T
+            # top-n per row: score DESC, label ASC (labels pre-sorted,
+            # stable argsort keeps the contract)
+            order = np.argsort(-sims, axis=1, kind="stable")[:, :n]
+            rows = np.repeat(pdf["vec_id"].to_numpy(), n)
+            ranks = np.tile(np.arange(1, n + 1), len(pdf))
+            flat = order.ravel()
+            yield pd.DataFrame(
+                {
+                    "vec_id": rows,
+                    "rank": ranks.astype(np.int32),
+                    "label": lb[flat],
+                    "score": sims[np.repeat(np.arange(len(pdf)), n), flat],
+                }
+            )
+
+    return embeddings.select("vec_id", "embedding").mapInPandas(
+        batch, "vec_id long, rank int, label long, score double"
     )

@@ -15,24 +15,48 @@ from pyspark.sql import functions as F
 from top2vec_spark.functions.tokenizer import sql_tokens_expr, tokenize_udf
 
 
+def custom_tokenizer_udf(tokenizer):
+    """Wrap a user tokenizer callable (str -> list[str]) as an
+    Arrow-batched pandas UDF — the reference's tokenizer hook
+    (top2vec.py:411-415, H1/T7). Documented SLOW path: the callable
+    runs per row inside the batch (Arrow transfer is vectorized, the
+    user code is not); the built-in contract tokenizer stays
+    C-level/codegen."""
+    import pandas as pd
+
+    def _apply(texts):
+        return texts.fillna("").map(tokenizer)
+
+    # real (non-stringified) hints: this module uses PEP-563 lazy
+    # annotations, which pyspark's pandas_udf can't resolve for a
+    # locally-imported pd
+    _apply.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    return F.pandas_udf(_apply, "array<string>")
+
+
 def tokenize_docs(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     ascii_fast_path: bool = False,
+    tokenizer=None,
 ) -> DataFrame:
     """Return tokens(doc_id, pos, term).
 
     ``ascii_fast_path=True`` uses the pure-JVM tokenizer (whole-stage
     codegen, zero Python) — valid when the corpus is known ASCII; the
     default Arrow pandas UDF implements the full unicode contract.
-    ``pos`` is the 0-based token position within the document
-    (post-filter positions, matching the reference's tokenized list
-    indices).
+    ``tokenizer`` (a str -> list[str] callable) overrides both — the
+    reference's custom-tokenizer seam. ``pos`` is the 0-based token
+    position within the document (post-filter positions, matching the
+    reference's tokenized list indices).
     """
-    toks = (
-        sql_tokens_expr(text_col) if ascii_fast_path else tokenize_udf(F.col(text_col))
-    )
+    if tokenizer is not None:
+        toks = custom_tokenizer_udf(tokenizer)(F.col(text_col))
+    elif ascii_fast_path:
+        toks = sql_tokens_expr(text_col)
+    else:
+        toks = tokenize_udf(F.col(text_col))
     return (
         docs.select(F.col(id_col).alias("doc_id"), toks.alias("_toks"))
         .select("doc_id", F.posexplode("_toks").alias("pos", "term"))

@@ -48,17 +48,16 @@ def renumber_topics_by_size(doc_topic: DataFrame) -> DataFrame:
     )
 
 
-def topic_words_ctfidf(
-    tf: DataFrame, doc_topic: DataFrame, top_n: int = 50, round_digits: int | None = None
+def ctfidf_scores(
+    tf: DataFrame, doc_topic: DataFrame, round_digits: int | None = None
 ) -> DataFrame:
-    """W3 re-expression: top-N words per topic by c-TF-IDF.
+    """Full (topic_id, term, ctfidf) relation — the scoring core
+    behind both per-topic top-N words (W3) and keyword->topic search.
 
     c-TF-IDF(t, c) = tf(t, c)/len(c) * ln(1 + avg_len / cf(t))
     (class-based TF-IDF over topic-concatenated documents — public
-    BERTopic formulation). Ranks via row_number window partitioned by
-    topic, like the reference's per-topic top-50 (top2vec.py:1188-1203).
-    Input tf: (doc_id, term, tf), doc_topic: (doc_id, topic_id).
-    """
+    BERTopic formulation). Input tf: (doc_id, term, tf),
+    doc_topic: (doc_id, topic_id)."""
     ttf = (
         tf.join(doc_topic, "doc_id")
         .groupBy("topic_id", "term")
@@ -80,6 +79,16 @@ def topic_words_ctfidf(
         # oracle-compare mode: rank on the rounded value so 1-ulp
         # libm-vs-JVM log noise can't flip rank boundaries
         scored = scored.withColumn("ctfidf", F.round("ctfidf", round_digits))
+    return scored.select("topic_id", "term", "ctfidf")
+
+
+def topic_words_ctfidf(
+    tf: DataFrame, doc_topic: DataFrame, top_n: int = 50, round_digits: int | None = None
+) -> DataFrame:
+    """W3 re-expression: top-N words per topic by c-TF-IDF. Ranks via
+    row_number window partitioned by topic, like the reference's
+    per-topic top-50 (top2vec.py:1188-1203)."""
+    scored = ctfidf_scores(tf, doc_topic, round_digits=round_digits)
     w = W.partitionBy("topic_id").orderBy(
         F.col("ctfidf").desc(), F.col("term").asc()
     )
@@ -88,6 +97,87 @@ def topic_words_ctfidf(
         .filter(F.col("rank") <= top_n)
         .select("topic_id", "rank", "term", "ctfidf")
     )
+
+
+def search_topics_scores(
+    ctfidf: DataFrame,
+    keywords,
+    keywords_neg=(),
+    num_topics: int | None = None,
+    round_digits: int | None = None,
+) -> DataFrame:
+    """Keyword -> topic search (reference search_topics,
+    top2vec.py:3015-3079, re-expressed lexically): score(topic) =
+    sum of c-TF-IDF of positive keywords minus negative keywords.
+    Topics where no query term occurs score 0 and are excluded (the
+    reference's cosine ranking likewise never surfaces unrelated
+    topics first). Returns (topic_id, score) DESC, topic_id ASC."""
+    pos = [k.lower() for k in keywords]
+    neg = [k.lower() for k in keywords_neg]
+    q = [(t, 1.0) for t in pos] + [(t, -1.0) for t in neg]
+    qdf = ctfidf.sparkSession.createDataFrame(q, "term string, sign double")
+    scored = (
+        ctfidf.join(F.broadcast(qdf), "term")
+        .groupBy("topic_id")
+        .agg(F.sum(F.col("sign") * F.col("ctfidf")).alias("score"))
+    )
+    if round_digits is not None:
+        scored = scored.select(
+            "topic_id", F.round("score", round_digits).alias("score")
+        )
+    out = scored.orderBy(F.col("score").desc(), F.col("topic_id").asc())
+    return out.limit(num_topics) if num_topics is not None else out
+
+
+def reduced_topic_mapping(
+    hierarchy: list[list[int]], sizes: dict[int, int]
+) -> tuple[dict[int, int], list[list[int]]]:
+    """Original-topic -> reduced-topic id mapping. Reduced topics are
+    renumbered by merged size DESC (tie: smallest original member
+    ASC), mirroring the reference's size ordering of reduced topics
+    (top2vec.py:2365-2376). Returns (mapping, hierarchy reordered by
+    the new ids)."""
+    groups = [(sum(sizes[t] for t in grp), -min(grp), grp) for grp in hierarchy]
+    groups.sort(key=lambda x: (-x[0], -x[1]))
+    mapping: dict[int, int] = {}
+    ordered = []
+    for new_id, (_, _, grp) in enumerate(groups):
+        ordered.append(sorted(grp))
+        for orig in grp:
+            mapping[orig] = new_id
+    return mapping, ordered
+
+
+def merge_duplicate_topics(
+    centroids: dict[int, np.ndarray], threshold: float = 0.9
+) -> dict[int, int]:
+    """U3 (reference top2vec.py:1064-1086): merge topics whose
+    (unit-normalized) centroids are near-duplicates — cosine >
+    threshold — into the smallest-id member of their connected
+    component (union-find over the similarity graph; the reference
+    uses dbscan eps=1-threshold over the topic vectors, which on a
+    thresholded similarity graph is exactly connected components).
+    Driver-side: topic counts are tiny. Returns old_id -> merged_id."""
+    ids = sorted(centroids)
+    cents = {
+        t: centroids[t] / (np.linalg.norm(centroids[t]) or 1.0) for t in ids
+    }
+    parent = {t: t for t in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            if float(np.dot(cents[a], cents[b])) > threshold:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    lo, hi = min(ra, rb), max(ra, rb)
+                    parent[hi] = lo
+    return {t: find(t) for t in ids}
 
 
 def search_documents_by_topic(
