@@ -285,6 +285,21 @@ def _q_assign_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs — exact small-scale
+    variant (operators/similarity.embedding_near_duplicates_exact);
+    the LSH-bucketed scale path is pytest-pinned for recall against
+    this. Threshold 0.35: the synthetic embeddings are well-separated
+    (max pairwise cosine 0.51), so a production-style 0.95 threshold
+    would make the check vacuous."""
+    from top2vec_spark.operators.similarity import embedding_near_duplicates_exact
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_near_duplicates_exact(
+        emb, threshold=0.35, round_digits=6
+    ).orderBy("vec_id_a", "vec_id_b")
+
+
 def _q_bigram_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
     from top2vec_spark.operators.phrases import find_phrases
 
@@ -439,6 +454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_features": _q_quality,
         "lang_id": _q_lang_id,
         "cosine_top10": _q_cosine_top10,
+        "emb_near_dup": _q_emb_near_dup,
         "centroids_by_pos": _q_centroids_by_pos,
         "assign_nearest": _q_assign_nearest,
     }
@@ -643,6 +659,22 @@ SELECT vec_id,
                 * sqrt(list_dot_product(q.e, q.e))), 6) AS score
 FROM embeddings, q
 ORDER BY score DESC, vec_id ASC LIMIT 10
+""",
+        "emb_near_dup": """
+WITH n AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+           x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+         ) AS v
+  FROM embeddings
+),
+p AS (
+  SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+         round(list_dot_product(a.v, b.v), 6) AS cosine
+  FROM n a JOIN n b ON a.vec_id < b.vec_id
+)
+SELECT vec_id_a, vec_id_b, cosine FROM p
+WHERE cosine >= 0.35 ORDER BY vec_id_a, vec_id_b
 """,
         "centroids_by_pos": f"""
 WITH {_CENTROIDS_CTE},

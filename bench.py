@@ -85,6 +85,18 @@ def main() -> None:
             reps.append(time.time() - tq)
         p50 = statistics.median(reps)
 
+        # bucketed serving table: per-query Exchange elided entirely
+        # (PostingsIndex.register_bucketed; plan pinned in test_wand)
+        t0b = time.time()
+        index.register_bucketed(shard_buckets=CPUS)
+        timings["register_bucketed"] = round(time.time() - t0b, 3)
+        reps_b = []
+        for _ in range(P50_REPEATS):
+            tq = time.time()
+            wand_topk(spark, index, q, g, K).collect()
+            reps_b.append(time.time() - tq)
+        p50_bucketed = statistics.median(reps_b)
+
         total = t_build + sum(lat)
         sf = SF_DIR.rstrip("/").split("sf")[-1]
         print(
@@ -98,10 +110,13 @@ def main() -> None:
                     "n_docs": n_docs,
                     "docs_per_sec": round(n_docs / t_build, 1),
                     "query_p50_sec": round(p50, 4),
+                    "query_p50_bucketed_sec": round(p50_bucketed, 4),
                 }
             )
         )
     finally:
+        if "index" in dir() and getattr(index, "bucketed_table", None):
+            spark.sql(f"DROP TABLE IF EXISTS {index.bucketed_table}")
         shutil.rmtree(idx_dir, ignore_errors=True)
         spark.stop()
 

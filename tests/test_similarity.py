@@ -101,3 +101,41 @@ def test_assign_nearest(emb, emb_np):
     best = np.argmax(matn @ cm.T, axis=1)
     for i, vid in enumerate(ids):
         assert got[int(vid)] == lbs[best[i]]
+
+
+def test_embedding_near_dup_lsh_vs_exact(spark):
+    """LSH-bucketed near-dup: exact-verified (no false positives) and
+    high recall vs the exact all-pairs operator on tight clusters."""
+    import numpy as np
+
+    from top2vec_spark.operators.similarity import (
+        embedding_near_duplicates_exact,
+        embedding_near_duplicates_lsh,
+    )
+
+    rng = np.random.default_rng(5)
+    rows = []
+    vid = 0
+    for c in range(30):
+        base = rng.normal(size=16)
+        base /= np.linalg.norm(base)
+        for _ in range(10):
+            v = base + rng.normal(scale=0.02, size=16)  # cosine ~0.999
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    exact = {
+        (r["vec_id_a"], r["vec_id_b"])
+        for r in embedding_near_duplicates_exact(emb, threshold=0.98).collect()
+    }
+    lsh = {
+        (r["vec_id_a"], r["vec_id_b"])
+        for r in embedding_near_duplicates_lsh(
+            emb, threshold=0.98, n_tables=8, bits=16
+        ).collect()
+    }
+    assert lsh <= exact  # candidates are exact-verified: no false pos
+    assert len(exact) > 0
+    recall = len(lsh) / len(exact)
+    assert recall >= 0.95, recall

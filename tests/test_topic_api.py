@@ -209,3 +209,21 @@ def test_custom_chunker_hook(spark, tiny_docs):
     # default path: sequential over tokens
     seq = eng.chunk_documents(chunk_length=3).collect()
     assert all(len(r["chunk"]) <= 3 for r in seq)
+
+
+def test_documents_topic_distribution(engine):
+    dist = engine.get_documents_topic_distribution([3, 7]).collect()
+    n = engine.get_num_topics()
+    by_doc = {}
+    for r in dist:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == {3, 7}
+    for d, rows in by_doc.items():
+        assert len(rows) == n  # one row per topic
+        total = sum(r["probability"] for r in rows)
+        assert abs(total - 1.0) < 1e-9
+        assert all(r["probability"] >= 0 for r in rows)
+        # argmax equals the stored assignment
+        best = max(rows, key=lambda r: r["probability"])["topic_id"]
+        stored = engine.doc_topic.filter(F.col("doc_id") == d).first()["topic_id"]
+        assert best == stored

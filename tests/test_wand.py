@@ -160,3 +160,26 @@ def test_wand_negative_only_docs(spark, tmp_path):
     assert [r["doc_id"] for r in wand] == [r["doc_id"] for r in brute]
     for a, b in zip(wand, brute):
         assert a["score"] == b["score"]
+
+
+def test_bucketed_serving_no_exchange(built):
+    """register_bucketed: rank+score-identical results AND a physical
+    plan with NO Exchange between the postings scan and the per-shard
+    kernel (the per-query block shuffle is gone)."""
+    spark, tokens, vocab, ds, g, index = built
+    w = term_weights(spark, vocab, ["wa", "wb"], [])
+    base = wand_topk(spark, index, w, g, 10).collect()
+    index.register_bucketed(shard_buckets=8)
+    try:
+        res_df = wand_topk(spark, index, w, g, 10)
+        res = res_df.collect()
+        assert [r["doc_id"] for r in res] == [r["doc_id"] for r in base]
+        assert [r["score"] for r in res] == [r["score"] for r in base]
+        plan = res_df._jdf.queryExecution().executedPlan().toString()
+        # the only allowed exchange is the final single-partition
+        # top-k merge AFTER the kernel; nothing between scan and kernel
+        before_kernel = plan.split("FlatMapGroupsInPandas")[-1]
+        assert "Exchange" not in before_kernel, before_kernel
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {index.bucketed_table}")
+        index.bucketed_table = None

@@ -22,7 +22,8 @@ import tempfile
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 N_DOCS = int(os.environ.get("SCALING_N_DOCS", "50000"))
-LOW, HIGH = 8, 32
+LOW = int(os.environ.get("SCALING_LOW", "8"))
+HIGH = int(os.environ.get("SCALING_HIGH", "32"))
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
@@ -57,15 +58,47 @@ def main() -> None:
     print(f"generating {N_DOCS} synthetic pages...", file=sys.stderr)
     gen_input(input_path)
 
-    results = {}
-    for cpus in (LOW, HIGH):
-        print(f"running local[{cpus}]...", file=sys.stderr)
-        results[cpus] = run(cpus, input_path)
-        print(results[cpus], file=sys.stderr)
+    reps = int(os.environ.get("SCALING_REPS", "3"))
+    runs: dict[int, list] = {LOW: [], HIGH: []}
+    for i in range(reps):
+        # alternate order per rep so host co-tenant noise (identical
+        # runs vary up to 2x on this VM) doesn't bias one level
+        order = (LOW, HIGH) if i % 2 == 0 else (HIGH, LOW)
+        for cpus in order:
+            print(f"rep {i + 1}/{reps} local[{cpus}]...", file=sys.stderr)
+            r = run(cpus, input_path)
+            runs[cpus].append(r)
+            print(r, file=sys.stderr)
 
-    t_low, t_high = results[LOW]["build_sec"], results[HIGH]["build_sec"]
+    # per-rep efficiency + best pair (min time at each level: the
+    # least-noise-contaminated estimate on a shared box)
+    per_rep_eff = [
+        round(
+            (runs[LOW][i]["build_sec"] / runs[HIGH][i]["build_sec"]) / (HIGH / LOW),
+            3,
+        )
+        for i in range(reps)
+    ]
+    t_low = min(r["build_sec"] for r in runs[LOW])
+    t_high = min(r["build_sec"] for r in runs[HIGH])
+    results = {
+        LOW: min(runs[LOW], key=lambda r: r["build_sec"]),
+        HIGH: min(runs[HIGH], key=lambda r: r["build_sec"]),
+    }
     speedup = t_low / t_high
     efficiency = speedup / (HIGH / LOW)
+
+    def stage_rows() -> str:
+        st_low = results[LOW].get("stages", {})
+        st_high = results[HIGH].get("stages", {})
+        lines = ["", "Per-stage seconds (best run each level):", "",
+                 "| stage | local[8] | local[32] | speedup |", "|---|---|---|---|"]
+        for st in ("tf", "vocab", "doc_stats", "globals", "postings", "manifest"):
+            a, b = st_low.get(st), st_high.get(st)
+            if a is None or b is None or b == 0:
+                continue
+            lines.append(f"| {st} | {a} | {b} | {a / b:.2f}x |")
+        return "\n".join(lines)
     report = f"""# BENCH/BASELINE — measured numbers
 
 Generated {datetime.datetime.now(datetime.timezone.utc).isoformat()} by
@@ -78,15 +111,20 @@ understates true multi-node scaling).
 compressed postings + manifest), {N_DOCS} synthetic Common-Crawl-style
 pages (FIXTURES.md §1)
 
-| parallelism | build sec | docs/sec | query p50 (BM25 top-10, WAND) |
+| parallelism | build sec (best of {reps}) | docs/sec | query p50 (BM25 top-10, WAND) |
 |---|---|---|---|
 | local[{LOW}]  | {t_low} | {results[LOW]["docs_per_sec"]} | {results[LOW]["query_p50_sec"]}s |
 | local[{HIGH}] | {t_high} | {results[HIGH]["docs_per_sec"]} | {results[HIGH]["query_p50_sec"]}s |
 
 - speedup {LOW}->{HIGH} cores: **{speedup:.2f}x** (ideal {HIGH//LOW}.0x)
-- scaling efficiency: **{efficiency:.3f}** (north-rule target >= 0.8)
+- scaling efficiency (best pair): **{efficiency:.3f}** (north-rule target >= 0.8)
+- per-repetition efficiency (order-alternated): {per_rep_eff}
+{stage_rows()}
 
-Raw JSON:
+All repetitions (build sec): local[{LOW}] {[r["build_sec"] for r in runs[LOW]]},
+local[{HIGH}] {[r["build_sec"] for r in runs[HIGH]]}.
+
+Raw JSON (best runs):
 
 ```json
 {json.dumps(results, indent=2)}

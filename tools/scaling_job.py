@@ -38,6 +38,19 @@ def main() -> None:
         ).build_from_docs(docs, resume=False)
         t_build = time.time() - t0
 
+        # per-stage breakdown from the build's own stage markers
+        # (completed_at timestamps): attributes scaling loss to stages
+        stages = {}
+        prev = t0
+        for st in ("tf", "vocab", "doc_stats", "globals", "postings", "manifest"):
+            try:
+                with open(f"{idx_dir}/_stages/{st}.json") as f:
+                    done_at = json.load(f)["completed_at"]
+                stages[st] = round(done_at - prev, 3)
+                prev = done_at
+            except Exception:
+                pass
+
         index.cache()
         vmap = {
             r["term"]: (r["term_id"], r["df"]) for r in index.vocab.collect()
@@ -56,6 +69,7 @@ def main() -> None:
                     "build_sec": round(t_build, 3),
                     "docs_per_sec": round(n_docs / t_build, 1),
                     "query_p50_sec": round(statistics.median(lats), 4),
+                    "stages": stages,
                 }
             )
         )

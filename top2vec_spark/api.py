@@ -451,6 +451,43 @@ class Top2VecSpark:
             .orderBy("doc_id", "rank")
         )
 
+    def get_documents_topic_distribution(
+        self, doc_ids: Sequence[int], reduced: bool = False
+    ) -> DataFrame:
+        """A6 re-expression (reference contextual per-doc topic
+        distribution, top2vec.py:805-856): a probability distribution
+        over ALL topics per requested doc. The reference derives it
+        from chunk-to-topic assignment proportions of its contextual
+        embeddings; without an embedding model we re-express it as the
+        doc embedding's positive-clipped, sum-normalized similarity to
+        every topic centroid (documented semantics change — same
+        shape/invariants: rows per (doc, topic), probabilities >= 0
+        summing to 1 per doc)."""
+        from pyspark.sql import Window as W
+
+        from top2vec_spark.operators.similarity import assign_topn
+
+        self._validate_doc_ids(doc_ids)
+        if not hasattr(self, "_topic_embeddings"):
+            raise ValueError("compute_topics(embeddings) must run first")
+        n = self.get_num_topics(reduced=reduced)
+        emb = self._topic_embeddings.filter(F.col("vec_id").isin(list(doc_ids)))
+        scored = assign_topn(emb, self._centroid_df(reduced), n)
+        pos = F.greatest(F.col("score"), F.lit(0.0))
+        w = W.partitionBy("vec_id")
+        return (
+            scored.withColumn("_p", pos)
+            .withColumn("_z", F.sum("_p").over(w))
+            .select(
+                F.col("vec_id").alias("doc_id"),
+                F.col("label").alias("topic_id"),
+                F.when(F.col("_z") > 0, F.col("_p") / F.col("_z"))
+                .otherwise(F.lit(1.0) / F.lit(float(n)))
+                .alias("probability"),
+            )
+            .orderBy("doc_id", "topic_id")
+        )
+
     def search_topics(
         self,
         keywords: Sequence[str],

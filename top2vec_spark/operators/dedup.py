@@ -286,10 +286,17 @@ def simhash_fingerprints(tokens_arr: DataFrame, seed: int = 42) -> DataFrame:
 
 
 def simhash_near_duplicates(
-    fingerprints: DataFrame, max_hamming: int = 3, n_tables: int = 4
+    fingerprints: DataFrame,
+    max_hamming: int = 3,
+    n_tables: int = 4,
+    bucket_cap: int = 256,
 ) -> DataFrame:
     """Candidate generation by 16-bit prefix of n_tables rotations,
-    verified by exact Hamming distance (<= max_hamming)."""
+    verified by exact Hamming distance (<= max_hamming). Buckets above
+    ``bucket_cap`` (near-identical-content clusters) degrade to STAR
+    pairs against the bucket minimum — O(n) per bucket instead of
+    O(n^2), still connecting the cluster for dedup (same policy as the
+    MinHash LSH bucket cap; nothing is silently dropped)."""
     rot = fingerprints
     parts = []
     for t in range(n_tables):
@@ -307,11 +314,15 @@ def simhash_near_duplicates(
         fps = pdf["simhash"].to_numpy().astype(np.int64)
         order = np.argsort(ids)
         ids, fps = ids[order], fps[order]
-        if ids.size < 2 or ids.size > 256:
+        if ids.size < 2:
             return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []}).astype(
                 {"doc_a": "int64", "doc_b": "int64", "hamming": "int32"}
             )
-        ii, jj = np.triu_indices(ids.size, k=1)
+        if ids.size > bucket_cap:  # star-pair degrade, not a drop
+            ii = np.zeros(ids.size - 1, dtype=np.int64)
+            jj = np.arange(1, ids.size)
+        else:
+            ii, jj = np.triu_indices(ids.size, k=1)
         x = np.bitwise_xor(fps[ii], fps[jj]).astype(np.uint64)
         ham = np.zeros(x.shape, dtype=np.int32)
         while x.any():

@@ -214,6 +214,80 @@ def encode_partition(
         yield pd.DataFrame(out, columns=_OUT_COLS)
 
 
+def encode_partition_sidecar(
+    pdfs,
+    block_size: int,
+    k1: float,
+    b: float,
+    n_docs: int,
+    avgdl: float,
+    df_map,
+    stats_path: str,
+):
+    """Slim-shuffle encode kernel: rows arrive as
+    (term_id int32, shard int32, doc_id int64, tf int32) — HALF the
+    bytes of the dl-carrying form — sorted SHARD-MAJOR
+    (shard, term_id, doc_id). Document lengths are side-read from the
+    shard-partitioned doc_stats sidecar exactly like the WAND query
+    kernel: shard-major ordering means one sidecar (a few MB) is live
+    at a time, loaded once per contiguous shard segment — bounded
+    memory at any scale, zero dl bytes through the big shuffle."""
+    import math
+
+    chunks = list(pdfs)
+    if not chunks:
+        return
+    pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+    tid = pdf["term_id"].to_numpy().astype(np.int64)
+    shard = pdf["shard"].to_numpy().astype(np.int64)
+    doc = pdf["doc_id"].to_numpy().astype(np.int64)
+    tf = pdf["tf"].to_numpy().astype(np.int64)
+
+    change = np.flatnonzero((shard[1:] != shard[:-1]) | (tid[1:] != tid[:-1]))
+    starts = np.concatenate(([0], change + 1))
+    ends = np.concatenate((change + 1, [tid.size]))
+
+    out: list = []
+    idf_cache: dict[int, float] = {}
+    cur_shard, s_ids, s_dl = None, None, None
+    for s, e in zip(starts, ends):
+        sh = int(shard[s])
+        if sh != cur_shard:
+            stats_pdf = pd.read_parquet(
+                f"{stats_path}/shard={sh}", columns=["doc_id", "dl"]
+            )
+            ids = stats_pdf["doc_id"].to_numpy().astype(np.int64)
+            order = np.argsort(ids)
+            s_ids = ids[order]
+            s_dl = stats_pdf["dl"].to_numpy().astype(np.float64)[order]
+            cur_shard = sh
+        t_id = int(tid[s])
+        idf = idf_cache.get(t_id)
+        if idf is None:
+            df_val = int(df_map[t_id])
+            idf = math.log(1.0 + (n_docs - df_val + 0.5) / (df_val + 0.5))
+            idf_cache[t_id] = idf
+        d = doc[s:e]
+        t = tf[s:e].astype(np.float64)
+        dl = s_dl[np.searchsorted(s_ids, d)]
+        tf_part = (t * (k1 + 1.0)) / (t + k1 * (1.0 - b + b * dl / avgdl))
+        encode_sorted_run(
+            t_id,
+            sh,
+            d,
+            tf[s:e],
+            idf * tf_part,
+            dl.astype(np.int64),
+            block_size,
+            out,
+        )
+        if len(out) >= 2000:
+            yield pd.DataFrame(out, columns=_OUT_COLS)
+            out = []
+    if out:
+        yield pd.DataFrame(out, columns=_OUT_COLS)
+
+
 def build_postings_from_tf(
     tf: DataFrame,
     vocab: DataFrame,
@@ -221,27 +295,74 @@ def build_postings_from_tf(
     cfg: BM25Config = BM25Config(),
     docs_per_shard: int = DEFAULT_DOCS_PER_SHARD,
     block_size: int = POSTING_BLOCK_SIZE,
+    stats_path: str | None = None,
 ) -> DataFrame:
     """tf(doc_id, term, tf, dl) + vocab -> compressed postings
-    (unsaved). dl travels inside tf, so the only join is the vocab
-    dimension (broadcast) and the only shuffle is the repartition on
-    (term_id, shard) — the salted repartition-by-term.
+    (unsaved). The only join is the vocab dimension (broadcast) and
+    the only shuffle is the repartition on (term_id, shard) — the
+    salted repartition-by-term.
 
-    df rides a broadcast dict (term_id -> df) instead of a shuffle
-    column while the vocabulary fits (8 bytes/row off the big
-    shuffle); above the cap it degrades to the df-column form.
+    Shuffle-row slimming, in preference order:
+    - ``stats_path`` given (the index build: doc_stats is already on
+      disk) + vocab under the broadcast cap: rows shrink to
+      (term_id int32, shard int32, doc_id int64, tf int32) = 20 bytes
+      — df rides a broadcast dict, dl is side-read per shard from the
+      doc_stats sidecar inside the encode kernel (shard-major sort
+      keeps exactly one sidecar live at a time).
+    - no stats_path, vocab under cap: dl travels as a column, df via
+      broadcast dict.
+    - vocab over cap: both df and dl travel as columns (degenerate).
     """
     spark = tf.sparkSession
     k1, b, n_docs, avgdl = cfg.k1, cfg.b, globs.n_docs, globs.avgdl
 
     DF_BROADCAST_CAP = 5_000_000
     df_bc = None
-    if vocab.count() <= DF_BROADCAST_CAP:
+    small_vocab = vocab.count() <= DF_BROADCAST_CAP
+    if small_vocab:
         df_map = {
             int(r["term_id"]): int(r["df"])
             for r in vocab.select("term_id", "df").collect()
         }
         df_bc = spark.sparkContext.broadcast(df_map)
+
+    # THE salted repartition-by-term (north rule): hash-shuffle on
+    # (term_id, shard) spreads head terms across partitions; the
+    # within-partition sort lines up complete runs so ONE mapInPandas
+    # pass encodes every run with vectorized boundary detection —
+    # groupBy().applyInPandas() here would build a pandas frame per
+    # (term, shard) group, whose constant cost dominates when salting
+    # makes groups small (measured 3x slower at fixture scale).
+    # 4x overpartitioning vs cores smooths run-size skew stragglers
+    # (measured: 34s -> 19s at 400k docs / local[32]).
+    n_encode_parts = max(
+        tf.sparkSession.sparkContext.defaultParallelism * 4, 8
+    )
+
+    if small_vocab and stats_path is not None:
+        enriched = (
+            tf.join(F.broadcast(vocab.select("term", "term_id")), "term")
+            .select(
+                F.col("term_id").cast("int").alias("term_id"),
+                (F.col("doc_id") / F.lit(docs_per_shard))
+                .cast("int")
+                .alias("shard"),
+                "doc_id",
+                F.col("tf").cast("int").alias("tf"),
+            )
+        )
+        shuffled = enriched.repartition(
+            n_encode_parts, "term_id", "shard"
+        ).sortWithinPartitions("shard", "term_id", "doc_id")
+
+        def encode_slim(pdfs):
+            yield from encode_partition_sidecar(
+                pdfs, block_size, k1, b, n_docs, avgdl, df_bc.value, stats_path
+            )
+
+        return shuffled.mapInPandas(encode_slim, POSTINGS_SCHEMA)
+
+    if small_vocab:
         enriched = (
             tf.join(F.broadcast(vocab.select("term", "term_id")), "term")
             .withColumn(
@@ -258,18 +379,6 @@ def build_postings_from_tf(
             .select("term_id", "shard", "doc_id", "tf", "df", "dl")
         )
 
-    # THE salted repartition-by-term (north rule): hash-shuffle on
-    # (term_id, shard) spreads head terms across partitions; the
-    # within-partition sort lines up complete runs so ONE mapInPandas
-    # pass encodes every run with vectorized boundary detection —
-    # groupBy().applyInPandas() here would build a pandas frame per
-    # (term, shard) group, whose constant cost dominates when salting
-    # makes groups small (measured 3x slower at fixture scale).
-    # 4x overpartitioning vs cores smooths run-size skew stragglers
-    # (measured: 34s -> 19s at 400k docs / local[32]).
-    n_encode_parts = max(
-        tf.sparkSession.sparkContext.defaultParallelism * 4, 8
-    )
     shuffled = enriched.repartition(
         n_encode_parts, "term_id", "shard"
     ).sortWithinPartitions("term_id", "shard", "doc_id")

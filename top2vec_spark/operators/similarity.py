@@ -180,6 +180,131 @@ def ivf_topk(
 
 
 # ---------------------------------------------------------------------------
+# embedding-cosine near-duplicate detection (training-data pipeline)
+# ---------------------------------------------------------------------------
+def embedding_near_duplicates_exact(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int | None = None,
+) -> DataFrame:
+    """All pairs (a < b) with cosine >= threshold — EXACT, O(n^2)
+    column expressions (zip_with dot product on the self-join). This
+    is the small-scale oracle / verifier; the scale path is the LSH
+    variant below. Returns (vec_id_a, vec_id_b, cosine).
+    ``round_digits`` rounds BEFORE thresholding so the boundary is
+    deterministic across engines (oracle-compare mode)."""
+    normed = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.transform(
+            F.col(vec_col).cast("array<double>"),
+            lambda x: x
+            / F.sqrt(
+                F.aggregate(
+                    F.transform(F.col(vec_col).cast("array<double>"), lambda a: a * a),
+                    F.lit(0.0),
+                    lambda s, v: s + v,
+                )
+            ),
+        ).alias("v"),
+    )
+    a = normed.select(F.col("id").alias("vec_id_a"), F.col("v").alias("va"))
+    b = normed.select(F.col("id").alias("vec_id_b"), F.col("v").alias("vb"))
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v
+    )
+    cosine = F.round(dot, round_digits) if round_digits is not None else dot
+    return (
+        a.crossJoin(b)
+        .filter(F.col("vec_id_a") < F.col("vec_id_b"))
+        .withColumn("cosine", cosine)
+        .filter(F.col("cosine") >= threshold)
+        .select("vec_id_a", "vec_id_b", "cosine")
+    )
+
+
+def embedding_near_duplicates_lsh(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_tables: int = 8,
+    bits: int = 16,
+    bucket_cap: int = 512,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scale path: random-hyperplane LSH (signed projections ->
+    ``bits``-bit bucket key per table), candidates generated inside
+    buckets only, verified by EXACT cosine (numpy matmul per bucket).
+    Shuffle volume is O(n * n_tables) key-pairs — never all-pairs.
+    Buckets above ``bucket_cap`` degrade to star pairs vs the bucket
+    minimum (same policy as MinHash/SimHash caps). Recall is tunable
+    via n_tables/bits (pytest pins recall vs the exact operator)."""
+    first = embeddings.select(vec_col).first()
+    dim = len(first[vec_col])
+    rng = np.random.default_rng(seed)
+    planes = rng.normal(size=(n_tables, bits, dim))
+    bc = embeddings.sparkSession.sparkContext.broadcast(planes)
+
+    def bucketize(pdfs):
+        pl = bc.value
+        pw = 1 << np.arange(bits, dtype=np.int64)
+        for pdf in pdfs:
+            m = _as_matrix(pdf["v"]).astype(np.float64)
+            m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+            vids = pdf["_id"].to_numpy()
+            out_id, out_tbl, out_bkt = [], [], []
+            for t in range(pl.shape[0]):
+                signs = (m @ pl[t].T) > 0  # (rows, bits)
+                out_id.append(vids)
+                out_tbl.append(np.full(vids.size, t, dtype=np.int32))
+                out_bkt.append((signs.astype(np.int64) * pw).sum(axis=1))
+            yield pd.DataFrame(
+                {
+                    "_id": np.concatenate(out_id),
+                    "tbl": np.concatenate(out_tbl),
+                    "bucket": np.concatenate(out_bkt),
+                    "v": list(pdf["v"]) * pl.shape[0],
+                }
+            )
+
+    banded = embeddings.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).mapInPandas(bucketize, "_id long, tbl int, bucket long, v array<double>")
+
+    def pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["_id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        m = _as_matrix(pdf["v"].iloc[order]).astype(np.float64)
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        if ids.size < 2:
+            return pd.DataFrame(
+                {"vec_id_a": [], "vec_id_b": [], "cosine": []}
+            ).astype({"vec_id_a": "int64", "vec_id_b": "int64", "cosine": "float64"})
+        if ids.size > bucket_cap:  # star-pair degrade
+            ii = np.zeros(ids.size - 1, dtype=np.int64)
+            jj = np.arange(1, ids.size)
+            cos = (m[jj] * m[0]).sum(axis=1)
+        else:
+            ii, jj = np.triu_indices(ids.size, k=1)
+            cos = (m @ m.T)[ii, jj]
+        keep = cos >= threshold
+        return pd.DataFrame(
+            {"vec_id_a": ids[ii][keep], "vec_id_b": ids[jj][keep], "cosine": cos[keep]}
+        )
+
+    return (
+        banded.groupBy("tbl", "bucket")
+        .applyInPandas(pairs, "vec_id_a long, vec_id_b long, cosine double")
+        .groupBy("vec_id_a", "vec_id_b")
+        .agg(F.max("cosine").alias("cosine"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # centroid / nearest-centroid (SURVEY.md A3 / K5 over `embeddings`)
 # ---------------------------------------------------------------------------
 def label_centroids(

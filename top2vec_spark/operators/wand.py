@@ -9,6 +9,15 @@ sub-index for its doc range. The query plan is:
       groupBy(shard).applyInPandas(shard kernel)   -> ≤k rows/shard
       ORDER BY score DESC, doc_id LIMIT k          <- TakeOrderedAndProject
 
+With a bucketed serving table (PostingsIndex.register_bucketed:
+bucketBy(shard) + partitionBy(bucket)), the scan's HashPartitioning
+already satisfies the groupBy's ClusteredDistribution, so the plan has
+NO Exchange at all between scan and kernel (pinned by
+tests/test_wand.py::test_bucketed_serving_no_exchange) — matching
+blocks are read where they live instead of reshuffled per query, which
+is the difference between O(query-blocks moved) and O(0 moved) on a
+head-term query at 10^12 docs.
+
 Document lengths (dl) are NOT shuffled per query: the index build
 writes doc_stats partitioned by shard (plans/build.py), and the kernel
 side-reads only its own shard's parquet file — the Spark analogue of
@@ -296,7 +305,15 @@ def wand_topk(
     term_ids = sorted(qinfo)
     buckets = sorted({t % index.n_buckets for t in term_ids})
 
-    blocks = index.postings.filter(
+    # bucketed serving table (PostingsIndex.register_bucketed): the
+    # scan's hash distribution on shard satisfies the groupBy below,
+    # so the per-query Exchange of posting blocks is elided entirely
+    src = (
+        spark.table(index.bucketed_table)
+        if getattr(index, "bucketed_table", None)
+        else index.postings
+    )
+    blocks = src.filter(
         F.col("bucket").isin(buckets) & F.col("term_id").isin(term_ids)
     )
     # tombstoned docs (U2 deletes) are excluded exactly like
