@@ -88,7 +88,7 @@ def main() -> None:
         # bucketed serving table: per-query Exchange elided entirely
         # (PostingsIndex.register_bucketed; plan pinned in test_wand)
         t0b = time.time()
-        index.register_bucketed(shard_buckets=CPUS)
+        index.register_bucketed(shard_buckets=CPUS, cache=True)
         timings["register_bucketed"] = round(time.time() - t0b, 3)
         reps_b = []
         for _ in range(P50_REPEATS):

@@ -83,3 +83,63 @@ def test_stream_appends_match_batch(spark, tmp_path):
     }
     for r in final.vocab.collect():
         assert df_check[r["term"]] == r["df"]
+
+
+def test_quality_monitor_windows_match_batch(spark, tmp_path):
+    """Watermarked event-time windowed quality stats over a stream
+    equal the same aggregation computed in batch (update mode emits
+    every window; append-mode late-drop semantics are Spark's own)."""
+    import datetime as dt
+
+    from top2vec_spark.streaming.monitor import (
+        quality_window_stats,
+        start_quality_monitor,
+    )
+
+    base = dt.datetime(2026, 1, 1, 12, 0, 0)
+    rows = []
+    for i in range(60):
+        rows.append(
+            (
+                f"https://x/{i:04d}",
+                base + dt.timedelta(seconds=37 * i),
+                ("short text" if i % 7 == 0 else "a reasonably long page body " * 12),
+                "en" if i % 3 else "de",
+            )
+        )
+    pdf = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, text string, lang string"
+    )
+    src = str(tmp_path / "mon_src")
+    pdf.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(pdf.schema).parquet(src)
+    q = start_quality_monitor(
+        stream,
+        str(tmp_path / "mon_ckpt"),
+        sink_table="qmon_test",
+        output_mode="update",  # availableNow + update: all windows emit
+        window="2 minutes",
+        watermark="1 minute",
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        (r["win"]["start"], r["lang"]): (
+            r["n_pages"],
+            round(r["avg_chars"], 6),
+            r["n_short"],
+        )
+        for r in spark.table("qmon_test").collect()
+    }
+    expect = {
+        (r["win"]["start"], r["lang"]): (
+            r["n_pages"],
+            round(r["avg_chars"], 6),
+            r["n_short"],
+        )
+        for r in quality_window_stats(pdf, window="2 minutes").collect()
+    }
+    assert got == expect
+    assert len(expect) > 10  # several windows x langs actually exist

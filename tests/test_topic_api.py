@@ -227,3 +227,72 @@ def test_documents_topic_distribution(engine):
         best = max(rows, key=lambda r: r["probability"])["topic_id"]
         stored = engine.doc_topic.filter(F.col("doc_id") == d).first()["topic_id"]
         assert best == stored
+
+
+def test_noise_label_excluded_from_centroids(spark):
+    """P2: label -1 (cluster noise) never forms a topic; noise docs
+    still get assigned to the nearest real topic."""
+    from top2vec_spark import Top2VecSpark
+
+    rng = np.random.default_rng(3)
+    a = rng.normal(size=6); a /= np.linalg.norm(a)
+    b = rng.normal(size=6); b /= np.linalg.norm(b)
+    rows = []
+    for i in range(20):
+        rows.append((i, [float(x) for x in a + rng.normal(scale=0.02, size=6)], 0))
+    for i in range(20, 30):
+        rows.append((i, [float(x) for x in b + rng.normal(scale=0.02, size=6)], 1))
+    for i in range(30, 35):  # noise
+        rows.append((i, [float(x) for x in rng.normal(size=6)], -1))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    docs = spark.createDataFrame(
+        [(i, f"words here {i}") for i in range(35)], "doc_id long, text string"
+    )
+    eng = Top2VecSpark(spark, docs, ascii_fast_path=True)
+    eng.compute_topics(emb)
+    assert eng.get_num_topics() == 2  # noise never a topic
+    # all 35 docs assigned (noise included)
+    assert eng.doc_topic.count() == 35
+    sizes = sum(r["topic_size"] for r in eng.get_topic_sizes().collect())
+    assert sizes == 35
+
+
+def test_a5_incremental_topic_sizes_on_add_delete(spark):
+    """A5: add_documents with embeddings extends assignments to the
+    nearest EXISTING topic (no retrain); delete shrinks sizes."""
+    from top2vec_spark import Top2VecSpark
+
+    rng = np.random.default_rng(11)
+    a = rng.normal(size=6); a /= np.linalg.norm(a)
+    b = rng.normal(size=6); b /= np.linalg.norm(b)
+    rows, docs_rows = [], []
+    for i in range(20):
+        rows.append((i, [float(x) for x in a + rng.normal(scale=0.02, size=6)], 0))
+        docs_rows.append((i, f"alpha words {i}"))
+    for i in range(20, 30):
+        rows.append((i, [float(x) for x in b + rng.normal(scale=0.02, size=6)], 1))
+        docs_rows.append((i, f"beta words {i}"))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    docs = spark.createDataFrame(docs_rows, "doc_id long, text string")
+    eng = Top2VecSpark(spark, docs, ascii_fast_path=True)
+    eng.compute_topics(emb)
+    sizes0 = {r["topic_id"]: r["topic_size"] for r in eng.get_topic_sizes().collect()}
+    assert sizes0 == {0: 20, 1: 10}
+
+    # 5 new docs near cluster b -> topic 1 grows to 15, no retrain
+    new_docs = spark.createDataFrame(
+        [(100 + i, f"new beta {i}") for i in range(5)], "doc_id long, text string"
+    )
+    new_emb = spark.createDataFrame(
+        [(100 + i, [float(x) for x in b + rng.normal(scale=0.02, size=6)])
+         for i in range(5)],
+        "vec_id long, embedding array<double>",
+    )
+    eng2 = eng.add_documents(new_docs, new_embeddings=new_emb)
+    sizes1 = {r["topic_id"]: r["topic_size"] for r in eng2.get_topic_sizes().collect()}
+    assert sizes1 == {0: 20, 1: 15}
+
+    # delete 3 topic-0 docs -> 17/15
+    eng3 = eng2.delete_documents([0, 1, 2])
+    sizes2 = {r["topic_id"]: r["topic_size"] for r in eng3.get_topic_sizes().collect()}
+    assert sizes2 == {0: 17, 1: 15}

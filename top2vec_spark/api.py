@@ -363,7 +363,11 @@ class Top2VecSpark:
 
         self._topic_embeddings = embeddings
         self._doc_vectors = embeddings  # doubles as the by-vector corpus
-        cents = label_centroids(embeddings)
+        # P2 (reference top2vec.py:1046-1062): cluster label -1 is
+        # HDBSCAN noise — noise docs contribute to NO centroid, but
+        # every doc (noise included) still gets assigned to its
+        # nearest topic, exactly like the reference's doc_top.
+        cents = label_centroids(embeddings.filter(F.col("label") != -1))
         dt = assign_nearest(embeddings, cents).select(
             F.col("vec_id").alias("doc_id"),
             F.col("assigned_label").alias("topic_id"),
@@ -750,7 +754,9 @@ class Top2VecSpark:
             )
 
     # -- mutation (U1/U2) ---------------------------------------------------
-    def add_documents(self, new_docs: DataFrame) -> "Top2VecSpark":
+    def add_documents(
+        self, new_docs: DataFrame, new_embeddings: DataFrame | None = None
+    ) -> "Top2VecSpark":
         """Reference add_documents (top2vec.py:1960-2061): append +
         incremental stats rebuild. Returns a new engine over the
         union; id uniqueness enforced like top2vec.py:512-513.
@@ -759,12 +765,21 @@ class Top2VecSpark:
         (only the new docs are tokenized/encoded — new doc-shards,
         no existing partition rewritten; plans/build.py
         ``append_documents``). New doc_ids are remapped to start at
-        the next shard boundary."""
+        the next shard boundary.
+
+        A5: if topics are computed and ``new_embeddings`` (vec_id ==
+        new doc_id pre-shift, embedding) is given, the new docs are
+        assigned to their nearest EXISTING topic and topic sizes grow
+        incrementally — topic vectors and topic words are NOT
+        retrained, exactly like the reference (top2vec.py:2030-2050
+        extends doc_top without recomputing topic_vectors)."""
+        id_shift = 0
         if self._index is not None:
             lo = self._index.next_doc_id()
             old_min = new_docs.agg(F.min("doc_id")).collect()[0][0]
+            id_shift = int(lo - old_min)
             shifted = new_docs.withColumn(
-                "doc_id", (F.col("doc_id") - F.lit(old_min) + F.lit(lo)).cast("long")
+                "doc_id", (F.col("doc_id") + F.lit(id_shift)).cast("long")
             )
             merged = self.docs.unionByName(shifted, allowMissingColumns=True)
             out = Top2VecSpark(
@@ -775,23 +790,46 @@ class Top2VecSpark:
                 keep_documents=self.keep_documents,
             )
             out._index = self._index.append_documents(shifted, cfg=self.cfg)
-            return out
-        dup = (
-            self.docs.select("doc_id")
-            .join(new_docs.select("doc_id"), "doc_id", "inner")
-            .limit(1)
-            .count()
-        )
-        if dup:
-            raise ValueError("duplicate doc_ids in add_documents")
-        merged = self.docs.unionByName(new_docs, allowMissingColumns=True)
-        return Top2VecSpark(
-            self.spark,
-            merged,
-            min_count=self.min_count,
-            cfg=self.cfg,
-            keep_documents=self.keep_documents,
-        )
+        else:
+            dup = (
+                self.docs.select("doc_id")
+                .join(new_docs.select("doc_id"), "doc_id", "inner")
+                .limit(1)
+                .count()
+            )
+            if dup:
+                raise ValueError("duplicate doc_ids in add_documents")
+            merged = self.docs.unionByName(new_docs, allowMissingColumns=True)
+            out = Top2VecSpark(
+                self.spark,
+                merged,
+                min_count=self.min_count,
+                cfg=self.cfg,
+                keep_documents=self.keep_documents,
+            )
+        if hasattr(self, "doc_topic") and new_embeddings is not None:
+            from top2vec_spark.operators.similarity import assign_nearest
+
+            emb = new_embeddings
+            if id_shift:
+                emb = emb.withColumn(
+                    "vec_id", (F.col("vec_id") + F.lit(id_shift)).cast("long")
+                )
+            new_dt = assign_nearest(emb, self.topic_centroids).select(
+                F.col("vec_id").alias("doc_id"),
+                F.col("assigned_label").alias("topic_id"),
+                "score",
+            )
+            out.doc_topic = self.doc_topic.unionByName(new_dt).cache()
+            out.topic_centroids = self.topic_centroids  # not retrained
+            out.topic_words = self.topic_words  # stale by design (ref parity)
+            out._ctfidf = self._ctfidf
+            out._tf = self._tf
+            out._topic_embeddings = self._topic_embeddings.unionByName(
+                emb, allowMissingColumns=True
+            )
+            out._doc_vectors = out._topic_embeddings
+        return out
 
     def delete_documents(self, doc_ids: Sequence[int]) -> "Top2VecSpark":
         """Reference delete_documents (top2vec.py:2063-2122). With a
@@ -806,15 +844,33 @@ class Top2VecSpark:
         if self._index is not None:
             self._index.delete_documents(doc_ids)
             self.docs = self.docs.filter(~F.col("doc_id").isin(list(doc_ids)))
+            if hasattr(self, "doc_topic"):  # A5: sizes shrink in place
+                self.doc_topic = self.doc_topic.filter(
+                    ~F.col("doc_id").isin(list(doc_ids))
+                )
             return self
         remaining = self.docs.filter(~F.col("doc_id").isin(list(doc_ids)))
-        return Top2VecSpark(
+        out = Top2VecSpark(
             self.spark,
             remaining,
             min_count=self.min_count,
             cfg=self.cfg,
             keep_documents=self.keep_documents,
         )
+        if hasattr(self, "doc_topic"):
+            out.doc_topic = self.doc_topic.filter(
+                ~F.col("doc_id").isin(list(doc_ids))
+            )
+            out.topic_centroids = self.topic_centroids
+            out.topic_words = self.topic_words
+            out._ctfidf = self._ctfidf
+            out._tf = self._tf
+            if hasattr(self, "_topic_embeddings"):
+                out._topic_embeddings = self._topic_embeddings.filter(
+                    ~F.col("vec_id").isin(list(doc_ids))
+                )
+                out._doc_vectors = out._topic_embeddings
+        return out
 
     # -- helpers ------------------------------------------------------------
     def _project(self, result: DataFrame, return_documents: bool) -> DataFrame:

@@ -93,7 +93,10 @@ class PostingsIndex:
         return self
 
     def register_bucketed(
-        self, table_name: str | None = None, shard_buckets: int = 32
+        self,
+        table_name: str | None = None,
+        shard_buckets: int = 32,
+        cache: bool = False,
     ) -> str:
         """Publish the postings as a Spark BUCKETED table (bucketBy
         shard, partitionBy bucket) for query serving: a bucketed scan
@@ -124,6 +127,13 @@ class PostingsIndex:
             .saveAsTable(name)
         )
         self.bucketed_table = name
+        if cache:
+            # warm serving: pin the bucketed blocks in executor
+            # memory — the InMemoryRelation PRESERVES the bucketed
+            # output partitioning, so queries stay Exchange-free AND
+            # read from memory
+            self.spark.catalog.cacheTable(name)
+            self.spark.table(name).count()
         return name
 
     @property
