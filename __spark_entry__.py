@@ -300,6 +300,41 @@ def _q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id_a", "vec_id_b")
 
 
+def _q_events_sliding_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2's rowsBetween frame semantics on the events table: per-user
+    sliding mean of `value` over [-2, +2] rows ordered by (ts,
+    event_id) — same codegen window-agg shape operators/windows.py
+    uses over token vectors (which the DuckDB oracle can't express
+    over arrays; scalars pin the frame arithmetic)."""
+    from pyspark.sql import Window as W
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-2, 2)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.avg("value").over(w), 6).alias("sliding_mean"),
+    )
+
+
+def _q_topic_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4+W5 through the oracle: nearest-centroid assignment ->
+    per-topic sizes -> renumber 0..k-1 by size desc (tie: old label
+    asc)."""
+    from top2vec_spark.operators.similarity import assign_nearest, label_centroids
+    from top2vec_spark.operators.topics import renumber_topics_by_size, topic_sizes
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dt = assign_nearest(emb, label_centroids(emb)).select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("assigned_label").alias("topic_id"),
+        "score",
+    )
+    return topic_sizes(renumber_topics_by_size(dt)).select(
+        "topic_id", "topic_size"
+    )
+
+
 def _q_bigram_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
     from top2vec_spark.operators.phrases import find_phrases
 
@@ -457,6 +492,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_near_dup": _q_emb_near_dup,
         "centroids_by_pos": _q_centroids_by_pos,
         "assign_nearest": _q_assign_nearest,
+        "events_sliding_mean": _q_events_sliding_mean,
+        "topic_sizes": _q_topic_sizes,
     }
 
 
@@ -703,5 +740,40 @@ ranked AS (
   FROM scored
 )
 SELECT vec_id, label AS assigned_label FROM ranked WHERE rn = 1
+""",
+        "events_sliding_mean": """
+SELECT event_id, user_id,
+       round(avg(value) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING
+       ), 6) AS sliding_mean
+FROM events
+""",
+        "topic_sizes": f"""
+WITH {_CENTROIDS_CTE},
+normed AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+           x -> x / greatest(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 1e-12)
+         ) AS v
+  FROM embeddings
+),
+scored AS (
+  SELECT n.vec_id, c.label, list_dot_product(n.v, c.c) AS s
+  FROM normed n CROSS JOIN centroids c
+),
+assigned AS (
+  SELECT vec_id, label FROM (
+    SELECT vec_id, label,
+           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, label ASC) AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
+sizes AS (
+  SELECT label, count(*) AS topic_size FROM assigned GROUP BY label
+)
+SELECT row_number() OVER (ORDER BY topic_size DESC, label ASC) - 1 AS topic_id,
+       topic_size
+FROM sizes
 """,
     }

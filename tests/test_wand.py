@@ -183,3 +183,28 @@ def test_bucketed_serving_no_exchange(built):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {index.bucketed_table}")
         index.bucketed_table = None
+
+
+def test_wand_topk_many_matches_single(built):
+    """Batched serving: one job answers many queries, each result
+    rank+score-identical to the per-query path."""
+    from top2vec_spark.operators.bm25 import resolve_query_terms
+    from top2vec_spark.operators.wand import wand_topk_many
+
+    spark, tokens, vocab, ds, g, index = built
+    vmap = {r["term"]: (r["term_id"], r["df"]) for r in vocab.collect()}
+    batch = {
+        f"q{i}": resolve_query_terms(vmap, pos, neg)
+        for i, (pos, neg, _) in enumerate(QUERY_SET[:5])
+    }
+    many = wand_topk_many(spark, index, batch, g, 10).collect()
+    by_q = {}
+    for r in many:
+        by_q.setdefault(r["query_id"], []).append((r["doc_id"], r["score"]))
+    for i, (pos, neg, _) in enumerate(QUERY_SET[:5]):
+        w = term_weights(spark, vocab, pos, neg)
+        single = [
+            (r["doc_id"], r["score"])
+            for r in wand_topk(spark, index, w, g, 10).collect()
+        ]
+        assert by_q[f"q{i}"] == single, (pos, neg)

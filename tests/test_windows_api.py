@@ -95,3 +95,27 @@ def test_topic_api_wiring(spark):
     assert sorted(r["doc_id"] for r in got) == [1, 3]
     with pytest.raises(ValueError):
         eng.get_documents_by_ids([999999])
+
+
+def test_batched_keyword_search_api(spark, tmp_path):
+    from top2vec_spark import Top2VecSpark
+    from top2vec_spark.operators.tokens import assign_doc_ids
+    from top2vec_spark.sources.pages import generate_pages_pdf
+
+    pdf = generate_pages_pdf(300, seed=21)
+    docs = assign_doc_ids(spark.createDataFrame(pdf[["url", "text"]]))
+    eng = Top2VecSpark(spark, docs)
+    eng.build_index(str(tmp_path / "bidx"))
+    batch = {"a": (["wa"], []), "b": (["wb", "wc"], ["wa"])}
+    res = eng.search_documents_by_keywords_batch(batch, 5).collect()
+    by_q = {}
+    for r in res:
+        by_q.setdefault(r["query_id"], []).append((r["doc_id"], r["score"]))
+    for qid, (pos, neg) in batch.items():
+        single = [
+            (r["doc_id"], r["score"])
+            for r in eng.search_documents_by_keywords(
+                pos, 5, keywords_neg=neg, return_documents=False
+            ).collect()
+        ]
+        assert by_q[qid] == single

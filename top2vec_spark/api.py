@@ -231,6 +231,33 @@ class Top2VecSpark:
         result = self._topk(keywords, keywords_neg, num_docs, use_index=use_index)
         return self._project(result, return_documents)
 
+    def search_documents_by_keywords_batch(
+        self, queries: dict, num_docs: int
+    ) -> DataFrame:
+        """Batched serving (beyond the reference, which answers one
+        query per call): ``queries`` maps query_id -> (keywords,
+        keywords_neg); ALL queries are answered in ONE Spark job over
+        the postings index (operators/wand.wand_topk_many — shared
+        block decodes, one scan, one tiny final window). Returns
+        (query_id, doc_id, score), each query's rows rank/score-
+        identical to the per-query path (pytest-pinned). Requires a
+        built index."""
+        if self._index is None:
+            raise ValueError("batched search requires build_index() first")
+        from top2vec_spark.operators.wand import wand_topk_many
+
+        lookup = self.vocab_map
+        resolved = {
+            str(qid): bm25_ops.resolve_query_terms(
+                lookup if lookup is not None else self.vocab, pos, neg
+            )
+            for qid, (pos, neg) in queries.items()
+        }
+        self._validate_num(num_docs)
+        return wand_topk_many(
+            self.spark, self._index, resolved, self.globals, num_docs, cfg=self.cfg
+        )
+
     def query_documents(
         self, query: str, num_docs: int, return_documents: bool = True
     ) -> DataFrame:

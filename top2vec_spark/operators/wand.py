@@ -74,6 +74,222 @@ def _score_tf(tf, dl, idf, k1, b, avgdl):
     return idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl))
 
 
+def _load_dl_sidecar(stats_path: str, build_id: str, shard: int):
+    """Shard dl lookup arrays, worker-cached (see _DL_CACHE)."""
+    cache_key = (stats_path, build_id, shard)
+    cached = _DL_CACHE.get(cache_key)
+    if cached is not None:
+        return cached
+    stats_pdf = pd.read_parquet(
+        f"{stats_path}/shard={shard}", columns=["doc_id", "dl"]
+    )
+    if stats_pdf.empty:
+        return None
+    s_ids = stats_pdf["doc_id"].to_numpy().astype(np.int64)
+    s_order = np.argsort(s_ids)
+    s_ids = s_ids[s_order]
+    s_dl = stats_pdf["dl"].to_numpy().astype(np.float64)[s_order]
+    if len(_DL_CACHE) > 256:
+        _DL_CACHE.clear()
+    _DL_CACHE[cache_key] = (s_ids, s_dl)
+    return s_ids, s_dl
+
+
+def _build_term_structs(
+    blocks_pdf: pd.DataFrame,
+    idf_of: dict[int, float],
+    fresh_stats: bool,
+    k1: float,
+    b: float,
+    avgdl: float,
+) -> dict[int, dict]:
+    """Per-term block metadata + decode cache — QUERY-INDEPENDENT
+    (idf depends only on the index + globals; sign is per query and
+    lives in qinfo). Shared across all queries of a batched call, so
+    a block is decoded at most once per shard per job.
+
+    ``fresh_stats=False`` (after incremental appends shifted
+    N/avgdl/df): stored block_max_score values were computed under OLD
+    stats and may UNDER-estimate current scores — pruning with them
+    would be unsound; admissible bounds are recomputed from the
+    stat-independent (block_max_tf, block_min_dl) metadata under the
+    CURRENT idf/avgdl."""
+    terms: dict[int, dict] = {}
+    for tid, grp in blocks_pdf.groupby("term_id"):
+        grp = grp.sort_values(["shard", "block_id"], kind="stable")
+        idf = idf_of[int(tid)]
+        if fresh_stats:
+            maxs = grp["block_max_score"].to_numpy().astype(np.float64)
+        else:
+            mtf = grp["block_max_tf"].to_numpy().astype(np.float64)
+            mdl = grp["block_min_dl"].to_numpy().astype(np.float64)
+            maxs = _score_tf(mtf, mdl, idf, k1, b, avgdl)
+        terms[int(tid)] = {
+            "idf": idf,
+            "firsts": grp["first_doc_id"].to_numpy().astype(np.int64),
+            "lasts": grp["last_doc_id"].to_numpy().astype(np.int64),
+            "maxs": maxs,
+            "n": grp["n"].to_numpy().astype(np.int64),
+            "doc_bytes": grp["doc_ids"].tolist(),
+            "tf_bytes": grp["tfs"].tolist(),
+            "cache": {},
+        }
+    return terms
+
+
+def _blk_docs(t: dict, j: int) -> tuple[np.ndarray, np.ndarray]:
+    from top2vec_spark.operators.codec import decode_block
+
+    got = t["cache"].get(j)
+    if got is None:
+        got = decode_block(t["doc_bytes"][j], t["tf_bytes"][j], int(t["n"][j]))
+        t["cache"][j] = got
+    return got
+
+
+def _query_shard_topk(
+    terms_all: dict[int, dict],
+    qinfo: dict[int, tuple[float, float]],
+    k: int,
+    k1: float,
+    b: float,
+    avgdl: float,
+    exclude: frozenset[int],
+    dl_lookup,
+) -> pd.DataFrame:
+    """One query's exact top-k within one shard — the block-max WAND
+    core (seed theta -> positive-term UB step function -> decode only
+    surviving blocks -> exact ascending-term_id scoring)."""
+    s_ids, s_dl = dl_lookup
+    terms = {
+        tid: t for tid, t in terms_all.items() if tid in qinfo
+    }
+    if not terms:
+        return pd.DataFrame(
+            {"doc_id": pd.Series(dtype="int64"), "score": pd.Series(dtype="float64")}
+        )
+    sign_of = {tid: qinfo[tid][0] for tid in terms}
+    pos_terms = {tid: t for tid, t in terms.items() if sign_of[tid] > 0}
+    sorted_tids = sorted(terms)
+
+    def dl_of(docs: np.ndarray) -> np.ndarray:
+        return s_dl[np.searchsorted(s_ids, docs)]
+
+    def exact_scores(cands: np.ndarray) -> np.ndarray:
+        """Exact BM25 of candidate docs, ascending-term_id
+        accumulation (bit-identical to the brute scorer)."""
+        dl = dl_of(cands)
+        score = np.zeros(cands.shape, dtype=np.float64)
+        for tid in sorted_tids:
+            t = terms[tid]
+            j = np.searchsorted(t["firsts"], cands, side="right") - 1
+            valid = (j >= 0) & (cands <= t["lasts"][np.maximum(j, 0)])
+            tf = np.zeros(cands.shape, dtype=np.float64)
+            for blk in np.unique(j[valid]):
+                bdocs, btfs = _blk_docs(t, int(blk))
+                sel = np.flatnonzero(valid & (j == blk))
+                p = np.minimum(
+                    np.searchsorted(bdocs, cands[sel]), bdocs.size - 1
+                )
+                hit = bdocs[p] == cands[sel]
+                tf[sel[hit]] = btfs[p[hit]]
+            has = tf > 0
+            if has.any():
+                score[has] += sign_of[tid] * _score_tf(
+                    tf[has], dl[has], t["idf"], k1, b, avgdl
+                )
+        return score
+
+    def topk_of(cands: np.ndarray, scores: np.ndarray) -> pd.DataFrame:
+        order = np.lexsort((cands, -scores))[:k]
+        return pd.DataFrame({"doc_id": cands[order], "score": scores[order]})
+
+    # ---- seed θ from the most promising positive blocks --------------
+    seed_entries = []  # (max_score, tid, block_idx)
+    for tid, t in pos_terms.items():
+        for j in range(t["firsts"].size):
+            seed_entries.append((t["maxs"][j], tid, j))
+    seed_entries.sort(key=lambda x: -x[0])
+    seed_docs = []
+    for _, tid, j in seed_entries[:_SEED_BLOCKS]:
+        seed_docs.append(_blk_docs(terms[tid], j)[0])
+    cands0 = (
+        np.unique(np.concatenate(seed_docs)) if seed_docs else
+        np.empty(0, dtype=np.int64)
+    )
+    if exclude:
+        cands0 = cands0[~np.isin(cands0, np.fromiter(exclude, dtype=np.int64))]
+    scores0 = exact_scores(cands0) if cands0.size else np.empty(0)
+    theta = (
+        float(np.partition(scores0, -k)[-k]) if scores0.size >= k else -math.inf
+    )
+
+    # ---- positive-term UB step function -------------------------------
+    # events at block boundaries; UB(d) = Σ_t blockmax of t's block
+    # covering d (0 where no block covers)
+    surviving: list[tuple[int, int]] = []  # (tid, block_idx)
+    if theta <= 0:
+        # No pruning possible. theta == -inf: fewer than k seed
+        # docs. theta <= 0 finite: every positive region is hot
+        # (positive block maxima are >= 0 >= theta), AND docs
+        # matching ONLY negative terms (score < 0, upper bound 0)
+        # may still belong in the top-k — the positive-term step
+        # function cannot see them, so negative-term blocks must
+        # be candidate sources too. Take every block of every
+        # term (still exact; just no skipping this query).
+        for tid, t in terms.items():
+            surviving += [(tid, j) for j in range(t["firsts"].size)]
+    else:
+        bounds = []
+        for tid, t in pos_terms.items():
+            bounds.append((t["firsts"], t["lasts"], t["maxs"]))
+        evs_x = np.concatenate(
+            [f for f, _, _ in bounds] + [l + 1 for _, l, _ in bounds]
+        )
+        evs_d = np.concatenate(
+            [m for _, _, m in bounds] + [-m for _, _, m in bounds]
+        )
+        ox = np.argsort(evs_x, kind="stable")
+        xs = evs_x[ox]
+        ub = np.cumsum(evs_d[ox])
+        # collapse duplicate xs: UB after processing all events at x
+        keep = np.concatenate((xs[1:] != xs[:-1], [True]))
+        xs, ub = xs[keep], ub[keep]
+        # region r covers [xs[r], xs[r+1]); keep regions with ub >= θ
+        hot = ub >= theta - 1e-12  # guard float slack in cumsum
+        if not hot.any():
+            return topk_of(cands0, scores0)
+        hot_lo = xs[hot]
+        nxt = np.append(xs[1:], np.int64(2**62))
+        hot_hi = nxt[hot] - 1
+        for tid, t in pos_terms.items():
+            # block [f,l] intersects any hot region?
+            ri = np.searchsorted(hot_lo, t["lasts"], side="right") - 1
+            ok = (ri >= 0) & (t["firsts"] <= hot_hi[np.maximum(ri, 0)])
+            # also catch region starting inside the block
+            ri2 = np.searchsorted(hot_lo, t["firsts"], side="left")
+            ri2c = np.minimum(ri2, hot_lo.size - 1)
+            ok |= (ri2 < hot_lo.size) & (hot_lo[ri2c] <= t["lasts"])
+            surviving += [(tid, j) for j in np.flatnonzero(ok)]
+
+    cand_parts = [cands0] if cands0.size else []
+    for tid, j in surviving:
+        cand_parts.append(_blk_docs(terms[tid], j)[0])
+    if not cand_parts:
+        return pd.DataFrame(
+            {"doc_id": pd.Series(dtype="int64"), "score": pd.Series(dtype="float64")}
+        )
+    cands = np.unique(np.concatenate(cand_parts))
+    if exclude:
+        cands = cands[~np.isin(cands, np.fromiter(exclude, dtype=np.int64))]
+    if cands.size == 0:
+        return pd.DataFrame(
+            {"doc_id": pd.Series(dtype="int64"), "score": pd.Series(dtype="float64")}
+        )
+    scores = exact_scores(cands)
+    return topk_of(cands, scores)
+
+
 def make_shard_kernel(
     qinfo: dict[int, tuple[float, float]],
     k: int,
@@ -85,192 +301,79 @@ def make_shard_kernel(
     fresh_stats: bool = True,
     build_id: str = "",
 ):
-    """Build the per-shard kernel. qinfo: term_id -> (sign, idf).
-    ``stats_path`` is the shard-partitioned doc_stats parquet dir; the
-    kernel reads only its shard's file (dl sidecar).
-
-    ``fresh_stats=False`` (after incremental appends shifted
-    N/avgdl/df): stored block_max_score values were computed under OLD
-    stats and may UNDER-estimate current scores — pruning with them
-    would be unsound. The kernel then recomputes admissible bounds
-    from the stat-independent (block_max_tf, block_min_dl) metadata
-    under the CURRENT idf/avgdl."""
+    """Build the per-shard kernel for ONE query. qinfo: term_id ->
+    (sign, idf). ``stats_path`` is the shard-partitioned doc_stats
+    parquet dir; the kernel reads only its shard's file (dl sidecar).
+    """
 
     def kernel(blocks_pdf: pd.DataFrame) -> pd.DataFrame:
-        from top2vec_spark.operators.codec import decode_block
-
         empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
                               "score": pd.Series(dtype="float64")})
         if blocks_pdf.empty:
             return empty
         shard = int(blocks_pdf["shard"].iloc[0])
-        cache_key = (stats_path, build_id, shard)
-        cached = _DL_CACHE.get(cache_key)
-        if cached is None:
-            stats_pdf = pd.read_parquet(
-                f"{stats_path}/shard={shard}", columns=["doc_id", "dl"]
-            )
-            if stats_pdf.empty:
-                return empty
-            # dl lookup (shard-local): sorted doc_id -> dl
-            s_ids = stats_pdf["doc_id"].to_numpy().astype(np.int64)
-            s_order = np.argsort(s_ids)
-            s_ids = s_ids[s_order]
-            s_dl = stats_pdf["dl"].to_numpy().astype(np.float64)[s_order]
-            if len(_DL_CACHE) > 256:
-                _DL_CACHE.clear()
-            _DL_CACHE[cache_key] = (s_ids, s_dl)
-        else:
-            s_ids, s_dl = cached
+        dl_lookup = _load_dl_sidecar(stats_path, build_id, shard)
+        if dl_lookup is None:
+            return empty
+        idf_of = {tid: info[1] for tid, info in qinfo.items()}
+        terms = _build_term_structs(
+            blocks_pdf, idf_of, fresh_stats, k1, b, avgdl
+        )
+        return _query_shard_topk(
+            terms, qinfo, k, k1, b, avgdl, exclude, dl_lookup
+        )
 
-        def dl_of(docs: np.ndarray) -> np.ndarray:
-            pos = np.searchsorted(s_ids, docs)
-            return s_dl[pos]
+    return kernel
 
-        # organize blocks per term, sorted by first_doc_id
-        terms: dict[int, dict] = {}
-        for tid, grp in blocks_pdf.groupby("term_id"):
-            grp = grp.sort_values(["shard", "block_id"], kind="stable")
-            sign, idf = qinfo[int(tid)]
-            if fresh_stats:
-                maxs = grp["block_max_score"].to_numpy().astype(np.float64)
-            else:
-                mtf = grp["block_max_tf"].to_numpy().astype(np.float64)
-                mdl = grp["block_min_dl"].to_numpy().astype(np.float64)
-                maxs = _score_tf(mtf, mdl, idf, k1, b, avgdl)
-            terms[int(tid)] = {
-                "sign": sign,
-                "idf": idf,
-                "firsts": grp["first_doc_id"].to_numpy().astype(np.int64),
-                "lasts": grp["last_doc_id"].to_numpy().astype(np.int64),
-                "maxs": maxs,
-                "n": grp["n"].to_numpy().astype(np.int64),
-                "doc_bytes": grp["doc_ids"].tolist(),
-                "tf_bytes": grp["tfs"].tolist(),
-                "cache": {},
+
+def make_multi_shard_kernel(
+    qinfos: dict[str, dict[int, tuple[float, float]]],
+    k: int,
+    k1: float,
+    b: float,
+    avgdl: float,
+    exclude: frozenset[int],
+    stats_path: str,
+    fresh_stats: bool = True,
+    build_id: str = "",
+):
+    """Batched-serving kernel: MANY queries against one shard in one
+    pass. Term structs and block decodes are shared across queries —
+    a block touched by Q queries is decoded once, and the per-query
+    job-scheduling overhead (the dominant cost of a warm single query
+    on a cluster) is amortized across the whole batch. Emits
+    (query_id, doc_id, score) with <= k rows per (query, shard)."""
+
+    def kernel(blocks_pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "query_id": pd.Series(dtype="object"),
+                "doc_id": pd.Series(dtype="int64"),
+                "score": pd.Series(dtype="float64"),
             }
-
-        def blk_docs(t: dict, j: int) -> tuple[np.ndarray, np.ndarray]:
-            got = t["cache"].get(j)
-            if got is None:
-                got = decode_block(t["doc_bytes"][j], t["tf_bytes"][j], int(t["n"][j]))
-                t["cache"][j] = got
-            return got
-
-        pos_terms = {tid: t for tid, t in terms.items() if t["sign"] > 0}
-        sorted_tids = sorted(terms)
-
-        def exact_scores(cands: np.ndarray) -> np.ndarray:
-            """Exact BM25 of candidate docs, ascending-term_id
-            accumulation (bit-identical to the brute scorer)."""
-            dl = dl_of(cands)
-            score = np.zeros(cands.shape, dtype=np.float64)
-            for tid in sorted_tids:
-                t = terms[tid]
-                j = np.searchsorted(t["firsts"], cands, side="right") - 1
-                valid = (j >= 0) & (cands <= t["lasts"][np.maximum(j, 0)])
-                tf = np.zeros(cands.shape, dtype=np.float64)
-                for blk in np.unique(j[valid]):
-                    bdocs, btfs = blk_docs(t, int(blk))
-                    sel = np.flatnonzero(valid & (j == blk))
-                    p = np.minimum(
-                        np.searchsorted(bdocs, cands[sel]), bdocs.size - 1
-                    )
-                    hit = bdocs[p] == cands[sel]
-                    tf[sel[hit]] = btfs[p[hit]]
-                has = tf > 0
-                if has.any():
-                    score[has] += t["sign"] * _score_tf(
-                        tf[has], dl[has], t["idf"], k1, b, avgdl
-                    )
-            return score
-
-        def topk_of(cands: np.ndarray, scores: np.ndarray) -> pd.DataFrame:
-            order = np.lexsort((cands, -scores))[:k]
-            return pd.DataFrame(
-                {"doc_id": cands[order], "score": scores[order]}
-            )
-
-        # ---- seed θ from the most promising positive blocks --------------
-        seed_entries = []  # (max_score, tid, block_idx)
-        for tid, t in pos_terms.items():
-            for j in range(t["firsts"].size):
-                seed_entries.append((t["maxs"][j], tid, j))
-        seed_entries.sort(key=lambda x: -x[0])
-        seed_docs = []
-        for _, tid, j in seed_entries[:_SEED_BLOCKS]:
-            seed_docs.append(blk_docs(terms[tid], j)[0])
-        cands0 = (
-            np.unique(np.concatenate(seed_docs)) if seed_docs else
-            np.empty(0, dtype=np.int64)
         )
-        if exclude:
-            cands0 = cands0[~np.isin(cands0, np.fromiter(exclude, dtype=np.int64))]
-        scores0 = exact_scores(cands0) if cands0.size else np.empty(0)
-        theta = (
-            float(np.partition(scores0, -k)[-k]) if scores0.size >= k else -math.inf
+        if blocks_pdf.empty:
+            return empty
+        shard = int(blocks_pdf["shard"].iloc[0])
+        dl_lookup = _load_dl_sidecar(stats_path, build_id, shard)
+        if dl_lookup is None:
+            return empty
+        idf_of: dict[int, float] = {}
+        for qinfo in qinfos.values():
+            for tid, (_, idf) in qinfo.items():
+                idf_of[tid] = idf
+        terms = _build_term_structs(
+            blocks_pdf, idf_of, fresh_stats, k1, b, avgdl
         )
-
-        # ---- positive-term UB step function -------------------------------
-        # events at block boundaries; UB(d) = Σ_t blockmax of t's block
-        # covering d (0 where no block covers)
-        surviving: list[tuple[int, int]] = []  # (tid, block_idx)
-        if theta <= 0:
-            # No pruning possible. theta == -inf: fewer than k seed
-            # docs. theta <= 0 finite: every positive region is hot
-            # (positive block maxima are >= 0 >= theta), AND docs
-            # matching ONLY negative terms (score < 0, upper bound 0)
-            # may still belong in the top-k — the positive-term step
-            # function cannot see them, so negative-term blocks must
-            # be candidate sources too. Take every block of every
-            # term (still exact; just no skipping this query).
-            for tid, t in terms.items():
-                surviving += [(tid, j) for j in range(t["firsts"].size)]
-        else:
-            bounds = []
-            for tid, t in pos_terms.items():
-                bounds.append((t["firsts"], t["lasts"], t["maxs"]))
-            evs_x = np.concatenate(
-                [f for f, _, _ in bounds] + [l + 1 for _, l, _ in bounds]
+        outs = []
+        for qid, qinfo in qinfos.items():
+            res = _query_shard_topk(
+                terms, qinfo, k, k1, b, avgdl, exclude, dl_lookup
             )
-            evs_d = np.concatenate(
-                [m for _, _, m in bounds] + [-m for _, _, m in bounds]
-            )
-            ox = np.argsort(evs_x, kind="stable")
-            xs = evs_x[ox]
-            ub = np.cumsum(evs_d[ox])
-            # collapse duplicate xs: UB after processing all events at x
-            keep = np.concatenate((xs[1:] != xs[:-1], [True]))
-            xs, ub = xs[keep], ub[keep]
-            # region r covers [xs[r], xs[r+1]); keep regions with ub >= θ
-            hot = ub >= theta - 1e-12  # guard float slack in cumsum
-            if not hot.any():
-                return topk_of(cands0, scores0)
-            hot_lo = xs[hot]
-            nxt = np.append(xs[1:], np.int64(2**62))
-            hot_hi = nxt[hot] - 1
-            for tid, t in pos_terms.items():
-                # block [f,l] intersects any hot region?
-                ri = np.searchsorted(hot_lo, t["lasts"], side="right") - 1
-                ok = (ri >= 0) & (t["firsts"] <= hot_hi[np.maximum(ri, 0)])
-                # also catch region starting inside the block
-                ri2 = np.searchsorted(hot_lo, t["firsts"], side="left")
-                ri2c = np.minimum(ri2, hot_lo.size - 1)
-                ok |= (ri2 < hot_lo.size) & (hot_lo[ri2c] <= t["lasts"])
-                surviving += [(tid, j) for j in np.flatnonzero(ok)]
-
-        cand_parts = [cands0] if cands0.size else []
-        for tid, j in surviving:
-            cand_parts.append(blk_docs(terms[tid], j)[0])
-        if not cand_parts:
-            return empty
-        cands = np.unique(np.concatenate(cand_parts))
-        if exclude:
-            cands = cands[~np.isin(cands, np.fromiter(exclude, dtype=np.int64))]
-        if cands.size == 0:
-            return empty
-        scores = exact_scores(cands)
-        return topk_of(cands, scores)
+            if len(res):
+                res.insert(0, "query_id", qid)
+                outs.append(res)
+        return pd.concat(outs, ignore_index=True) if outs else empty
 
     return kernel
 
@@ -336,3 +439,75 @@ def wand_topk(
         lambda pdf: kernel(pdf), "doc_id long, score double"
     )
     return per_shard.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
+
+
+def wand_topk_many(
+    spark: SparkSession,
+    index,
+    queries: dict,
+    globs: CorpusGlobals,
+    k: int,
+    cfg: BM25Config = BM25Config(),
+    exclude_doc_ids: Sequence[int] = (),
+) -> DataFrame:
+    """Batched top-k: MANY queries answered in ONE Spark job.
+    ``queries``: query_id -> list of (term, term_id, df, sign) tuples
+    (resolve_query_terms output). Returns (query_id, doc_id, score),
+    <= k rows per query, each ordered (score DESC, doc_id ASC) and
+    rank/score-identical to per-query wand_topk (pytest-pinned).
+
+    Why this exists: a warm single query costs one full job schedule
+    (~0.3 s locally, more on a busy cluster) regardless of data size.
+    A serving/offline-eval workload with hundreds of queries pays that
+    once here — the shard kernel shares block decodes across queries,
+    the scan unions all terms' partition filters, and the final
+    per-query top-k is one window over <= k * shards * |Q| tiny rows.
+    """
+    from pyspark.sql import Window as W
+
+    qinfos = {
+        str(qid): {
+            int(term_id): (
+                float(sign),
+                math.log(1.0 + (globs.n_docs - df + 0.5) / (df + 0.5)),
+            )
+            for _, term_id, df, sign in rows
+        }
+        for qid, rows in queries.items()
+    }
+    term_ids = sorted({t for qi in qinfos.values() for t in qi})
+    buckets = sorted({t % index.n_buckets for t in term_ids})
+    src = (
+        spark.table(index.bucketed_table)
+        if getattr(index, "bucketed_table", None)
+        else index.postings
+    )
+    blocks = src.filter(
+        F.col("bucket").isin(buckets) & F.col("term_id").isin(term_ids)
+    )
+    exclude = frozenset(int(x) for x in exclude_doc_ids) | getattr(
+        index, "tombstones", frozenset()
+    )
+    kernel = make_multi_shard_kernel(
+        qinfos,
+        k,
+        cfg.k1,
+        cfg.b,
+        globs.avgdl,
+        exclude,
+        index.doc_stats_path,
+        fresh_stats=getattr(index, "stats_fresh", True),
+        build_id=getattr(index, "build_id", ""),
+    )
+    per_shard = blocks.groupBy("shard").applyInPandas(
+        lambda pdf: kernel(pdf), "query_id string, doc_id long, score double"
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        per_shard.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+        .orderBy("query_id", F.col("score").desc(), F.col("doc_id").asc())
+    )
