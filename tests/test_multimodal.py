@@ -63,3 +63,103 @@ def test_sample_frames(media):
     assert len(out) == vids * 5
     ts = sorted(r["frame_ts_ms"] for r in out if r["media_id"] == out[0]["media_id"])
     assert ts == [0, 1000, 2000, 3000, 4000]
+
+
+def test_real_ppm_bmp_decode_roundtrip():
+    """Pure-numpy decoders: PPM round-trips exactly; BMP (bottom-up,
+    padded rows, BGR) decodes to the same RGB tensor."""
+    import numpy as np
+
+    from top2vec_spark.operators.multimodal import (
+        decode_bmp,
+        decode_image,
+        decode_ppm,
+        encode_ppm,
+    )
+
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, size=(5, 7, 3), dtype=np.uint8)
+    assert (decode_ppm(encode_ppm(img)) == img).all()
+    assert (decode_image(encode_ppm(img)) == img).all()  # dispatch
+
+    # hand-build a 24-bit bottom-up BMP of the same image
+    h, w = img.shape[:2]
+    stride = ((w * 3 + 3) // 4) * 4
+    rows = b""
+    for y in range(h - 1, -1, -1):
+        row = img[y][:, ::-1].tobytes()  # RGB -> BGR
+        rows += row + b"\x00" * (stride - len(row))
+    header = (
+        b"BM" + (54 + len(rows)).to_bytes(4, "little") + b"\x00" * 4
+        + (54).to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little") + h.to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little") + len(rows).to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    assert (decode_bmp(header + rows) == img).all()
+    assert (decode_image(header + rows) == img).all()
+
+
+def test_real_image_features_over_ppm(spark):
+    """image_features with the REAL decoder over PPM payloads: channel
+    means match numpy exactly."""
+    import numpy as np
+
+    from top2vec_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        encode_ppm,
+        image_features,
+    )
+
+    rng = np.random.default_rng(4)
+    imgs = {i: rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8) for i in range(6)}
+    rows = [
+        (i, "image", bytearray(encode_ppm(im)),
+         {"mime": "image/x-portable-pixmap", "width": 8, "height": 8,
+          "duration_ms": None})
+        for i, im in imgs.items()
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = {
+        r["media_id"]: r["features"]
+        for r in image_features(media, use_real_decoder=True).collect()
+    }
+    for i, im in imgs.items():
+        expect = im.reshape(-1, 3).mean(axis=0)
+        got = np.array(feats[i][:3])
+        assert np.allclose(got, expect)
+
+
+def test_real_wav_decode_and_features(spark):
+    import math
+
+    import numpy as np
+
+    from top2vec_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        audio_features,
+        decode_wav_pcm16,
+        encode_wav_pcm16,
+    )
+
+    rate = 8000
+    t = np.arange(rate)  # 1 second
+    tone = (10000 * np.sin(2 * np.pi * 440 * t / rate)).astype(np.int16)
+    payload = encode_wav_pcm16(tone, rate)
+    samples, r2 = decode_wav_pcm16(payload)
+    assert r2 == rate and (samples[:, 0] == tone).all()
+
+    media = spark.createDataFrame(
+        [(0, "audio", bytearray(payload),
+          {"mime": "audio/wav", "width": None, "height": None,
+           "duration_ms": 1000})],
+        MEDIA_SCHEMA,
+    )
+    f = audio_features(media).collect()[0]
+    assert abs(f["duration_s"] - 1.0) < 1e-9
+    # RMS of a sine = amplitude / sqrt(2)
+    assert abs(f["rms"] - 10000 / math.sqrt(2)) / 10000 < 0.01
+    # 440 Hz tone crosses zero ~880 times/s -> zcr ~ 880/8000
+    assert abs(f["zcr"] - 880 / 8000) < 0.01

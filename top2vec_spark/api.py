@@ -815,6 +815,9 @@ class Top2VecSpark:
                 min_count=self.min_count,
                 cfg=self.cfg,
                 keep_documents=self.keep_documents,
+                ascii_fast_path=self.ascii_fast_path,
+                tokenizer=self.tokenizer,
+                ngram_vocab=self.ngram_vocab,
             )
             out._index = self._index.append_documents(shifted, cfg=self.cfg)
         else:
@@ -833,6 +836,9 @@ class Top2VecSpark:
                 min_count=self.min_count,
                 cfg=self.cfg,
                 keep_documents=self.keep_documents,
+                ascii_fast_path=self.ascii_fast_path,
+                tokenizer=self.tokenizer,
+                ngram_vocab=self.ngram_vocab,
             )
         if hasattr(self, "doc_topic") and new_embeddings is not None:
             from top2vec_spark.operators.similarity import assign_nearest
@@ -883,6 +889,9 @@ class Top2VecSpark:
             min_count=self.min_count,
             cfg=self.cfg,
             keep_documents=self.keep_documents,
+            ascii_fast_path=self.ascii_fast_path,
+            tokenizer=self.tokenizer,
+            ngram_vocab=self.ngram_vocab,
         )
         if hasattr(self, "doc_topic"):
             out.doc_topic = self.doc_topic.filter(

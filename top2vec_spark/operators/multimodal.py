@@ -1,11 +1,13 @@
-"""Multimodal column plumbing: image/audio/video as opaque binary
-columns with typed metadata.
+"""Multimodal columns: image/audio/video as opaque binary columns with
+typed metadata.
 
-The decode step is STUBBED (image/audio libs are not in this
-container — see ``decode_image``): the Spark-side plumbing — schema,
-partitioning, Arrow UDF signatures, batch shapes — is real and tested
-with a deterministic fake decoder, so swapping in PIL/torchaudio on a
-real cluster is a one-function change.
+Decoders: self-describing uncompressed formats decode FOR REAL here in
+pure numpy — PPM (P6), 24-bit BMP, PCM-16 WAV — so the image/audio
+pipelines are genuinely end-to-end in this container. Codec-bound
+formats (JPEG/PNG/MP3/MP4) need native libraries absent from the
+container; exactly those branches raise NotImplementedError with the
+one-line production replacement documented, and a deterministic fake
+decoder covers plumbing tests at full batch shape.
 
 Pattern: binary payload + metadata struct travel together; decode /
 feature-extract / resize / frame-sample are mapInPandas stages whose
@@ -43,19 +45,129 @@ MEDIA_SCHEMA = T.StructType(
 )
 
 
-def decode_image(payload: bytes) -> np.ndarray:
-    """REAL-DECODER SLOT. On a production cluster:
-
-        from PIL import Image; import io
-        return np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
-
-    Not available in this container -> raise, callers use
-    fake_decode_image for tests/benches.
-    """
-    raise NotImplementedError(
-        "image decode requires PIL/libjpeg — not in this container; "
-        "use fake_decode_image (deterministic) for plumbing tests"
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """REAL decoder for binary PPM (P6): pure numpy, no image lib.
+    Returns (H, W, 3) uint8."""
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a P6 PPM payload")
+    # header = magic, width, height, maxval — whitespace/comment-delimited
+    fields, i = [], 2
+    while len(fields) < 3:
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if payload[i : i + 1] == b"#":  # comment to EOL
+            while i < len(payload) and payload[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        fields.append(int(payload[i:j]))
+        i = j
+    i += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval != 255:
+        raise ValueError("only 8-bit PPM supported")
+    return np.frombuffer(payload, dtype=np.uint8, count=h * w * 3, offset=i).reshape(
+        h, w, 3
     )
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """Inverse of decode_ppm (test/fixture helper)."""
+    h, w = img.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + np.ascontiguousarray(
+        img, dtype=np.uint8
+    ).tobytes()
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """REAL decoder for uncompressed 24-bit BMP: pure numpy header
+    parse, bottom-up row order and 4-byte row padding handled.
+    Returns (H, W, 3) uint8 RGB."""
+    if not payload.startswith(b"BM"):
+        raise ValueError("not a BMP payload")
+    data_off = int.from_bytes(payload[10:14], "little")
+    w = int.from_bytes(payload[18:22], "little", signed=True)
+    h = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    comp = int.from_bytes(payload[30:34], "little")
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError("only uncompressed 24-bit BMP supported")
+    bottom_up = h > 0
+    h = abs(h)
+    stride = ((w * 3 + 3) // 4) * 4
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=h * stride, offset=data_off
+    ).reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if bottom_up:
+        rows = rows[::-1]
+    return rows[..., ::-1].copy()  # BGR -> RGB
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Dispatching REAL decoder: self-describing uncompressed formats
+    (PPM P6, 24-bit BMP) decode here in pure numpy — genuinely
+    end-to-end in this container. Codec-bound formats (JPEG/PNG) need
+    libjpeg/libpng (PIL), absent here — that single branch raises; on
+    a production cluster it becomes
+    ``np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))``.
+    """
+    if payload[:2] == b"P6":
+        return decode_ppm(payload)
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    if payload[:3] == b"\xff\xd8\xff" or payload[:8] == b"\x89PNG\r\n\x1a\n":
+        raise NotImplementedError(
+            "JPEG/PNG decode requires PIL/libjpeg — not in this container; "
+            "PPM/BMP decode natively, or use fake_decode_image for plumbing tests"
+        )
+    raise ValueError("unrecognized image payload")
+
+
+def decode_wav_pcm16(payload: bytes) -> tuple[np.ndarray, int]:
+    """REAL decoder for PCM-16 WAV (RIFF): pure numpy chunk walk.
+    Returns (samples int16 (n, channels), sample_rate)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    i, rate, channels, bits, data = 12, None, None, None, None
+    while i + 8 <= len(payload):
+        cid = payload[i : i + 4]
+        sz = int.from_bytes(payload[i + 4 : i + 8], "little")
+        body = payload[i + 8 : i + 8 + sz]
+        if cid == b"fmt ":
+            channels = int.from_bytes(body[2:4], "little")
+            rate = int.from_bytes(body[4:8], "little")
+            bits = int.from_bytes(body[14:16], "little")
+        elif cid == b"data":
+            data = body
+        i += 8 + sz + (sz & 1)
+    if rate is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    if bits != 16:
+        raise NotImplementedError("only PCM-16 WAV supported")
+    samples = np.frombuffer(data, dtype="<i2")
+    return samples.reshape(-1, channels), rate
+
+
+def encode_wav_pcm16(samples: np.ndarray, rate: int) -> bytes:
+    """Inverse of decode_wav_pcm16 (test/fixture helper)."""
+    s = np.ascontiguousarray(samples, dtype="<i2")
+    if s.ndim == 1:
+        s = s[:, None]
+    channels = s.shape[1]
+    data = s.tobytes()
+    fmt = (
+        (1).to_bytes(2, "little")
+        + channels.to_bytes(2, "little")
+        + rate.to_bytes(4, "little")
+        + (rate * channels * 2).to_bytes(4, "little")
+        + (channels * 2).to_bytes(2, "little")
+        + (16).to_bytes(2, "little")
+    )
+    body = b"WAVEfmt " + len(fmt).to_bytes(4, "little") + fmt
+    body += b"data" + len(data).to_bytes(4, "little") + data
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
 
 
 def fake_decode_image(payload: bytes, h: int = 8, w: int = 8) -> np.ndarray:
@@ -122,6 +234,44 @@ def resize_images(
 
     return media.filter(F.col("kind") == "image").mapInPandas(
         batch, "media_id long, payload binary, width int, height int"
+    )
+
+
+def audio_features(media: DataFrame, use_real_decoder: bool = True) -> DataFrame:
+    """Per-clip audio features over REAL PCM-16 WAV decode (pure
+    numpy): duration, RMS, zero-crossing rate, peak. Fake path
+    synthesizes a deterministic waveform with the same contract."""
+
+    def fake_decode(payload: bytes):
+        seed = int.from_bytes(hashlib.sha256(payload or b"").digest()[:8], "big")
+        rng = np.random.default_rng(seed)
+        return rng.integers(-32768, 32767, size=(1600, 1), dtype=np.int16), 16000
+
+    decode = decode_wav_pcm16 if use_real_decoder else fake_decode
+
+    def batch(pdfs):
+        for pdf in pdfs:
+            out = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                samples, rate = decode(bytes(p) if p is not None else b"")
+                mono = samples.astype(np.float64).mean(axis=1)
+                dur = mono.size / rate
+                rms = float(np.sqrt(np.mean(mono**2))) if mono.size else 0.0
+                zc = (
+                    float(np.mean(np.signbit(mono[1:]) != np.signbit(mono[:-1])))
+                    if mono.size > 1
+                    else 0.0
+                )
+                peak = float(np.abs(mono).max()) if mono.size else 0.0
+                out.append((mid, dur, rms, zc, peak))
+            yield pd.DataFrame(
+                out,
+                columns=["media_id", "duration_s", "rms", "zcr", "peak"],
+            )
+
+    return media.filter(F.col("kind") == "audio").mapInPandas(
+        batch,
+        "media_id long, duration_s double, rms double, zcr double, peak double",
     )
 
 
