@@ -285,6 +285,37 @@ def _q_assign_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2+D4 end-to-end under a real oracle: the corpus unioned with a
+    shifted copy of itself (so every doc has exactly one true
+    duplicate), MinHash signatures -> banded LSH candidate pairs ->
+    EXACT n-gram Jaccard verification, keeping jaccard == 1.0 (shingle
+    -set equality). LSH always buckets identical docs together
+    (identical signatures), so recall of true duplicates is exact and
+    the verifier discards the near-miss candidates — DuckDB oracles
+    the same pairs via string 3-gram shingle-set equality."""
+    from top2vec_spark.functions.tokenizer import sql_tokens_expr
+    from top2vec_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        ngram_jaccard,
+    )
+
+    docs = _docs(spark, sf_dir)
+    both = docs.select("doc_id", "text").unionByName(
+        docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    )
+    ta = both.select("doc_id", sql_tokens_expr("text").alias("tokens")).cache()
+    sigs = minhash_signatures(ta)
+    cands = lsh_candidate_pairs(sigs)
+    verified = ngram_jaccard(ta, cands.select("doc_a", "doc_b"))
+    return (
+        verified.filter(F.col("jaccard") >= 1.0)
+        .select("doc_a", "doc_b")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 def _q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs — exact small-scale
     variant (operators/similarity.embedding_near_duplicates_exact);
@@ -485,6 +516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ctfidf_by_lang": _q_ctfidf_by_lang,
         "search_topics_by_lang": _q_search_topics,
         "dedup_exact": _q_dedup_exact,
+        "dedup_minhash_verified": _q_dedup_minhash_verified,
         "token_counts": _q_token_counts,
         "quality_features": _q_quality,
         "lang_id": _q_lang_id,
@@ -665,6 +697,26 @@ ORDER BY score DESC, lang ASC
 """,
         "dedup_exact": """
 SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
+""",
+        "dedup_minhash_verified": f"""
+WITH all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 100000 AS doc_id, text FROM documents
+),
+tl AS (
+  SELECT doc_id, {duckdb_tokens_sql()} AS toks FROM all_docs
+),
+sh AS (
+  SELECT doc_id,
+         list_sort(list_distinct(
+           [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+            for i in range(1, greatest(len(toks) - 1, 1))]
+         ))::VARCHAR AS sset
+  FROM tl
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM sh a JOIN sh b ON a.sset = b.sset AND a.doc_id < b.doc_id
+ORDER BY doc_a, doc_b
 """,
         "token_counts": r"""
 SELECT doc_id,
