@@ -262,6 +262,28 @@ def _q_cosine_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_sql(emb, [float(x) for x in qvec], 10, round_digits=6)
 
 
+def _q_ivf_full_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2 under the oracle: IVF-bucketed ANN probed with n_probe =
+    n_cells is EXACT by construction (every cell scanned), so its
+    top-10 must equal the brute-force cosine oracle — pinning the
+    cell-assignment + pruning machinery, while recall at n_probe <
+    n_cells is pytest-pinned separately."""
+    from top2vec_spark.operators.similarity import ivf_build, ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 7).first()["embedding"]]
+    assigned, cents = ivf_build(emb, n_cells=8, sample=500, seed=7)
+    # over-fetch unrounded, then round and re-limit: the k boundary is
+    # decided on the ROUNDED value like the oracle (memory: float-score
+    # oracle queries must round before ranking on both sides)
+    res = ivf_topk(assigned, cents, qvec, 20, n_probe=8)
+    return (
+        res.select("vec_id", F.round("score", 6).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+
+
 def _q_centroids_by_pos(spark: SparkSession, sf_dir: str) -> DataFrame:
     from top2vec_spark.operators.similarity import label_centroids
 
@@ -522,6 +544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "cosine_top10": _q_cosine_top10,
         "emb_near_dup": _q_emb_near_dup,
+        "ivf_full_probe_top10": _q_ivf_full_probe,
         "centroids_by_pos": _q_centroids_by_pos,
         "assign_nearest": _q_assign_nearest,
         "events_sliding_mean": _q_events_sliding_mean,
@@ -741,6 +764,15 @@ FROM documents
 """,
         # lang_id: rows-only (no oracle entry)
         "cosine_top10": """
+WITH q AS (SELECT embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id = 7)
+SELECT vec_id,
+       round(list_dot_product(embedding::DOUBLE[], q.e)
+             / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                * sqrt(list_dot_product(q.e, q.e))), 6) AS score
+FROM embeddings, q
+ORDER BY score DESC, vec_id ASC LIMIT 10
+""",
+        "ivf_full_probe_top10": """
 WITH q AS (SELECT embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id = 7)
 SELECT vec_id,
        round(list_dot_product(embedding::DOUBLE[], q.e)

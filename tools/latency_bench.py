@@ -21,6 +21,7 @@ from top2vec_spark.plans.build import IndexBuilder
 from top2vec_spark.session import get_spark
 
 N_DOCS = int(os.environ.get("LAT_N_DOCS", "1600000"))
+DPS = int(os.environ.get("LAT_DOCS_PER_SHARD", "131072"))
 REPS = 7
 QUERIES = [(["wa", "wb"], []), (["wc"], []), (["wa", "wd"], ["wb"]),
            (["wb", "wc"], []), (["wd"], ["wa"])]
@@ -46,7 +47,7 @@ def main():
         )
         t0 = time.time()
         index = IndexBuilder(
-            spark, f"{work}/idx", docs_per_shard=131072, n_buckets=64
+            spark, f"{work}/idx", docs_per_shard=DPS, n_buckets=64
         ).build_from_docs(docs, resume=False)
         t_build = time.time() - t0
 
@@ -75,6 +76,7 @@ def main():
 
         print(json.dumps({
             "n_docs": N_DOCS,
+            "docs_per_shard": DPS,
             "build_sec": round(t_build, 1),
             "docs_per_sec": round(N_DOCS / t_build, 0),
             "p50_directory_cached": p_dir,

@@ -324,8 +324,23 @@ class Top2VecSpark:
         k_terms = num_words + len(pos) + len(neg)
         # top documents for the query (fixed fan-out keeps this sublinear)
         top_docs = self._topk(pos, neg, max(50, k_terms))
+        # tokenize ONLY the fetched top docs (the lazy `tokens`
+        # relation would re-run the tokenizer UDF over the whole
+        # corpus per query): semi-join the doc table first so the
+        # expensive UDF sees <= max(50, k) rows
+        top_tokens = tokenize_docs(
+            self.docs.join(
+                F.broadcast(top_docs.select("doc_id")), "doc_id", "left_semi"
+            ),
+            ascii_fast_path=self.ascii_fast_path,
+            tokenizer=self.tokenizer,
+        )
+        if self.ngram_vocab:  # phrases stay rankable as words
+            from top2vec_spark.operators.phrases import tokens_with_phrases
+
+            top_tokens = tokens_with_phrases(top_tokens, self.phrases)
         cooc = (
-            self.tokens.join(
+            top_tokens.join(
                 F.broadcast(top_docs.select("doc_id", F.col("score").alias("dscore"))),
                 "doc_id",
             )
