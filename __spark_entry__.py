@@ -370,6 +370,16 @@ def _q_events_sliding_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization over the events table (batch twin of
+    the applyInPandasWithState streaming operator, which pytest pins
+    against this)."""
+    from top2vec_spark.operators.sessions import sessionize_batch
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sessionize_batch(ev, gap_seconds=1800)
+
+
 def _q_topic_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4+W5 through the oracle: nearest-centroid assignment ->
     per-topic sizes -> renumber 0..k-1 by size desc (tie: old label
@@ -548,6 +558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "centroids_by_pos": _q_centroids_by_pos,
         "assign_nearest": _q_assign_nearest,
         "events_sliding_mean": _q_events_sliding_mean,
+        "sessions_by_user": _q_sessions,
         "topic_sizes": _q_topic_sizes,
     }
 
@@ -824,6 +835,25 @@ ranked AS (
   FROM scored
 )
 SELECT vec_id, label AS assigned_label FROM ranked WHERE rn = 1
+""",
+        "sessions_by_user": """
+WITH ordered AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR CAST(floor(epoch(ts)) AS BIGINT)
+                 - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+numbered AS (
+  SELECT *, sum(new_sess) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING
+  ) AS session_id
+  FROM ordered
+)
+SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events, round(sum(value), 6) AS total_value
+FROM numbered GROUP BY user_id, session_id ORDER BY user_id, session_id
 """,
         "events_sliding_mean": """
 SELECT event_id, user_id,

@@ -143,3 +143,78 @@ def test_quality_monitor_windows_match_batch(spark, tmp_path):
     }
     assert got == expect
     assert len(expect) > 10  # several windows x langs actually exist
+
+
+def test_stateful_sessionization_matches_batch(spark, tmp_path):
+    """applyInPandasWithState sessionizer: closed sessions across
+    micro-batches equal the batch twin over the same concatenated
+    events (open sessions stay in state, so compare only sessions the
+    batch twin also considers closed before the final event wave)."""
+    import datetime as dt
+
+    from top2vec_spark.operators.sessions import sessionize_batch
+    from top2vec_spark.streaming.sessions import sessionize_stream
+
+    base = dt.datetime(2026, 2, 1, 8, 0, 0)
+    rows = []
+    eid = 0
+    # 3 users x 3 sessions of 4 events (gap 5 min inside, 2 h between)
+    for u in range(3):
+        for s in range(3):
+            t0 = base + dt.timedelta(hours=2 * s, minutes=7 * u)
+            for e in range(4):
+                rows.append(
+                    (eid, t0 + dt.timedelta(minutes=5 * e), u, "click",
+                     float(u + s + e))
+                )
+                eid += 1
+    # final sentinel wave far in the future: closes every open session
+    for u in range(3):
+        rows.append((eid, base + dt.timedelta(days=30), u, "end", 0.0))
+        eid += 1
+
+    pdf = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    src = str(tmp_path / "sess_src")
+    # two files -> at least two micro-batches with maxFilesPerTrigger=1
+    pdf.filter(F.col("event_id") < 20).coalesce(1).write.mode("overwrite").parquet(src)
+    pdf.filter(F.col("event_id") >= 20).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(pdf.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        sessionize_stream(stream, gap_seconds=1800)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sessions_test")
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"],
+         round(r["total_value"], 6))
+        for r in spark.table("sessions_test").collect()
+    }
+    # batch twin over the SAME events; drop each user's final
+    # (sentinel) session — it is still open in the stream's state
+    batch = sessionize_batch(pdf, gap_seconds=1800)
+    last_id = {
+        r["user_id"]: r["mx"]
+        for r in batch.groupBy("user_id").agg(F.max("session_id").alias("mx")).collect()
+    }
+    expect = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"],
+         round(r["total_value"], 6))
+        for r in batch.collect()
+        if r["session_id"] != last_id[r["user_id"]]
+    }
+    assert got == expect
+    assert len(expect) == 9  # 3 users x 3 closed sessions
