@@ -81,3 +81,44 @@ def test_compression_is_compact():
     db, tb = encode_block(doc_ids, tfs)
     assert len(db) <= 2 + 127  # first id 2 bytes, then 1-byte gaps
     assert len(tb) == 16  # 128 * 1 bit for tf=1
+
+
+def test_batch_encode_matches_per_block():
+    """encode_varint_many / encode_gamma_many are byte-identical to
+    per-stream encodes (the build uses the batched form; the pinned
+    round-trip + WAND suites consume its output)."""
+    import numpy as np
+
+    from top2vec_spark.operators.codec import (
+        decode_blocks,
+        encode_gamma,
+        encode_gamma_many,
+        encode_varint,
+        encode_varint_many,
+    )
+
+    rng = np.random.default_rng(13)
+    counts = [1, 7, 128, 3, 64, 1, 255]
+    vals = rng.integers(1, 2**40, size=sum(counts), dtype=np.int64).astype(np.uint64)
+    splits = np.split(vals, np.cumsum(counts)[:-1])
+    many_v = encode_varint_many(vals, counts)
+    many_g = encode_gamma_many(vals, counts)
+    for part, bv, bg in zip(splits, many_v, many_g):
+        assert bv == encode_varint(part)
+        assert bg == encode_gamma(part)
+    # round-trip through the batched decoder too
+    tf_small = rng.integers(1, 200, size=sum(counts), dtype=np.int64).astype(np.uint64)
+    tf_parts = np.split(tf_small, np.cumsum(counts)[:-1])
+    tf_many = encode_gamma_many(tf_small, counts)
+    # build per-block (docid, tf) pairs: docids strictly increasing per block
+    docs = []
+    for c in counts:
+        base = rng.integers(0, 1000)
+        docs.append(np.cumsum(rng.integers(1, 50, size=c)) + base)
+    from top2vec_spark.operators.codec import encode_block
+
+    enc = [encode_block(dd, tt) for dd, tt in zip(docs, tf_parts)]
+    dec = decode_blocks([e[0] for e in enc], [e[1] for e in enc], counts)
+    for (dd, tt), (gd, gt) in zip(zip(docs, tf_parts), dec):
+        assert (gd == dd).all()
+        assert (gt.astype(np.uint64) == tt).all()

@@ -55,6 +55,76 @@ def encode_varint(values: np.ndarray) -> bytes:
     return out.tobytes()
 
 
+def _varint_nbytes(v: np.ndarray) -> np.ndarray:
+    """LEB128 byte length per value (vectorized)."""
+    nbits = np.zeros(v.shape, dtype=np.int64)
+    tmp = v.copy()
+    while True:
+        nz = tmp > 0
+        if not nz.any():
+            break
+        nbits[nz] += 1
+        tmp >>= np.uint64(1)
+    return np.maximum(1, (nbits + 6) // 7)
+
+
+def encode_varint_many(values: np.ndarray, counts) -> list:
+    """Encode many INDEPENDENT varint streams (e.g. one per posting
+    block) in ONE vectorized pass: varint streams are
+    self-terminating, so the concatenated encode is byte-sliced at
+    per-stream boundaries. Kills the per-block fixed cost of calling
+    encode_varint ~n_postings/128 times during an index build."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    counts = np.asarray(counts, dtype=np.int64)
+    if v.size == 0:
+        return [b""] * counts.size
+    blob = encode_varint(v)
+    nbytes = _varint_nbytes(v)
+    starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    stream_bytes = np.add.reduceat(nbytes, starts)
+    offs = np.concatenate(([0], np.cumsum(stream_bytes)))
+    return [blob[offs[i] : offs[i + 1]] for i in range(counts.size)]
+
+
+def encode_gamma_many(values: np.ndarray, counts) -> list:
+    """Encode many independent Elias-gamma streams in one pass. Each
+    stream is padded to a byte boundary EXACTLY like an individual
+    encode_gamma call (packbits padding), so outputs are
+    byte-identical to per-stream encodes — one bit-scatter + one
+    packbits for the whole batch."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    counts = np.asarray(counts, dtype=np.int64)
+    if v.size == 0:
+        return [b""] * counts.size
+    if (v < 1).any():
+        raise ValueError("Elias-gamma requires values >= 1")
+    nbits_val = (np.uint64(64) - _clz64(v)).astype(np.int64)
+    nlead = nbits_val - 1
+    code_len = 2 * nlead + 1
+    starts_idx = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    stream_bits = np.add.reduceat(code_len, starts_idx)
+    stream_bytes = (stream_bits + 7) // 8
+    stream_bit_offs = np.concatenate(([0], np.cumsum(stream_bytes * 8)))
+    # bit position of each value = its stream's padded start + the
+    # within-stream running code offset
+    within = np.concatenate(([0], np.cumsum(code_len)[:-1]))
+    stream_id = np.repeat(np.arange(counts.size), counts)
+    within -= np.repeat(within[starts_idx], counts)
+    starts = stream_bit_offs[stream_id] + within
+    total_bits = int(stream_bit_offs[-1])
+    bits = np.zeros(total_bits, dtype=np.uint8)
+    maxdigits = int(nbits_val.max())
+    for j in range(maxdigits):
+        alive = nbits_val > j
+        shift = (nbits_val[alive] - 1 - j).astype(np.uint64)
+        digit = ((v[alive] >> shift) & np.uint64(1)).astype(np.uint8)
+        pos = starts[alive] + nlead[alive] + j
+        bits[pos] = digit
+    blob = np.packbits(bits).tobytes()
+    offs = np.concatenate(([0], np.cumsum(stream_bytes)))
+    return [blob[offs[i] : offs[i + 1]] for i in range(counts.size)]
+
+
 def decode_varint(buf: bytes) -> np.ndarray:
     """Vectorized LEB128 decode -> uint64 array."""
     raw = np.frombuffer(buf, dtype=np.uint8)

@@ -104,36 +104,62 @@ def encode_sorted_run(
     out: list,
 ) -> None:
     """Append encoded block rows for ONE (term_id, shard) run whose
-    doc_ids are already sorted ascending. numpy-only per block."""
-    from top2vec_spark.operators.codec import encode_block
+    doc_ids are already sorted ascending.
 
-    for blk_i, lo in enumerate(range(0, doc_ids.size, block_size)):
-        hi = min(lo + block_size, doc_ids.size)
-        d, t, c = doc_ids[lo:hi], tfs[lo:hi], contrib[lo:hi]
-        doc_bytes, tf_bytes = encode_block(d, t)
-        deltas = np.empty(d.shape, dtype=np.uint64)
-        deltas[0] = np.uint64(d[0])
-        if d.size > 1:
-            deltas[1:] = np.diff(d).astype(np.uint64)
-        offs = _varint_offsets(deltas)
+    ALL of the run's blocks encode in one batched codec pass
+    (encode_varint_many / encode_gamma_many — byte-identical to
+    per-block encodes): head-term runs hold thousands of blocks, and
+    the per-block encode_varint/encode_gamma fixed cost was the
+    postings stage's dominant term, mirroring the decode-side finding
+    on the query path."""
+    from top2vec_spark.operators.codec import (
+        encode_gamma_many,
+        encode_varint_many,
+    )
+
+    n = doc_ids.size
+    d = np.ascontiguousarray(doc_ids, dtype=np.int64)
+    t = np.ascontiguousarray(tfs, dtype=np.int64)
+    block_starts = np.arange(0, n, block_size, dtype=np.int64)
+    n_blocks = block_starts.size
+    counts = np.minimum(block_starts + block_size, n) - block_starts
+    # deltas with a reset at every block start (first value absolute)
+    deltas = np.empty(n, dtype=np.uint64)
+    deltas[0] = np.uint64(d[0])
+    if n > 1:
+        deltas[1:] = np.diff(d).astype(np.uint64)
+    deltas[block_starts] = d[block_starts].astype(np.uint64)
+    doc_bytes_list = encode_varint_many(deltas, counts)
+    tf_bytes_list = encode_gamma_many(t.astype(np.uint64), counts)
+    max_tf = np.maximum.reduceat(t, block_starts)
+    max_c = np.maximum.reduceat(contrib, block_starts)
+    min_dl = np.minimum.reduceat(np.ascontiguousarray(dls), block_starts)
+    lasts = np.minimum(block_starts + block_size, n) - 1
+    from top2vec_spark.operators.codec import _varint_nbytes
+
+    nbytes_all = _varint_nbytes(deltas)
+    for blk_i in range(n_blocks):
+        lo = int(block_starts[blk_i])
+        hi = int(lasts[blk_i]) + 1
+        offs = np.concatenate(([0], np.cumsum(nbytes_all[lo:hi])[:-1]))
         skips = [
-            {"doc_id": int(d[i]), "offset": int(offs[i])}
-            for i in range(0, d.size, SKIP_EVERY)
+            {"doc_id": int(d[lo + i]), "offset": int(offs[i])}
+            for i in range(0, hi - lo, SKIP_EVERY)
         ]
         out.append(
             (
                 term_id,
                 shard,
                 blk_i,
-                int(d.size),
-                doc_bytes,
-                tf_bytes,
+                hi - lo,
+                doc_bytes_list[blk_i],
+                tf_bytes_list[blk_i],
                 skips,
-                int(d[0]),
-                int(d[-1]),
-                int(t.max()),
-                float(c.max()),
-                int(dls[lo:hi].min()),
+                int(d[lo]),
+                int(d[hi - 1]),
+                int(max_tf[blk_i]),
+                float(max_c[blk_i]),
+                int(min_dl[blk_i]),
             )
         )
 
