@@ -131,7 +131,8 @@ Raw JSON (best runs):
 ```
 """
     os.makedirs(f"{REPO}/BENCH", exist_ok=True)
-    with open(f"{REPO}/BENCH/BASELINE.md", "w") as f:
+    out_path = os.environ.get("SCALING_OUT", f"{REPO}/BENCH/BASELINE.md")
+    with open(out_path, "w") as f:
         f.write(report)
     print(report)
 
