@@ -377,7 +377,26 @@ def _q_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from top2vec_spark.operators.sessions import sessionize_batch
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return sessionize_batch(ev, gap_seconds=1800)
+    # Project the raw TIMESTAMP bounds to formatted strings: the
+    # driver's value-hash serializes Spark and DuckDB timestamps
+    # differently (values verified identical in round 2), so — like
+    # every other oracled query — avoid raw timestamps in the compared
+    # output. date_format on a TIMESTAMP_NTZ is timezone-independent
+    # (formats the wall-clock fields), so this is stable regardless of
+    # the gate session's spark.sql.session.timeZone.
+    sess = sessionize_batch(ev, gap_seconds=1800)
+    return sess.select(
+        "user_id",
+        "session_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias(
+            "session_start"
+        ),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias(
+            "session_end"
+        ),
+        "n_events",
+        "total_value",
+    )
 
 
 def _q_topic_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -773,7 +792,34 @@ SELECT doc_id,
              AS uniq_word_ratio
 FROM documents
 """,
-        # lang_id: rows-only (no oracle entry)
+        "lang_id": r"""
+WITH feat AS (
+  SELECT doc_id,
+         greatest(len(regexp_split_to_array(text, '\s+')), 1) AS n_words,
+         len(regexp_extract_all(text,
+             '(?i)\b(the|and|of|to|in|is|that|for|with)\b', 1)) AS en_hits,
+         len(regexp_extract_all(text,
+             '(?i)\b(der|die|und|das|ist|nicht|mit|ein)\b', 1)) AS de_hits,
+         len(regexp_extract_all(text,
+             '(?i)\b(le|la|les|et|est|une|pour|dans)\b', 1)) AS fr_hits,
+         len(regexp_extract_all(text,
+             '(?i)\b(el|la|los|que|es|una|por|con)\b', 1)) AS es_hits
+  FROM documents
+),
+scored AS (
+  SELECT doc_id,
+         list_aggregate([
+           {'rate': en_hits / n_words, 'lg': 'en'},
+           {'rate': de_hits / n_words, 'lg': 'de'},
+           {'rate': fr_hits / n_words, 'lg': 'fr'},
+           {'rate': es_hits / n_words, 'lg': 'es'}
+         ], 'max') AS best
+  FROM feat
+)
+SELECT doc_id,
+       CASE WHEN best.rate > 0 THEN best.lg ELSE 'und' END AS lang_pred
+FROM scored
+""",
         "cosine_top10": """
 WITH q AS (SELECT embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id = 7)
 SELECT vec_id,
@@ -840,8 +886,7 @@ SELECT vec_id, label AS assigned_label FROM ranked WHERE rn = 1
 WITH ordered AS (
   SELECT user_id, event_id, ts, value,
          CASE WHEN lag(ts) OVER w IS NULL
-              OR CAST(floor(epoch(ts)) AS BIGINT)
-                 - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+              OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
               THEN 1 ELSE 0 END AS new_sess
   FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
@@ -851,7 +896,9 @@ numbered AS (
   ) AS session_id
   FROM ordered
 )
-SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end,
+SELECT user_id, session_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
        count(*) AS n_events, round(sum(value), 6) AS total_value
 FROM numbered GROUP BY user_id, session_id ORDER BY user_id, session_id
 """,

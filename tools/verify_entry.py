@@ -17,6 +17,7 @@ import __spark_entry__ as entrymod
 from top2vec_spark.session import get_spark
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+ONLY = set(sys.argv[2:])  # optional query names to restrict to
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
@@ -48,6 +49,8 @@ def main():
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     failures = 0
     for name, fn in qs.items():
+        if ONLY and name not in ONLY:
+            continue
         t0 = time.time()
         sdf = fn(spark, SF_DIR)
         srows = [tuple(r) for r in sdf.collect()]
@@ -74,10 +77,11 @@ def main():
             print("  spark :", sorted(srows)[:10])
             print("  duckdb:", sorted(drows)[:10])
 
-    # smoke entry()
-    e = entrymod.entry(spark)
-    n = e.count()
-    print(f"entry() rows={n} schema={e.schema.simpleString()}")
+    if not ONLY:
+        # smoke entry()
+        e = entrymod.entry(spark)
+        n = e.count()
+        print(f"entry() rows={n} schema={e.schema.simpleString()}")
     sys.exit(1 if failures else 0)
 
 

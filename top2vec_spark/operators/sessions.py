@@ -38,9 +38,15 @@ def sessionize_batch(
     on (user, day) first)."""
     w = W.partitionBy(user_col).orderBy(ts_col, "event_id")
     prev_ts = F.lag(ts_col).over(w)
+    # Sub-second-precision gap (cast-to-double = fractional epoch
+    # seconds) so the batch twin splits sessions exactly where the
+    # streaming twin's microsecond comparison does — unix_timestamp
+    # truncates to whole seconds and would disagree on e.g. a 1800.5 s
+    # gap.
     new_sess = (
         prev_ts.isNull()
-        | ((F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(prev_ts))
+        | ((F.col(ts_col).cast("timestamp").cast("double")
+            - prev_ts.cast("timestamp").cast("double"))
            > gap_seconds)
     ).cast("int")
     numbered = events.withColumn(
