@@ -13,7 +13,6 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import Window as W
 
 from top2vec_spark.config import DEFAULT_MIN_COUNT
 
@@ -35,12 +34,21 @@ def build_vocab(tokens: DataFrame, min_count: int = DEFAULT_MIN_COUNT) -> DataFr
         )
         .filter(F.col("cf") > min_count)
     )
-    # Vocab is small (≤ millions of rows even at web scale, vs 10^12
-    # docs); a global row_number window here is a deliberate,
-    # bounded-size single-partition step.
-    w = W.orderBy(F.col("df").desc(), F.col("term").asc())
-    return counts.withColumn(
-        "term_id", (F.row_number().over(w) - F.lit(1)).cast("long")
+    return number_vocab(counts)
+
+
+def number_vocab(counts: DataFrame, start: int = 0) -> DataFrame:
+    """Assign term_id = start + dense rank by (df desc, term asc) to a
+    (term, df, cf) frame — two-phase parallel numbering, NOT a global
+    window (a min_count-filtered web vocab is 10^7-10^8 rows; a
+    no-partition row_number would sort all of it in ONE task)."""
+    from top2vec_spark.operators.numbering import two_phase_row_number
+
+    return two_phase_row_number(
+        counts.select("term", "df", "cf"),
+        [F.col("df").desc(), F.col("term").asc()],
+        "term_id",
+        start=start,
     ).select("term", "term_id", "df", "cf")
 
 

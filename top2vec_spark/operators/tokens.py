@@ -172,42 +172,10 @@ def assign_doc_ids(pages: DataFrame, url_col: str = "url") -> DataFrame:
 
     Everything stays JVM-side (whole-stage codegen; no RDD/Python
     round-trip of the corpus — the old ``rdd.zipWithIndex`` variant
-    pickled every row out to Python and back). The local rank comes
-    from ``monotonically_increasing_id`` (= partition_id << 33 +
-    position within the already-sorted partition), NOT a window — a
-    window partitioned by _pid would force one more full hash
-    Exchange of the corpus; this way the numbering job adds ZERO
-    shuffles beyond the range partitioning itself (plan capture in
-    BENCH/PLANS.md). The repartitioned frame is persisted for the
-    duration of the two jobs so the count job and the numbering job
-    see identical partitioning (range sampling is seeded per-plan;
-    persistence removes any recompute ambiguity).
+    pickled every row out to Python and back). See
+    operators/numbering.two_phase_row_number for the mechanism (plan
+    capture in BENCH/PLANS.md).
     """
-    from pyspark import StorageLevel
+    from top2vec_spark.operators.numbering import two_phase_row_number
 
-    parts = (
-        pages.repartitionByRange(F.col(url_col))
-        .sortWithinPartitions(url_col)
-        .withColumn("_pid", F.spark_partition_id())
-        .withColumn("_mid", F.monotonically_increasing_id())
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    counts = sorted(
-        (r["_pid"], r["cnt"])
-        for r in parts.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
-    )
-    offsets, acc = {}, 0
-    for pid, cnt in counts:
-        offsets[pid] = acc
-        acc += cnt
-    spark = pages.sparkSession
-    off_df = spark.createDataFrame(
-        [(int(pid), int(off)) for pid, off in offsets.items()],
-        "_pid int, _off long",
-    )
-    local_idx = F.col("_mid").bitwiseAND(F.lit((1 << 33) - 1))
-    return (
-        parts.join(F.broadcast(off_df), "_pid")
-        .withColumn("doc_id", (F.col("_off") + local_idx).cast("long"))
-        .drop("_pid", "_off", "_mid")
-    )
+    return two_phase_row_number(pages, [F.col(url_col)], "doc_id")

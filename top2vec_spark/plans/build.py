@@ -325,7 +325,7 @@ class PostingsIndex:
         # (never re-aggregates tf history — O(batch), not O(corpus))
         vocab_dir_new = f"vocab_v_{ep}"
         if not sub_done("vocab"):
-            from pyspark.sql import Window as W
+            from top2vec_spark.operators.corpus_stats import number_vocab
 
             old_vocab = self.vocab
             max_id = old_vocab.agg(F.max("term_id")).collect()[0][0] or 0
@@ -337,31 +337,29 @@ class PostingsIndex:
                     F.count(F.lit(1)).alias("df_new"),
                 )
             )
-            joined = old_vocab.join(new_counts, "term", "full_outer")
-            w = W.orderBy(F.col("df").desc(), F.col("term").asc())
-            merged = (
-                joined.select(
-                    "term",
-                    "term_id",
-                    (
-                        F.coalesce(F.col("df"), F.lit(0))
-                        + F.coalesce(F.col("df_new"), F.lit(0))
-                    ).alias("df"),
-                    (
-                        F.coalesce(F.col("cf"), F.lit(0))
-                        + F.coalesce(F.col("cf_new"), F.lit(0))
-                    ).alias("cf"),
-                )
-                .withColumn(
-                    "term_id",
-                    F.coalesce(
-                        F.col("term_id"),
-                        (F.row_number().over(w) + F.lit(int(max_id))).cast(
-                            "long"
-                        ),
-                    ),
-                )
-                .select("term", "term_id", "df", "cf")
+            joined = old_vocab.join(new_counts, "term", "full_outer").select(
+                "term",
+                "term_id",
+                (
+                    F.coalesce(F.col("df"), F.lit(0))
+                    + F.coalesce(F.col("df_new"), F.lit(0))
+                ).alias("df"),
+                (
+                    F.coalesce(F.col("cf"), F.lit(0))
+                    + F.coalesce(F.col("cf_new"), F.lit(0))
+                ).alias("cf"),
+            )
+            # existing terms keep their ids; BRAND-NEW terms get dense
+            # ids above max_id by (df desc, term asc) — two-phase
+            # parallel numbering over only the new terms, not a global
+            # window over the whole merged vocab
+            kept = joined.filter(F.col("term_id").isNotNull())
+            fresh = number_vocab(
+                joined.filter(F.col("term_id").isNull()).drop("term_id"),
+                start=int(max_id) + 1,
+            )
+            merged = kept.select("term", "term_id", "df", "cf").unionByName(
+                fresh
             )
             merged.write.mode("overwrite").parquet(f"{p}/{vocab_dir_new}")
             sub_mark("vocab")
@@ -584,18 +582,14 @@ class IndexBuilder:
         tf_t = explode_packed_tf(packed_t)
 
         if not (resume and self._done("vocab")):
-            from pyspark.sql import Window as W
+            from top2vec_spark.operators.corpus_stats import number_vocab
 
             counts = (
                 tf_t.groupBy("term")
                 .agg(F.sum("tf").alias("cf"), F.count(F.lit(1)).alias("df"))
                 .filter(F.col("cf") > min_count)
             )
-            w = W.orderBy(F.col("df").desc(), F.col("term").asc())
-            vocab_df = counts.withColumn(
-                "term_id", (F.row_number().over(w) - F.lit(1)).cast("long")
-            ).select("term", "term_id", "df", "cf")
-            vocab_df.write.mode("overwrite").parquet(f"{p}/vocab")
+            number_vocab(counts).write.mode("overwrite").parquet(f"{p}/vocab")
             self._mark("vocab")
         vocab_t = self.spark.read.parquet(f"{p}/vocab")
 

@@ -47,14 +47,14 @@ class StreamingIndexer:
         # replayed batch is a no-op once its .done marker exists, so
         # the "exactly-once per batch" contract holds across restarts.
         lo = self.index.epoch_base_doc_id(epoch_id)
-        from pyspark.sql import Window as W
-        from pyspark.sql.functions import row_number
+        from top2vec_spark.operators.numbering import two_phase_row_number
 
-        # deterministic ids within the batch: rank by url (or text)
+        # deterministic ids within the batch: rank by url (or text),
+        # two-phase numbering — a global orderBy window would move a
+        # large catch-up batch (first run against a backlog) to ONE task
         order_col = "url" if "url" in batch_df.columns else self.text_col
-        w = W.orderBy(order_col)
-        docs = batch_df.withColumn(
-            "doc_id", (row_number().over(w) - 1 + F.lit(lo)).cast("long")
+        docs = two_phase_row_number(
+            batch_df, [F.col(order_col)], "doc_id", start=lo
         ).select("doc_id", F.col(self.text_col).alias("text"))
         self.index = self.index.append_documents(docs, epoch_id=epoch_id)
         self.batches_applied += 1
