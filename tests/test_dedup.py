@@ -111,3 +111,31 @@ def test_simhash(spark, tokens_arr):
     }
     assert nd.get((0, 1)) == 0
     assert (0, 2) in nd
+
+
+def test_simhash_overcap_bucket_stays_connected(spark):
+    """Over-cap buckets degrade to O(n) pairs (star + fingerprint-
+    adjacency): a cluster of identical documents larger than bucket_cap
+    must still come out fully connected via hamming-0 edges."""
+    rows = [(i, "identical content words repeated here") for i in range(40)]
+    rows += [(100 + i, f"totally different text number {i} unique") for i in range(5)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    toks = docs.select(
+        "doc_id", F.split(F.lower("text"), " ").alias("tokens")
+    )
+    fps = simhash_fingerprints(toks)
+    pairs = simhash_near_duplicates(fps, max_hamming=0, bucket_cap=8).collect()
+    # union-find over the emitted edges: all 40 identical docs connect
+    parent = {i: i for i in range(40)}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in pairs:
+        a, b = r["doc_a"], r["doc_b"]
+        if a < 40 and b < 40:
+            parent[find(a)] = find(b)
+    assert len({find(i) for i in range(40)}) == 1

@@ -58,3 +58,52 @@ def test_api_delete_with_index(spark, tmp_path):
     assert eng.docs.filter(f"doc_id = {gone}").count() == 0
     with pytest.raises(ValueError):
         eng.delete_documents([10**9])
+
+
+def test_tombstone_sidecar_scales(spark, tmp_path):
+    """Tombstones are a per-shard parquet sidecar, NOT task-closure
+    freight: with 10^5 tombstoned ids the kernel closure carries only
+    query-side exclusions, and results still skip every deleted doc."""
+    import os
+
+    from top2vec_spark.operators import wand as wand_mod
+
+    pdf = generate_pages_pdf(200, seed=53)
+    docs = assign_doc_ids(spark.createDataFrame(pdf[["url", "text"]])).select(
+        "doc_id", "url", "text"
+    )
+    path = str(tmp_path / "sidx")
+    idx = IndexBuilder(spark, path, docs_per_shard=64, n_buckets=8).build_from_docs(
+        docs, resume=False
+    )
+    vmap = {r["term"]: (r["term_id"], r["df"]) for r in idx.vocab.collect()}
+    q = resolve_query_terms(vmap, ["wa", "wb"], [])
+    before = wand_topk(spark, idx, q, idx.globs, 10).collect()
+    victims = [r["doc_id"] for r in before[:3]]
+
+    # mass delete: the 3 real victims + 10^5 ids beyond the corpus
+    idx.delete_documents(victims + list(range(10**6, 10**6 + 100_000)))
+
+    # layout: shard-partitioned dirs, so kernels prune to their own
+    shard_dirs = [
+        d for d in os.listdir(f"{path}/tombstones") if d.startswith("shard=")
+    ]
+    assert len(shard_dirs) > 1
+
+    # the closure-side exclusion set stays tiny: spy on the kernel maker
+    captured = {}
+    orig = wand_mod.make_shard_kernel
+
+    def spy(qinfo, k, k1, b, avgdl, exclude, *a, **kw):
+        captured["exclude"] = exclude
+        return orig(qinfo, k, k1, b, avgdl, exclude, *a, **kw)
+
+    wand_mod.make_shard_kernel = spy
+    try:
+        after = wand_topk(spark, idx, q, idx.globs, 10).collect()
+    finally:
+        wand_mod.make_shard_kernel = orig
+    assert captured["exclude"] == frozenset()  # tombstones NOT in closure
+    assert not (set(victims) & {r["doc_id"] for r in after})
+    surv = [(r["doc_id"], r["score"]) for r in before if r["doc_id"] not in victims]
+    assert [(r["doc_id"], r["score"]) for r in after[: len(surv)]] == surv

@@ -180,6 +180,39 @@ def test_merge_duplicate_topics(spark):
     assert sizes == {0: 50, 1: 20}
 
 
+def test_merge_invalidates_reduced_mirror(spark):
+    """A merge renumbers topics, so a reduction computed BEFORE the
+    merge must not silently serve afterwards: reduced=True queries
+    raise until hierarchical_topic_reduction is re-run."""
+    import pytest
+
+    from top2vec_spark import Top2VecSpark
+
+    rng = np.random.default_rng(11)
+    bases = [rng.normal(size=8) for _ in range(3)]
+    rows = []
+    for i in range(60):
+        lbl = i % 3
+        # labels 0 and 1 share a base -> they merge
+        v = bases[0 if lbl <= 1 else 2] + rng.normal(scale=0.01, size=8)
+        rows.append((i, [float(x) for x in v], lbl))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    docs = spark.createDataFrame(
+        [(i, f"doc number {i} words here") for i in range(60)],
+        "doc_id long, text string",
+    )
+    eng = Top2VecSpark(spark, docs, ascii_fast_path=True)
+    eng.compute_topics(emb)
+    eng.hierarchical_topic_reduction(2)
+    assert hasattr(eng, "doc_topic_reduced")
+    assert eng.merge_duplicate_topics(threshold=0.95) == 2
+    assert not hasattr(eng, "doc_topic_reduced")
+    with pytest.raises(ValueError, match="reduced"):
+        eng.get_topic_sizes(reduced=True)
+
+
 def test_custom_tokenizer_hook(spark, tiny_docs):
     from top2vec_spark import Top2VecSpark
 

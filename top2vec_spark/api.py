@@ -747,6 +747,19 @@ class Top2VecSpark:
         ).cache()
         self._ctfidf = T.ctfidf_scores(self._tf, self.doc_topic).cache()
         self.topic_words = T.topic_words_ctfidf(self._tf, self.doc_topic).cache()
+        # the reduced mirror was computed against the PRE-merge topic
+        # numbering — invalidate it so reduced=True queries raise
+        # (re-run hierarchical_topic_reduction) instead of silently
+        # serving stale topic ids
+        for attr in (
+            "doc_topic_reduced",
+            "topic_words_reduced",
+            "_ctfidf_reduced",
+            "_hierarchy",
+            "_centroids_reduced",
+        ):
+            if hasattr(self, attr):
+                delattr(self, attr)
         return self.doc_topic.select("topic_id").distinct().count()
 
     # -- topic-layer helpers --------------------------------------------------
@@ -834,7 +847,32 @@ class Top2VecSpark:
                 tokenizer=self.tokenizer,
                 ngram_vocab=self.ngram_vocab,
             )
-            out._index = self._index.append_documents(shifted, cfg=self.cfg)
+            # appended docs must be indexed under the SAME tokenization
+            # as the base build: with a custom tokenizer or a
+            # phrase-augmented vocab, pre-tokenize here (engine
+            # pipeline) and hand the packed tf to the append — the
+            # default append path uses the built-in contract tokenizer
+            # only. Phrase augmentation uses the BASE phrase vocabulary
+            # (no re-mining), matching the stored index's terms.
+            packed_tf = None
+            if self.tokenizer is not None or self.ngram_vocab:
+                from top2vec_spark.operators.tokens import pack_tokens
+
+                new_toks = tokenize_docs(
+                    shifted,
+                    ascii_fast_path=self.ascii_fast_path,
+                    tokenizer=self.tokenizer,
+                )
+                if self.ngram_vocab:
+                    from top2vec_spark.operators.phrases import (
+                        tokens_with_phrases,
+                    )
+
+                    new_toks = tokens_with_phrases(new_toks, self.phrases)
+                packed_tf = pack_tokens(new_toks)
+            out._index = self._index.append_documents(
+                shifted, cfg=self.cfg, packed_tf=packed_tf
+            )
         else:
             dup = (
                 self.docs.select("doc_id")
@@ -927,7 +965,13 @@ class Top2VecSpark:
     def _project(self, result: DataFrame, return_documents: bool) -> DataFrame:
         """Join back url/text like the reference returns
         (documents?, doc_scores, doc_ids) — url plays the role of
-        document_ids (SURVEY.md §1.2)."""
+        document_ids (SURVEY.md §1.2).
+
+        O(k) join-back: the ≤k result rows are collected and the text
+        fetch is a pushed ``doc_id IN (...)`` filter on the docs scan
+        (partition/row-group pruned) — a plain broadcast join here
+        would STREAM the full corpus scan to fetch k rows, a
+        full-table read per query at 10^12 docs."""
         cols = ["doc_id"]
         if "url" in self.docs.columns:
             cols.append("url")
@@ -935,7 +979,11 @@ class Top2VecSpark:
             cols.append("text")
         if len(cols) == 1:
             return result
-        return result.join(self.docs.select(*cols), "doc_id").orderBy(
+        rows = result.collect()  # ≤ k rows; the search job runs here
+        local = self.spark.createDataFrame(rows, result.schema)
+        ids = [int(r["doc_id"]) for r in rows]
+        side = self.docs.select(*cols).filter(F.col("doc_id").isin(ids))
+        return local.join(side, "doc_id").orderBy(
             F.col("score").desc(), F.col("doc_id").asc()
         )
 
@@ -943,9 +991,44 @@ class Top2VecSpark:
         if k < 1:
             raise ValueError("num_docs must be >= 1")
 
+    def _doc_id_bounds(self) -> tuple:
+        """(lo, hi, dense) of the ORIGINAL corpus ids, cached after one
+        column-pruned aggregate. Not invalidated by index-path deletes
+        on purpose: those only tombstone, so the valid set stays
+        'original dense range minus tombstones'."""
+        if not hasattr(self, "_id_bounds"):
+            r = self.docs.agg(
+                F.min("doc_id").alias("lo"),
+                F.max("doc_id").alias("hi"),
+                F.count("doc_id").alias("n"),
+            ).collect()[0]
+            lo, hi, n = r["lo"], r["hi"], r["n"]
+            dense = lo is not None and (int(hi) - int(lo) + 1 == int(n))
+            self._id_bounds = (lo, hi, dense)
+        return self._id_bounds
+
     def _validate_doc_ids(self, ids: Sequence[int]) -> None:
-        found = self.docs.filter(F.col("doc_id").isin(list(ids))).count()
-        if found != len(set(ids)):
+        """Existence check without a per-call corpus scan: dense-id
+        corpora (the assign_doc_ids contract) validate driver-side
+        against cached bounds + tombstones — zero jobs on the hot path
+        of search_documents_by_documents / get_documents_topics /
+        delete_documents. Non-dense corpora fall back to a pushed
+        isin probe."""
+        uniq = {int(i) for i in ids}
+        if not uniq:
+            return
+        lo, hi, dense = self._doc_id_bounds()
+        if dense:
+            tombs = (
+                self._index.tombstones
+                if self._index is not None
+                else frozenset()
+            )
+            if all(lo <= i <= hi and i not in tombs for i in uniq):
+                return
+            raise ValueError("doc_ids do not exist")
+        found = self.docs.filter(F.col("doc_id").isin(list(uniq))).count()
+        if found != len(uniq):
             raise ValueError("doc_ids do not exist")
 
     def _doc_terms(self, ids: Sequence[int]) -> list[str]:

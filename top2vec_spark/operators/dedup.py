@@ -293,10 +293,14 @@ def simhash_near_duplicates(
 ) -> DataFrame:
     """Candidate generation by 16-bit prefix of n_tables rotations,
     verified by exact Hamming distance (<= max_hamming). Buckets above
-    ``bucket_cap`` (near-identical-content clusters) degrade to STAR
-    pairs against the bucket minimum — O(n) per bucket instead of
-    O(n^2), still connecting the cluster for dedup (same policy as the
-    MinHash LSH bucket cap; nothing is silently dropped)."""
+    ``bucket_cap`` degrade to O(n) candidate pairs: a STAR against the
+    bucket's min doc_id PLUS adjacency in sorted-fingerprint order.
+    Identical-fingerprint clusters — the usual cause of an over-cap
+    bucket — stay fully connected through the hamming-0 adjacency
+    chain. Limitation (deliberate O(n) trade): a member of an over-cap
+    bucket whose only near-neighbors are neither the min doc nor
+    fingerprint-adjacent can lose pairs the O(n^2) path would have
+    found."""
     rot = fingerprints
     parts = []
     for t in range(n_tables):
@@ -318,9 +322,15 @@ def simhash_near_duplicates(
             return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []}).astype(
                 {"doc_a": "int64", "doc_b": "int64", "hamming": "int32"}
             )
-        if ids.size > bucket_cap:  # star-pair degrade, not a drop
-            ii = np.zeros(ids.size - 1, dtype=np.int64)
-            jj = np.arange(1, ids.size)
+        if ids.size > bucket_cap:
+            # O(n) degrade: star to the min doc_id + adjacency in
+            # sorted-fingerprint order (identical fingerprints become
+            # hamming-0 chains, keeping dup clusters connected)
+            forder = np.argsort(fps, kind="stable")
+            ii = np.concatenate(
+                (np.zeros(ids.size - 1, dtype=np.int64), forder[:-1])
+            )
+            jj = np.concatenate((np.arange(1, ids.size), forder[1:]))
         else:
             ii, jj = np.triu_indices(ids.size, k=1)
         x = np.bitwise_xor(fps[ii], fps[jj]).astype(np.uint64)
@@ -329,9 +339,9 @@ def simhash_near_duplicates(
             ham += (x & np.uint64(1)).astype(np.int32)
             x >>= np.uint64(1)
         keep = ham <= max_hamming
-        return pd.DataFrame(
-            {"doc_a": ids[ii][keep], "doc_b": ids[jj][keep], "hamming": ham[keep]}
-        )
+        a = np.minimum(ids[ii][keep], ids[jj][keep])
+        b = np.maximum(ids[ii][keep], ids[jj][keep])
+        return pd.DataFrame({"doc_a": a, "doc_b": b, "hamming": ham[keep]})
 
     return (
         banded.groupBy("tbl", "bucket")

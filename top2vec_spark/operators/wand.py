@@ -48,7 +48,9 @@ Python.
 
 from __future__ import annotations
 
+import hashlib
 import math
+import os
 from collections.abc import Sequence
 
 import numpy as np
@@ -72,6 +74,72 @@ _DL_CACHE: dict = {}
 
 def _score_tf(tf, dl, idf, k1, b, avgdl):
     return idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+
+
+# tombstone sidecar cache, same lifecycle as _DL_CACHE but keyed by a
+# driver-computed fingerprint of the tombstone file set: deletes APPEND
+# files, so the fingerprint changes and stale cached arrays never serve
+_TOMB_CACHE: dict = {}
+
+
+def tomb_fingerprint(tomb_path: str | None) -> str:
+    """Driver-side tombstone-set version: hash of the sorted parquet
+    file names under the dir (one cheap local listdir per query plan).
+    Empty string when no tombstones exist."""
+    if not tomb_path or not os.path.isdir(tomb_path):
+        return ""
+    names = []
+    for root, _, files in os.walk(tomb_path):
+        rel = os.path.relpath(root, tomb_path)
+        names += [f"{rel}/{f}" for f in files if f.endswith(".parquet")]
+    if not names:
+        return ""
+    return hashlib.md5("|".join(sorted(names)).encode()).hexdigest()
+
+
+def _load_tomb_sidecar(
+    tomb_path: str | None, version: str, shard: int
+) -> np.ndarray:
+    """This shard's tombstoned doc_ids, worker-cached. The exclusion
+    set never rides in the task closure: each kernel reads only its
+    own shard's partition of the tombstone table (like the dl
+    sidecar), so 10^8 accumulated deletes don't serialize into every
+    query."""
+    if not tomb_path or not version:
+        return np.empty(0, dtype=np.int64)
+    key = (tomb_path, version, shard)
+    got = _TOMB_CACHE.get(key)
+    if got is not None:
+        return got
+    sub = f"{tomb_path}/shard={shard}"
+    if os.path.isdir(sub):
+        arr = np.unique(
+            pd.read_parquet(sub, columns=["doc_id"])["doc_id"].to_numpy(
+                np.int64
+            )
+        )
+    else:
+        arr = np.empty(0, dtype=np.int64)
+    if len(_TOMB_CACHE) > 256:
+        _TOMB_CACHE.clear()
+    _TOMB_CACHE[key] = arr
+    return arr
+
+
+def _shard_exclude(
+    exclude: frozenset, tomb_path: str | None, version: str, shard: int
+) -> np.ndarray:
+    """Query-side exclusions (tiny, closure-shipped) ∪ this shard's
+    tombstones (side-read) as one sorted int64 array."""
+    q = (
+        np.fromiter(exclude, dtype=np.int64)
+        if exclude
+        else np.empty(0, dtype=np.int64)
+    )
+    t = _load_tomb_sidecar(tomb_path, version, shard)
+    if t.size and q.size:
+        return np.union1d(q, t)
+    return t if t.size else np.unique(q)
 
 
 def _load_dl_sidecar(stats_path: str, build_id: str, shard: int):
@@ -170,7 +238,7 @@ def _query_shard_topk(
     k1: float,
     b: float,
     avgdl: float,
-    exclude: frozenset[int],
+    exclude: np.ndarray,
     dl_lookup,
 ) -> pd.DataFrame:
     """One query's exact top-k within one shard — the block-max WAND
@@ -250,8 +318,8 @@ def _query_shard_topk(
         np.unique(np.concatenate(seed_docs)) if seed_docs else
         np.empty(0, dtype=np.int64)
     )
-    if exclude:
-        cands0 = cands0[~np.isin(cands0, np.fromiter(exclude, dtype=np.int64))]
+    if exclude.size:
+        cands0 = cands0[~np.isin(cands0, exclude)]
     scores0 = exact_scores(cands0) if cands0.size else np.empty(0)
     theta = (
         float(np.partition(scores0, -k)[-k]) if scores0.size >= k else -math.inf
@@ -318,8 +386,8 @@ def _query_shard_topk(
             {"doc_id": pd.Series(dtype="int64"), "score": pd.Series(dtype="float64")}
         )
     cands = np.unique(np.concatenate(cand_parts))
-    if exclude:
-        cands = cands[~np.isin(cands, np.fromiter(exclude, dtype=np.int64))]
+    if exclude.size:
+        cands = cands[~np.isin(cands, exclude)]
     if cands.size == 0:
         return pd.DataFrame(
             {"doc_id": pd.Series(dtype="int64"), "score": pd.Series(dtype="float64")}
@@ -338,10 +406,14 @@ def make_shard_kernel(
     stats_path: str,
     fresh_stats: bool = True,
     build_id: str = "",
+    tomb_path: str | None = None,
+    tomb_version: str = "",
 ):
     """Build the per-shard kernel for ONE query. qinfo: term_id ->
     (sign, idf). ``stats_path`` is the shard-partitioned doc_stats
     parquet dir; the kernel reads only its shard's file (dl sidecar).
+    ``exclude`` carries only QUERY-side exclusions (≤k ids);
+    tombstones come from the per-shard sidecar at ``tomb_path``.
     """
 
     def kernel(blocks_pdf: pd.DataFrame) -> pd.DataFrame:
@@ -353,12 +425,13 @@ def make_shard_kernel(
         dl_lookup = _load_dl_sidecar(stats_path, build_id, shard)
         if dl_lookup is None:
             return empty
+        ex = _shard_exclude(exclude, tomb_path, tomb_version, shard)
         idf_of = {tid: info[1] for tid, info in qinfo.items()}
         terms = _build_term_structs(
             blocks_pdf, idf_of, fresh_stats, k1, b, avgdl
         )
         return _query_shard_topk(
-            terms, qinfo, k, k1, b, avgdl, exclude, dl_lookup
+            terms, qinfo, k, k1, b, avgdl, ex, dl_lookup
         )
 
     return kernel
@@ -374,6 +447,8 @@ def make_multi_shard_kernel(
     stats_path: str,
     fresh_stats: bool = True,
     build_id: str = "",
+    tomb_path: str | None = None,
+    tomb_version: str = "",
 ):
     """Batched-serving kernel: MANY queries against one shard in one
     pass. Term structs and block decodes are shared across queries —
@@ -396,6 +471,7 @@ def make_multi_shard_kernel(
         dl_lookup = _load_dl_sidecar(stats_path, build_id, shard)
         if dl_lookup is None:
             return empty
+        ex = _shard_exclude(exclude, tomb_path, tomb_version, shard)
         idf_of: dict[int, float] = {}
         for qinfo in qinfos.values():
             for tid, (_, idf) in qinfo.items():
@@ -406,7 +482,7 @@ def make_multi_shard_kernel(
         outs = []
         for qid, qinfo in qinfos.items():
             res = _query_shard_topk(
-                terms, qinfo, k, k1, b, avgdl, exclude, dl_lookup
+                terms, qinfo, k, k1, b, avgdl, ex, dl_lookup
             )
             if len(res):
                 res.insert(0, "query_id", qid)
@@ -458,10 +534,11 @@ def wand_topk(
         F.col("bucket").isin(buckets) & F.col("term_id").isin(term_ids)
     )
     # tombstoned docs (U2 deletes) are excluded exactly like
-    # query-side exclusions — skipped at scoring, never returned
-    exclude = frozenset(int(x) for x in exclude_doc_ids) | getattr(
-        index, "tombstones", frozenset()
-    )
+    # query-side exclusions — skipped at scoring, never returned. The
+    # tombstone SET never rides in the closure: kernels side-read
+    # their own shard's partition (per-shard sidecar, like dl)
+    exclude = frozenset(int(x) for x in exclude_doc_ids)
+    tomb_path = getattr(index, "tombstones_path", None)
     kernel = make_shard_kernel(
         qinfo,
         k,
@@ -472,6 +549,8 @@ def wand_topk(
         index.doc_stats_path,
         fresh_stats=getattr(index, "stats_fresh", True),
         build_id=getattr(index, "build_id", ""),
+        tomb_path=tomb_path,
+        tomb_version=tomb_fingerprint(tomb_path),
     )
     per_shard = blocks.groupBy("shard").applyInPandas(
         lambda pdf: kernel(pdf), "doc_id long, score double"
@@ -523,9 +602,8 @@ def wand_topk_many(
     blocks = src.filter(
         F.col("bucket").isin(buckets) & F.col("term_id").isin(term_ids)
     )
-    exclude = frozenset(int(x) for x in exclude_doc_ids) | getattr(
-        index, "tombstones", frozenset()
-    )
+    exclude = frozenset(int(x) for x in exclude_doc_ids)
+    tomb_path = getattr(index, "tombstones_path", None)
     kernel = make_multi_shard_kernel(
         qinfos,
         k,
@@ -536,6 +614,8 @@ def wand_topk_many(
         index.doc_stats_path,
         fresh_stats=getattr(index, "stats_fresh", True),
         build_id=getattr(index, "build_id", ""),
+        tomb_path=tomb_path,
+        tomb_version=tomb_fingerprint(tomb_path),
     )
     per_shard = blocks.groupBy("shard").applyInPandas(
         lambda pdf: kernel(pdf), "query_id string, doc_id long, score double"

@@ -202,15 +202,28 @@ class PostingsIndex:
                 self._tombstones = frozenset()
         return self._tombstones
 
+    @property
+    def tombstones_path(self) -> str:
+        return f"{self.path}/tombstones"
+
     def delete_documents(self, doc_ids) -> "PostingsIndex":
         """Mark doc_ids deleted (idempotent append to the tombstone
-        table). O(len(doc_ids)) — no partition rewrites."""
+        table). O(len(doc_ids)) — no partition rewrites.
+
+        Stored PARTITIONED BY SHARD (doc_id // docs_per_shard) so the
+        WAND kernel side-reads only its own shard's tombstones, exactly
+        like the dl sidecar — the exclusion set never rides in the task
+        closure, so 10^8 accumulated deletes cost each query only the
+        per-shard files it touches (worker-cached between queries)."""
         ids = sorted({int(x) for x in doc_ids})
         if not ids:
             return self
+        dps = self.docs_per_shard
         self.spark.createDataFrame(
-            [(i,) for i in ids], "doc_id long"
-        ).write.mode("append").parquet(f"{self.path}/tombstones")
+            [(i, i // dps) for i in ids], "doc_id long, shard int"
+        ).write.mode("append").partitionBy("shard").parquet(
+            self.tombstones_path
+        )
         if hasattr(self, "_tombstones"):
             del self._tombstones
         return self
@@ -244,7 +257,7 @@ class PostingsIndex:
         return lo
 
     def append_documents(
-        self, new_docs: DataFrame, cfg=None, epoch_id=None
+        self, new_docs: DataFrame, cfg=None, epoch_id=None, packed_tf=None
     ) -> "PostingsIndex":
         """Incremental index append: tokenize ONLY the new docs, write
         their tf/doc_stats/postings into new shard partitions, merge
@@ -279,6 +292,14 @@ class PostingsIndex:
 
         ``new_docs`` must carry doc_id >= next_doc_id() (use
         epoch_base_doc_id / assign-then-offset) and a text column.
+
+        ``packed_tf``: optional pre-tokenized packed tf for the new
+        docs (doc_id, terms, tfs, dl) — pass it when the base build
+        used a CUSTOM tokenizer or a phrase-augmented vocabulary, so
+        appended docs are indexed under the SAME tokenization as the
+        base corpus (api.add_documents threads its tokenizer/phrase
+        pipeline through here). Default: the built-in contract
+        tokenizer.
         """
         from top2vec_spark.config import BM25Config
         from top2vec_spark.operators.tokens import (
@@ -315,9 +336,14 @@ class PostingsIndex:
                 raise ValueError(
                     f"appended doc_ids must be >= {lo} (next shard boundary)"
                 )
-            doc_term_counts_packed(new_docs).write.mode("overwrite").parquet(
-                tf_dir
+            tf_new = (
+                packed_tf
+                if packed_tf is not None
+                else doc_term_counts_packed(new_docs)
             )
+            tf_new.select("doc_id", "terms", "tfs", "dl").write.mode(
+                "overwrite"
+            ).parquet(tf_dir)
             sub_mark("tf")
         packed_new = spark.read.parquet(tf_dir)
 
@@ -576,6 +602,16 @@ class IndexBuilder:
         p = self.path
 
         if not (resume and self._done("tf")):
+            # Full (re)build: clear state from any PRIOR corpus at this
+            # path. Stale append markers would make a post-rebuild
+            # append that reuses an epoch id (e.g. a restarted stream
+            # whose batch ids restart at 0) silently no-op on its
+            # .done.json, and stale tombstones/tf_appends belong to the
+            # old corpus's doc_ids.
+            import shutil
+
+            for stale in ("_appends", "tf_appends", "tombstones"):
+                shutil.rmtree(f"{p}/{stale}", ignore_errors=True)
             make_packed().write.mode("overwrite").parquet(f"{p}/tf")
             self._mark("tf")
         packed_t = self.spark.read.parquet(f"{p}/tf")
