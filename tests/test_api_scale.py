@@ -50,7 +50,7 @@ def test_dense_id_validation_runs_driver_side(spark, parquet_docs):
     eng.docs = None  # poison: any fallback scan would raise
     try:
         eng._validate_doc_ids([0, 199])
-        with pytest.raises(ValueError, match="do not exist"):
+        with pytest.raises(ValueError, match="is not a valid document id"):
             eng._validate_doc_ids([10**9])
     finally:
         eng.docs = real_docs
@@ -117,3 +117,62 @@ def test_rebuild_clears_append_and_tombstone_state(spark, tmp_path):
     # epoch 0 again: must APPLY (stale marker would silently no-op)
     idx3 = idx2.append_documents(mkdocs(10, off=64, word="fresh"), epoch_id=0)
     assert idx3.globs.n_docs == 60
+
+
+def test_reference_message_parity(spark, parquet_docs):
+    """P6: the validated error conditions raise the reference's exact
+    messages (top2vec.py:1349-1477)."""
+    eng = Top2VecSpark(spark, parquet_docs, ascii_fast_path=True)
+    with pytest.raises(ValueError, match=r"num_docs cannot be less than 0\."):
+        eng.search_documents_by_keywords(["wa"], -1)
+    with pytest.raises(
+        ValueError, match=r"num_docs cannot exceed the number of documents: 200\."
+    ):
+        eng.search_documents_by_keywords(["wa"], 201)
+    with pytest.raises(
+        ValueError,
+        match=r"'zzznotaword' has not been learned by the model so it "
+        r"cannot be searched\.",
+    ):
+        eng.search_documents_by_keywords(["zzznotaword"], 5)
+    with pytest.raises(ValueError, match=r"Query needs to be a string\."):
+        eng.query_documents(123, 5)
+    with pytest.raises(ValueError, match=r"42424242 is not a valid document id\."):
+        eng.search_documents_by_documents([42424242], 5)
+    with pytest.raises(
+        ValueError, match=r"Hierarchical topic reduction has not been performed\."
+    ):
+        eng.get_topic_hierarchy()
+
+
+def test_reference_message_parity_topics(spark):
+    from top2vec_spark import Top2VecSpark as Engine
+
+    rng = __import__("numpy").random.default_rng(17)
+    rows = [
+        (i, [float(x) for x in rng.normal(size=6)], i % 3) for i in range(30)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    docs = spark.createDataFrame(
+        [(i, f"doc {i} words") for i in range(30)], "doc_id long, text string"
+    )
+    eng = Engine(spark, docs, ascii_fast_path=True)
+    eng.compute_topics(emb)
+    with pytest.raises(
+        ValueError, match=r"num_topics cannot exceed the number of topics: 3\."
+    ):
+        eng.search_topics_by_vector([0.0] * 6, 4)
+    with pytest.raises(
+        ValueError,
+        match=r"Invalid topic number: valid original topics numbers are 0 to 2\.",
+    ):
+        eng.search_documents_by_topic(3, 1, return_documents=False)
+    with pytest.raises(
+        ValueError,
+        match=r"Invalid number of documents: original topic 0 only has \d+ documents\.",
+    ):
+        eng.search_documents_by_topic(0, 1000, return_documents=False)
+    with pytest.raises(
+        ValueError, match=r"Number of topics must be less than 3\."
+    ):
+        eng.hierarchical_topic_reduction(3)

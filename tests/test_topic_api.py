@@ -209,7 +209,7 @@ def test_merge_invalidates_reduced_mirror(spark):
     assert hasattr(eng, "doc_topic_reduced")
     assert eng.merge_duplicate_topics(threshold=0.95) == 2
     assert not hasattr(eng, "doc_topic_reduced")
-    with pytest.raises(ValueError, match="reduced"):
+    with pytest.raises(ValueError, match="reduction has not been performed"):
         eng.get_topic_sizes(reduced=True)
 
 
@@ -329,3 +329,30 @@ def test_a5_incremental_topic_sizes_on_add_delete(spark):
     eng3 = eng2.delete_documents([0, 1, 2])
     sizes2 = {r["topic_id"]: r["topic_size"] for r in eng3.get_topic_sizes().collect()}
     assert sizes2 == {0: 17, 1: 15}
+
+
+def test_label_free_topic_discovery(spark):
+    """compute_topics on a BARE (vec_id, embedding) table: labels
+    default to IVF cells; sizes conserve (reference
+    test_top2vec.py:241-248 invariant) and topic queries work."""
+    from top2vec_spark import Top2VecSpark
+
+    rng = np.random.default_rng(13)
+    bases = [rng.normal(size=8) for _ in range(4)]
+    rows = [
+        (i, [float(x) for x in bases[i % 4] + rng.normal(scale=0.05, size=8)])
+        for i in range(120)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} some words") for i in range(120)],
+        "doc_id long, text string",
+    )
+    eng = Top2VecSpark(spark, docs, ascii_fast_path=True)
+    eng.compute_topics(emb, n_topics=4)
+    sizes = [r["topic_size"] for r in eng.get_topic_sizes().collect()]
+    assert sum(sizes) == 120  # every doc assigned exactly once
+    assert eng.get_num_topics() >= 2
+    # sizes renumbered descending
+    assert sizes == sorted(sizes, reverse=True)
+    assert eng.search_documents_by_topic(0, 5, return_documents=False).count() == 5

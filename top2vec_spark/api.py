@@ -227,7 +227,10 @@ class Top2VecSpark:
         """Reference top2vec.py:2855-2945 re-expressed: positive terms
         add BM25, negative subtract. Returns
         (doc_id, score[, text...]) ordered score DESC, doc_id ASC."""
-        self._validate_num(num_docs)
+        self._validate_num_docs(num_docs)
+        self._validate_keywords(
+            [k.lower() for k in keywords] + [k.lower() for k in keywords_neg]
+        )
         result = self._topk(keywords, keywords_neg, num_docs, use_index=use_index)
         return self._project(result, return_documents)
 
@@ -266,7 +269,7 @@ class Top2VecSpark:
         query tokens are dropped (the reference embeds them instead —
         documented re-expression, SURVEY.md §7.4)."""
         if not isinstance(query, str):
-            raise ValueError("query must be a string")
+            raise ValueError("Query needs to be a string.")
         toks = reference_tokenize(query)
         lookup = self.vocab_map
         if lookup is not None:  # zero-job planning path
@@ -281,7 +284,7 @@ class Top2VecSpark:
         terms = [t for t in toks if t in known]
         if not terms:
             raise ValueError("no query tokens found in vocabulary")
-        self._validate_num(num_docs)
+        self._validate_num_docs(num_docs)
         result = self._topk(terms, (), num_docs)
         return self._project(result, return_documents)
 
@@ -297,6 +300,7 @@ class Top2VecSpark:
         negative docs; over-fetch num_docs + len(query docs), exclude
         the query docs themselves, re-limit (exact arithmetic of
         top2vec.py:3167-3177)."""
+        self._validate_num_docs(num_docs)
         all_ids = list(doc_ids) + list(doc_ids_neg)
         self._validate_doc_ids(all_ids)
         pos_terms = self._doc_terms(doc_ids)
@@ -396,12 +400,32 @@ class Top2VecSpark:
         embeddings table (vec_id == doc_id), centroids from the label
         column. Stores doc_topic, topic words (c-TF-IDF), per-topic
         centroids keyed by the FINAL (size-renumbered) topic ids, and
-        the full c-TF-IDF relation for keyword->topic search."""
+        the full c-TF-IDF relation for keyword->topic search.
+
+        LABEL-FREE default: when the table has no ``label`` column,
+        cluster labels are derived from IVF spherical k-means cells
+        (operators/similarity.ivf_build) with ``n_topics`` cells
+        (heuristic default min(64, max(2, n/50)) when unset) — the
+        engine's documented substitute for the reference's UMAP+HDBSCAN
+        discovery (top2vec.py:1541-1567; SURVEY.md §7.6 flags the
+        semantics change), so ``compute_topics(embeddings)`` works
+        end-to-end on a bare (vec_id, embedding) table."""
         from top2vec_spark.operators.similarity import (
             assign_nearest,
             label_centroids,
         )
         from top2vec_spark.operators import topics as T
+
+        if "label" not in embeddings.columns:
+            from top2vec_spark.operators.similarity import ivf_build
+
+            if n_topics is None:
+                n = embeddings.count()
+                n_topics = min(64, max(2, n // 50))
+            assigned, _ = ivf_build(embeddings, n_cells=int(n_topics))
+            embeddings = assigned.withColumn(
+                "label", F.col("cell").cast("int")
+            ).drop("cell")
 
         self._topic_embeddings = embeddings
         self._doc_vectors = embeddings  # doubles as the by-vector corpus
@@ -429,6 +453,7 @@ class Top2VecSpark:
         )
         self._ctfidf = T.ctfidf_scores(self._tf, self.doc_topic).cache()
         self.topic_words = T.topic_words_ctfidf(self._tf, self.doc_topic).cache()
+        self._invalidate_topic_caches()
         return self.doc_topic
 
     def get_topic_sizes(self, reduced: bool = False) -> DataFrame:
@@ -457,6 +482,8 @@ class Top2VecSpark:
     ) -> DataFrame:
         from top2vec_spark.operators import topics as T
 
+        self._validate_topic_num(topic_num, reduced)
+        self._validate_topic_search(topic_num, num_docs, reduced)
         res = T.search_documents_by_topic(self._dt(reduced), topic_num, num_docs)
         return self._project(res.select("doc_id", "score"), return_documents)
 
@@ -548,7 +575,7 @@ class Top2VecSpark:
         from top2vec_spark.operators import topics as T
 
         self._require_topics(reduced)
-        self._validate_num(num_topics)
+        self._validate_num_topics(num_topics, reduced)
         pos = [k.lower() for k in keywords]
         neg = [k.lower() for k in keywords_neg]
         self._validate_keywords(pos + neg)
@@ -564,9 +591,9 @@ class Top2VecSpark:
         from top2vec_spark.operators import topics as T
 
         if not isinstance(query, str):
-            raise ValueError("query must be a string")
+            raise ValueError("Query needs to be a string.")
         self._require_topics(reduced)
-        self._validate_num(num_topics)
+        self._validate_num_topics(num_topics, reduced)
         toks = reference_tokenize(query)
         lookup = self.vocab_map
         if lookup is not None:
@@ -609,7 +636,7 @@ class Top2VecSpark:
                 "no document vectors — compute_topics or "
                 "set_document_vectors first"
             )
-        self._validate_num(num_docs)
+        self._validate_num_docs(num_docs)
         res = cosine_topk(self._doc_vectors, vector, num_docs).select(
             F.col("vec_id").alias("doc_id"), "score"
         )
@@ -637,7 +664,7 @@ class Top2VecSpark:
         import numpy as np
 
         self._require_topics(reduced)
-        self._validate_num(num_topics)
+        self._validate_num_topics(num_topics, reduced)
         rows = self._centroid_df(reduced).collect()
         q = np.asarray(list(vector), dtype=np.float64)
         q = q / (np.linalg.norm(q) or 1.0)
@@ -667,6 +694,11 @@ class Top2VecSpark:
         from top2vec_spark.operators import topics as T
 
         self._require_topics()
+        current = self._num_topics(reduced=False)
+        if num_topics >= current:
+            # reference _validate_hierarchical_reduction_num_topics
+            # (top2vec.py:1358-1361)
+            raise ValueError(f"Number of topics must be less than {current}.")
         cents = {
             int(r["label"]): np.array(r["centroid"])
             for r in self.topic_centroids.collect()
@@ -678,6 +710,8 @@ class Top2VecSpark:
         reduced, hierarchy = T.hierarchical_topic_reduction(
             cents, sizes, num_topics
         )
+        if hasattr(self, "_topic_sizes_red"):
+            delattr(self, "_topic_sizes_red")  # re-reduction: fresh sizes
         mapping, ordered = T.reduced_topic_mapping(hierarchy, sizes)
         mdf = self.spark.createDataFrame(
             [(int(o), int(n)) for o, n in mapping.items()],
@@ -708,7 +742,7 @@ class Top2VecSpark:
         reduced topic id."""
         if not hasattr(self, "_hierarchy"):
             raise ValueError(
-                "no reduced topics — call hierarchical_topic_reduction first"
+                "Hierarchical topic reduction has not been performed."
             )
         return self._hierarchy
 
@@ -747,6 +781,7 @@ class Top2VecSpark:
         ).cache()
         self._ctfidf = T.ctfidf_scores(self._tf, self.doc_topic).cache()
         self.topic_words = T.topic_words_ctfidf(self._tf, self.doc_topic).cache()
+        self._invalidate_topic_caches()
         # the reduced mirror was computed against the PRE-merge topic
         # numbering — invalidate it so reduced=True queries raise
         # (re-run hierarchical_topic_reduction) instead of silently
@@ -785,7 +820,7 @@ class Top2VecSpark:
             )
         if reduced and not hasattr(self, "doc_topic_reduced"):
             raise ValueError(
-                "no reduced topics — call hierarchical_topic_reduction first"
+                "Hierarchical topic reduction has not been performed."
             )
 
     def _validate_keywords(self, words: Sequence[str]) -> None:
@@ -803,9 +838,10 @@ class Top2VecSpark:
             }
             missing = [w for w in words if w not in found]
         if missing:
+            # reference message format (top2vec.py:1438-1441)
             raise ValueError(
-                f"{missing} has not been learned by the model so it cannot "
-                "be searched"
+                f"'{missing[0]}' has not been learned by the model so it "
+                "cannot be searched."
             )
 
     # -- mutation (U1/U2) ---------------------------------------------------
@@ -881,7 +917,7 @@ class Top2VecSpark:
                 .count()
             )
             if dup:
-                raise ValueError("duplicate doc_ids in add_documents")
+                raise ValueError("Some document ids already exist in model.")
             merged = self.docs.unionByName(new_docs, allowMissingColumns=True)
             out = Top2VecSpark(
                 self.spark,
@@ -934,6 +970,7 @@ class Top2VecSpark:
                 self.doc_topic = self.doc_topic.filter(
                     ~F.col("doc_id").isin(list(doc_ids))
                 )
+                self._invalidate_topic_caches()
             return self
         remaining = self.docs.filter(~F.col("doc_id").isin(list(doc_ids)))
         out = Top2VecSpark(
@@ -987,15 +1024,87 @@ class Top2VecSpark:
             F.col("score").desc(), F.col("doc_id").asc()
         )
 
-    def _validate_num(self, k: int) -> None:
-        if k < 1:
-            raise ValueError("num_docs must be >= 1")
+    def _validate_num(self, k: int, var_name: str = "num_docs") -> None:
+        """Reference _less_than_zero (top2vec.py:1350-1353), plus an
+        engine guard against 0 (a k=0 top-k is a no-op query)."""
+        if k < 0:
+            raise ValueError(f"{var_name} cannot be less than 0.")
+        if k == 0:
+            raise ValueError(f"{var_name} must be >= 1")
+
+    def _validate_num_docs(self, num_docs: int) -> None:
+        """Reference _validate_num_docs (top2vec.py:1363-1367) —
+        document_count from the cached bounds aggregate, no per-call
+        scan."""
+        self._validate_num(num_docs, "num_docs")
+        _, _, n, _ = self._doc_id_bounds()
+        if num_docs > n:
+            raise ValueError(
+                f"num_docs cannot exceed the number of documents: {n}."
+            )
+
+    def _validate_num_topics(self, num_topics: int, reduced: bool) -> None:
+        """Reference _validate_num_topics (top2vec.py:1369-1378)."""
+        self._validate_num(num_topics, "num_topics")
+        n = self._num_topics(reduced)
+        if num_topics > n:
+            kind = "reduced topics" if reduced else "topics"
+            raise ValueError(
+                f"num_topics cannot exceed the number of {kind}: {n}."
+            )
+
+    def _validate_topic_num(self, topic_num: int, reduced: bool) -> None:
+        """Reference _validate_topic_num (top2vec.py:1380-1391)."""
+        if topic_num < 0:
+            raise ValueError("topic_num cannot be less than 0.")
+        hi = self._num_topics(reduced) - 1
+        if topic_num > hi:
+            kind = "reduced" if reduced else "original"
+            raise ValueError(
+                f"Invalid topic number: valid {kind} topics numbers are "
+                f"0 to {hi}."
+            )
+
+    def _validate_topic_search(
+        self, topic_num: int, num_docs: int, reduced: bool
+    ) -> None:
+        """Reference _validate_topic_search (top2vec.py:1393-1402)."""
+        self._validate_num(num_docs, "num_docs")
+        size = self._topic_size_map(reduced).get(int(topic_num), 0)
+        if num_docs > size:
+            kind = "reduced" if reduced else "original"
+            raise ValueError(
+                f"Invalid number of documents: {kind} topic {topic_num}"
+                f" only has {size} documents."
+            )
+
+    def _num_topics(self, reduced: bool = False) -> int:
+        return len(self._topic_size_map(reduced))
+
+    def _topic_size_map(self, reduced: bool = False) -> dict:
+        """topic_id -> size, driver-cached (tiny; one small agg per
+        topic generation). Invalidated by every topic mutation."""
+        key = "_topic_sizes_red" if reduced else "_topic_sizes_full"
+        if not hasattr(self, key):
+            from top2vec_spark.operators import topics as T
+
+            sizes = {
+                int(r["topic_id"]): int(r["topic_size"])
+                for r in T.topic_sizes(self._dt(reduced)).collect()
+            }
+            setattr(self, key, sizes)
+        return getattr(self, key)
+
+    def _invalidate_topic_caches(self) -> None:
+        for key in ("_topic_sizes_full", "_topic_sizes_red"):
+            if hasattr(self, key):
+                delattr(self, key)
 
     def _doc_id_bounds(self) -> tuple:
-        """(lo, hi, dense) of the ORIGINAL corpus ids, cached after one
-        column-pruned aggregate. Not invalidated by index-path deletes
-        on purpose: those only tombstone, so the valid set stays
-        'original dense range minus tombstones'."""
+        """(lo, hi, n, dense) of the ORIGINAL corpus ids, cached after
+        one column-pruned aggregate. Not invalidated by index-path
+        deletes on purpose: those only tombstone, so the valid set
+        stays 'original dense range minus tombstones'."""
         if not hasattr(self, "_id_bounds"):
             r = self.docs.agg(
                 F.min("doc_id").alias("lo"),
@@ -1004,7 +1113,7 @@ class Top2VecSpark:
             ).collect()[0]
             lo, hi, n = r["lo"], r["hi"], r["n"]
             dense = lo is not None and (int(hi) - int(lo) + 1 == int(n))
-            self._id_bounds = (lo, hi, dense)
+            self._id_bounds = (lo, hi, int(n), dense)
         return self._id_bounds
 
     def _validate_doc_ids(self, ids: Sequence[int]) -> None:
@@ -1013,23 +1122,31 @@ class Top2VecSpark:
         against cached bounds + tombstones — zero jobs on the hot path
         of search_documents_by_documents / get_documents_topics /
         delete_documents. Non-dense corpora fall back to a pushed
-        isin probe."""
+        isin probe. Message parity: reference _validate_doc_ids
+        (top2vec.py:1404-1418)."""
         uniq = {int(i) for i in ids}
         if not uniq:
             return
-        lo, hi, dense = self._doc_id_bounds()
+        lo, hi, n, dense = self._doc_id_bounds()
         if dense:
             tombs = (
                 self._index.tombstones
                 if self._index is not None
                 else frozenset()
             )
-            if all(lo <= i <= hi and i not in tombs for i in uniq):
-                return
-            raise ValueError("doc_ids do not exist")
-        found = self.docs.filter(F.col("doc_id").isin(list(uniq))).count()
-        if found != len(uniq):
-            raise ValueError("doc_ids do not exist")
+            for i in sorted(uniq):
+                if not (lo <= i <= hi) or i in tombs:
+                    raise ValueError(f"{i} is not a valid document id.")
+            return
+        found = {
+            r["doc_id"]
+            for r in self.docs.select("doc_id")
+            .filter(F.col("doc_id").isin(list(uniq)))
+            .collect()
+        }
+        missing = sorted(uniq - found)
+        if missing:
+            raise ValueError(f"{missing[0]} is not a valid document id.")
 
     def _doc_terms(self, ids: Sequence[int]) -> list[str]:
         """Distinct terms of the given docs. Filters the doc TABLE
