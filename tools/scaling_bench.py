@@ -92,7 +92,8 @@ def main() -> None:
         st_low = results[LOW].get("stages", {})
         st_high = results[HIGH].get("stages", {})
         lines = ["", "Per-stage seconds (best run each level):", "",
-                 "| stage | local[8] | local[32] | speedup |", "|---|---|---|---|"]
+                 f"| stage | local[{LOW}] | local[{HIGH}] | speedup |",
+                 "|---|---|---|---|"]
         for st in ("tf", "vocab", "doc_stats", "globals", "postings", "manifest"):
             a, b = st_low.get(st), st_high.get(st)
             if a is None or b is None or b == 0:
