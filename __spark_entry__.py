@@ -307,6 +307,34 @@ def _q_assign_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_assign_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 per-doc top-N topics (reference get_documents_topics
+    num_topics>1, top2vec.py:1873-1958) under a full DuckDB oracle:
+    top-3 nearest label centroids per vector, rank 1 = best, ties
+    label ASC."""
+    from top2vec_spark.operators.similarity import assign_topn, label_centroids
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return assign_topn(emb, label_centroids(emb), 3).select(
+        "vec_id",
+        F.col("rank").cast("int").alias("rank"),
+        F.col("label").alias("topic_label"),
+        F.round("score", 6).alias("score"),
+    )
+
+
+def _q_similar_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """similar_words / search_words_by_keywords (reference
+    top2vec.py:2947-3013) through the FULL api path: BM25 top-50 docs
+    for the query, then BM25-weighted term co-occurrence, query terms
+    excluded (P4 self-exclusion), top-10 words."""
+    from top2vec_spark.api import Top2VecSpark
+
+    eng = Top2VecSpark(spark, _docs(spark, sf_dir), ascii_fast_path=True)
+    res = eng.search_words_by_keywords(["table", "spark"], 10)
+    return res.select("term", F.round("score", 4).alias("score"))
+
+
 def _q_dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D2+D4 end-to-end under a real oracle: the corpus unioned with a
     shifted copy of itself (so every doc has exactly one true
@@ -576,6 +604,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_full_probe_top10": _q_ivf_full_probe,
         "centroids_by_pos": _q_centroids_by_pos,
         "assign_nearest": _q_assign_nearest,
+        "assign_top3": _q_assign_top3,
+        "similar_words_top10": _q_similar_words,
         "events_sliding_mean": _q_events_sliding_mean,
         "sessions_by_user": _q_sessions,
         "topic_sizes": _q_topic_sizes,
@@ -881,6 +911,60 @@ ranked AS (
   FROM scored
 )
 SELECT vec_id, label AS assigned_label FROM ranked WHERE rn = 1
+""",
+        "assign_top3": f"""
+WITH {_CENTROIDS_CTE},
+normed AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+           x -> x / greatest(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 1e-12)
+         ) AS v
+  FROM embeddings
+),
+scored AS (
+  SELECT n.vec_id, c.label, list_dot_product(n.v, c.c) AS s
+  FROM normed n CROSS JOIN centroids c
+),
+ranked AS (
+  SELECT vec_id, label, s,
+         row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, label ASC) AS rn
+  FROM scored
+)
+SELECT vec_id, CAST(rn AS INT) AS rank, label AS topic_label,
+       round(s, 6) AS score
+FROM ranked WHERE rn <= 3
+""",
+        "similar_words_top10": f"""
+WITH {_STATS_CTES},
+q(term, sign) AS (VALUES ('table', 1.0), ('spark', 1.0)),
+tfq AS (
+  SELECT doc_id, term, count(*) AS tf FROM tokens
+  WHERE term IN (SELECT term FROM q) GROUP BY doc_id, term
+),
+dscored AS (
+  SELECT tfq.doc_id,
+         sum(q.sign
+             * ln(1.0 + (globals.n_docs - vocab.df + 0.5) / (vocab.df + 0.5))
+             * (tfq.tf * ({BM25_K1} + 1.0))
+             / (tfq.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * doc_stats.dl / globals.avgdl))
+         ) AS dscore
+  FROM tfq
+  JOIN q USING (term) JOIN vocab USING (term) JOIN doc_stats USING (doc_id)
+  CROSS JOIN globals
+  GROUP BY tfq.doc_id
+),
+topdocs AS (
+  SELECT doc_id, dscore FROM dscored
+  ORDER BY dscore DESC, doc_id ASC LIMIT 50
+),
+cooc AS (
+  SELECT t.term, sum(td.dscore) AS score
+  FROM tokens t JOIN topdocs td USING (doc_id)
+  WHERE t.term NOT IN ('table', 'spark')
+  GROUP BY t.term
+)
+SELECT term, round(score, 4) AS score FROM cooc
+ORDER BY score DESC, term ASC LIMIT 10
 """,
         "sessions_by_user": """
 WITH ordered AS (

@@ -256,7 +256,7 @@ class Top2VecSpark:
             )
             for qid, (pos, neg) in queries.items()
         }
-        self._validate_num(num_docs)
+        self._validate_num_docs(num_docs)
         return wand_topk_many(
             self.spark, self._index, resolved, self.globals, num_docs, cfg=self.cfg
         )
