@@ -218,3 +218,45 @@ def test_stateful_sessionization_matches_batch(spark, tmp_path):
     }
     assert got == expect
     assert len(expect) == 9  # 3 users x 3 closed sessions
+
+
+def test_streaming_dedup_matches_batch(spark, tmp_path):
+    """Streaming exact dedup (dropDuplicatesWithinWatermark over the
+    dual content key): first arrival per content survives across
+    micro-batches; output pinned against the batch twin."""
+    import datetime
+
+    from top2vec_spark.streaming.dedup import dedup_stream, start_dedup_stream
+
+    t0 = datetime.datetime(2026, 1, 1, 12, 0, 0)
+    rows = []
+    # 30 pages, 10 unique contents, duplicates spread across files
+    for i in range(30):
+        rows.append(
+            (
+                f"https://ex{i}.test/p",
+                t0 + datetime.timedelta(seconds=i),
+                f"shared content payload number {i % 10} words words",
+            )
+        )
+    pdf = spark.createDataFrame(rows, "url string, warc_ts timestamp, text string")
+    src = str(tmp_path / "dd_src")
+    pdf.repartition(6).write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema(pdf.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    q = start_dedup_stream(stream, str(tmp_path / "dd_ckpt"), sink_table="dd_out")
+    q.processAllAvailable()
+    q.stop()
+
+    got = spark.table("dd_out").collect()
+    texts = [r["text"] for r in got]
+    assert len(texts) == len(set(texts)) == 10  # one survivor per content
+    # batch twin: same unique content set
+    batch = dedup_stream(pdf)
+    assert {r["text"] for r in batch.collect()} == set(texts)
+    # key columns dropped from the output schema
+    assert set(spark.table("dd_out").columns) == {"url", "warc_ts", "text"}
