@@ -192,7 +192,13 @@ class PostingsIndex:
         mark_deleted semantics: postings keep the entries, queries
         skip them; corpus stats keep pre-delete values until a
         rebuild compacts (documented, matches the reference which
-        also does not retrain after deletes)."""
+        also does not retrain after deletes).
+
+        NOTE: this is a driver-side materialization used by id
+        VALIDATION only — the query hot path never touches it; WAND
+        kernels side-read the shard-partitioned tombstone sidecar
+        (operators/wand._load_tomb_sidecar) so the exclusion set never
+        rides in a task closure."""
         if not hasattr(self, "_tombstones"):
             tpath = f"{self.path}/tombstones"
             if os.path.isdir(tpath):
