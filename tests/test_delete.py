@@ -107,3 +107,41 @@ def test_tombstone_sidecar_scales(spark, tmp_path):
     assert not (set(victims) & {r["doc_id"] for r in after})
     surv = [(r["doc_id"], r["score"]) for r in before if r["doc_id"] not in victims]
     assert [(r["doc_id"], r["score"]) for r in after[: len(surv)]] == surv
+
+
+def test_flat_tombstone_layout_migrates(spark, tmp_path):
+    """An index persisted BEFORE the shard-sidecar change (flat
+    part-*.parquet under tombstones/) migrates on load: deleted docs
+    stay deleted and further deletes don't break partition discovery."""
+    pdf = generate_pages_pdf(150, seed=54)
+    docs = assign_doc_ids(spark.createDataFrame(pdf[["url", "text"]])).select(
+        "doc_id", "url", "text"
+    )
+    path = str(tmp_path / "flidx")
+    idx = IndexBuilder(spark, path, docs_per_shard=64, n_buckets=8).build_from_docs(
+        docs, resume=False
+    )
+    vmap = {r["term"]: (r["term_id"], r["df"]) for r in idx.vocab.collect()}
+    q = resolve_query_terms(vmap, ["wa", "wb"], [])
+    before = wand_topk(spark, idx, q, idx.globs, 10).collect()
+    victims = [r["doc_id"] for r in before[:2]]
+
+    # simulate the pre-sidecar layout: flat parquet at the dir root
+    spark.createDataFrame([(int(v),) for v in victims], "doc_id long").write.mode(
+        "overwrite"
+    ).parquet(f"{path}/tombstones")
+
+    loaded = PostingsIndex.load(spark, path)  # migrates
+    import os
+
+    assert any(
+        d.startswith("shard=") for d in os.listdir(f"{path}/tombstones")
+    )
+    after = wand_topk(spark, loaded, q, loaded.globs, 10).collect()
+    assert not (set(victims) & {r["doc_id"] for r in after})
+    # further deletes append cleanly to the migrated layout
+    more = after[0]["doc_id"]
+    loaded.delete_documents([more])
+    assert set(victims) | {more} <= loaded.tombstones
+    final = wand_topk(spark, loaded, q, loaded.globs, 10).collect()
+    assert more not in {r["doc_id"] for r in final}

@@ -356,3 +356,66 @@ def test_label_free_topic_discovery(spark):
     # sizes renumbered descending
     assert sizes == sorted(sizes, reverse=True)
     assert eng.search_documents_by_topic(0, 5, return_documents=False).count() == 5
+
+
+def test_recompute_topics_clears_previous_reduction(spark):
+    """compute_topics on a NEW embeddings table must not serve a
+    reduced mirror from the previous topic generation."""
+    import pytest
+
+    from top2vec_spark import Top2VecSpark
+
+    rng = np.random.default_rng(19)
+    docs = spark.createDataFrame(
+        [(i, f"doc {i} words here") for i in range(40)],
+        "doc_id long, text string",
+    )
+
+    def emb(seed, k):
+        r = np.random.default_rng(seed)
+        bases = [r.normal(size=6) for _ in range(k)]
+        return spark.createDataFrame(
+            [
+                (i, [float(x) for x in bases[i % k] + r.normal(scale=0.01, size=6)], i % k)
+                for i in range(40)
+            ],
+            "vec_id long, embedding array<double>, label int",
+        )
+
+    eng = Top2VecSpark(spark, docs, ascii_fast_path=True)
+    eng.compute_topics(emb(1, 4))
+    eng.hierarchical_topic_reduction(2)
+    eng.compute_topics(emb(2, 3))  # new generation
+    with pytest.raises(ValueError, match="reduction has not been performed"):
+        eng.get_topic_sizes(reduced=True)
+
+
+def test_delete_filters_reduced_mirror(spark, tmp_path):
+    """Index-path delete_documents must remove deleted docs from
+    doc_topic_reduced too (reference rewrites doc_top_reduced)."""
+    from top2vec_spark import Top2VecSpark
+
+    rng = np.random.default_rng(23)
+    bases = [rng.normal(size=6) for _ in range(4)]
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta w{i % 5} gamma") for i in range(40)],
+        "doc_id long, text string",
+    )
+    emb = spark.createDataFrame(
+        [
+            (i, [float(x) for x in bases[i % 4] + rng.normal(scale=0.01, size=6)], i % 4)
+            for i in range(40)
+        ],
+        "vec_id long, embedding array<double>, label int",
+    )
+    eng = Top2VecSpark(spark, docs, ascii_fast_path=True)
+    eng.build_index(str(tmp_path / "rdidx"))
+    eng.compute_topics(emb)
+    eng.hierarchical_topic_reduction(2)
+    assert eng.doc_topic_reduced.filter(F.col("doc_id") == 7).count() == 1
+    eng.delete_documents([7])
+    assert eng.doc_topic_reduced.filter(F.col("doc_id") == 7).count() == 0
+    total = eng.get_topic_sizes(reduced=True).agg(
+        F.sum("topic_size").alias("s")
+    ).collect()[0]["s"]
+    assert total == 39

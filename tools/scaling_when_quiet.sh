@@ -8,7 +8,7 @@ for i in $(seq 1 8); do
   probe=$(PROBE_LOW=2 PROBE_HIGH=8 python tools/cpu_probe.py 1 2>/dev/null | tail -1)
   eff=$(echo "$probe" | python3 -c "import json,sys; print(json.load(sys.stdin)['best_efficiency'])")
   echo "attempt $i probe: $probe" >> /tmp/scaling_gate.log
-  ok=$(python3 -c "print(1 if $eff >= 0.65 else 0)")
+  ok=$(python3 -c "print(1 if ${eff:-0} >= 0.65 else 0)")
   if [ "$ok" = "1" ]; then break; fi
   sleep 420
 done

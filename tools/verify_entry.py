@@ -47,6 +47,11 @@ def main():
             pass
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    unknown = ONLY - qs.keys()
+    if unknown:
+        print(f"unknown query names: {sorted(unknown)}")
+        print(f"valid names: {sorted(qs)}")
+        sys.exit(2)
     failures = 0
     for name, fn in qs.items():
         if ONLY and name not in ONLY:

@@ -325,6 +325,8 @@ class Top2VecSpark:
         query terms, take num_words (top2vec.py:3000-3011)."""
         pos = [t.lower() for t in keywords]
         neg = [t.lower() for t in keywords_neg]
+        self._validate_num(num_words, "num_words")
+        self._validate_keywords(pos + neg)
         k_terms = num_words + len(pos) + len(neg)
         # top documents for the query (fixed fan-out keeps this sublinear)
         top_docs = self._topk(pos, neg, max(50, k_terms))
@@ -454,6 +456,9 @@ class Top2VecSpark:
         self._ctfidf = T.ctfidf_scores(self._tf, self.doc_topic).cache()
         self.topic_words = T.topic_words_ctfidf(self._tf, self.doc_topic).cache()
         self._invalidate_topic_caches()
+        # a reduced mirror from a PREVIOUS topic generation maps old
+        # doc_ids to old pre-renumber topic ids — never serve it
+        self._invalidate_reduced_mirror()
         return self.doc_topic
 
     def get_topic_sizes(self, reduced: bool = False) -> DataFrame:
@@ -786,15 +791,7 @@ class Top2VecSpark:
         # numbering — invalidate it so reduced=True queries raise
         # (re-run hierarchical_topic_reduction) instead of silently
         # serving stale topic ids
-        for attr in (
-            "doc_topic_reduced",
-            "topic_words_reduced",
-            "_ctfidf_reduced",
-            "_hierarchy",
-            "_centroids_reduced",
-        ):
-            if hasattr(self, attr):
-                delattr(self, attr)
+        self._invalidate_reduced_mirror()
         return self.doc_topic.select("topic_id").distinct().count()
 
     # -- topic-layer helpers --------------------------------------------------
@@ -970,6 +967,15 @@ class Top2VecSpark:
                 self.doc_topic = self.doc_topic.filter(
                     ~F.col("doc_id").isin(list(doc_ids))
                 )
+                # the reduced mirror is a membership mapping over
+                # doc_topic: filter it the same way (reference
+                # delete_documents rewrites doc_top_reduced too,
+                # top2vec.py:2084-2122); word tables stay stale by
+                # design like topic_words
+                if hasattr(self, "doc_topic_reduced"):
+                    self.doc_topic_reduced = self.doc_topic_reduced.filter(
+                        ~F.col("doc_id").isin(list(doc_ids))
+                    )
                 self._invalidate_topic_caches()
             return self
         remaining = self.docs.filter(~F.col("doc_id").isin(list(doc_ids)))
@@ -991,6 +997,14 @@ class Top2VecSpark:
             out.topic_words = self.topic_words
             out._ctfidf = self._ctfidf
             out._tf = self._tf
+            if hasattr(self, "doc_topic_reduced"):
+                out.doc_topic_reduced = self.doc_topic_reduced.filter(
+                    ~F.col("doc_id").isin(list(doc_ids))
+                )
+                out.topic_words_reduced = self.topic_words_reduced
+                out._ctfidf_reduced = self._ctfidf_reduced
+                out._hierarchy = self._hierarchy
+                out._centroids_reduced = self._centroids_reduced
             if hasattr(self, "_topic_embeddings"):
                 out._topic_embeddings = self._topic_embeddings.filter(
                     ~F.col("vec_id").isin(list(doc_ids))
@@ -1008,7 +1022,9 @@ class Top2VecSpark:
         fetch is a pushed ``doc_id IN (...)`` filter on the docs scan
         (partition/row-group pruned) — a plain broadcast join here
         would STREAM the full corpus scan to fetch k rows, a
-        full-table read per query at 10^12 docs."""
+        full-table read per query at 10^12 docs. Results larger than
+        _PROJECT_COLLECT_CAP fall back to the streaming join (a
+        driver-side IN literal of 10^5+ ids would stall planning)."""
         cols = ["doc_id"]
         if "url" in self.docs.columns:
             cols.append("url")
@@ -1016,13 +1032,22 @@ class Top2VecSpark:
             cols.append("text")
         if len(cols) == 1:
             return result
-        rows = result.collect()  # ≤ k rows; the search job runs here
+        rows = result.limit(self._PROJECT_COLLECT_CAP + 1).collect()
+        if len(rows) > self._PROJECT_COLLECT_CAP:
+            # huge k (e.g. search_documents_by_topic over a whole
+            # topic): a driver-side IN list would blow up — fall back
+            # to the streaming join, which handles any k
+            return result.join(self.docs.select(*cols), "doc_id").orderBy(
+                F.col("score").desc(), F.col("doc_id").asc()
+            )
         local = self.spark.createDataFrame(rows, result.schema)
         ids = [int(r["doc_id"]) for r in rows]
         side = self.docs.select(*cols).filter(F.col("doc_id").isin(ids))
         return local.join(side, "doc_id").orderBy(
             F.col("score").desc(), F.col("doc_id").asc()
         )
+
+    _PROJECT_COLLECT_CAP = 10_000  # max hits fetched via a driver IN list
 
     def _validate_num(self, k: int, var_name: str = "num_docs") -> None:
         """Reference _less_than_zero (top2vec.py:1350-1353), plus an
@@ -1038,6 +1063,8 @@ class Top2VecSpark:
         scan."""
         self._validate_num(num_docs, "num_docs")
         _, _, n, _ = self._doc_id_bounds()
+        if self._index is not None:
+            n -= len(self._index.tombstones)  # bounds are pre-delete
         if num_docs > n:
             raise ValueError(
                 f"num_docs cannot exceed the number of documents: {n}."
@@ -1099,6 +1126,17 @@ class Top2VecSpark:
         for key in ("_topic_sizes_full", "_topic_sizes_red"):
             if hasattr(self, key):
                 delattr(self, key)
+
+    def _invalidate_reduced_mirror(self) -> None:
+        for attr in (
+            "doc_topic_reduced",
+            "topic_words_reduced",
+            "_ctfidf_reduced",
+            "_hierarchy",
+            "_centroids_reduced",
+        ):
+            if hasattr(self, attr):
+                delattr(self, attr)
 
     def _doc_id_bounds(self) -> tuple:
         """(lo, hi, n, dense) of the ORIGINAL corpus ids, cached after

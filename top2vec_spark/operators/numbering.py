@@ -34,6 +34,19 @@ from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+# Bounded registry of persisted numbering inputs: each call persists
+# its range-partitioned frame (the count job and the numbering job MUST
+# see identical partitioning — range sampling is per-plan), and the
+# oldest entries are unpersisted once more than _MAX_LIVE calls have
+# happened. Invariant required of callers: materialize the numbered
+# output before issuing _MAX_LIVE further numbering calls — trivially
+# true for every in-repo flow (each build stage / append epoch /
+# micro-batch writes its output synchronously). Without the cap, a
+# long-running stream (one numbering per micro-batch) leaks one
+# MEMORY_AND_DISK frame per batch.
+_MAX_LIVE = 8
+_LIVE: list = []
+
 
 def two_phase_row_number(
     df: DataFrame,
@@ -56,6 +69,9 @@ def two_phase_row_number(
         .withColumn("_mid", F.monotonically_increasing_id())
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    _LIVE.append(parts)
+    while len(_LIVE) > _MAX_LIVE:
+        _LIVE.pop(0).unpersist()
     counts = sorted(
         (r["_pid"], r["cnt"])
         for r in parts.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()

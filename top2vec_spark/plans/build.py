@@ -169,7 +169,7 @@ class PostingsIndex:
     def load(cls, spark: SparkSession, path: str) -> "PostingsIndex":
         with open(f"{path}/globals.json") as f:
             g = json.load(f)
-        return cls(
+        out = cls(
             spark=spark,
             path=path,
             globs=CorpusGlobals(
@@ -183,6 +183,8 @@ class PostingsIndex:
             build_id=g.get("build_id", ""),
             vocab_dir=g.get("vocab_dir", "vocab"),
         )
+        out._migrate_flat_tombstones()
+        return out
 
     # -- tombstone delete (U2, reference delete_documents
     # top2vec.py:2063-2122 / hnswlib mark_deleted) ---------------------------
@@ -212,6 +214,40 @@ class PostingsIndex:
     def tombstones_path(self) -> str:
         return f"{self.path}/tombstones"
 
+    def _migrate_flat_tombstones(self) -> None:
+        """One-time migration of a pre-sidecar tombstone table (flat
+        part-*.parquet at the dir root) to the shard-partitioned
+        layout the WAND kernel side-reads. Without this, an index
+        persisted before the sidecar change would silently resurrect
+        deleted docs (kernels find no shard= dirs), and appending
+        partitioned files next to flat ones breaks partition
+        discovery."""
+        tpath = self.tombstones_path
+        if not os.path.isdir(tpath):
+            return
+        flat = [
+            f for f in os.listdir(tpath)
+            if f.endswith(".parquet") and os.path.isfile(f"{tpath}/{f}")
+        ]
+        if not flat:
+            return
+        ids = sorted(
+            int(r["doc_id"])
+            for r in self.spark.read.parquet(
+                *[f"{tpath}/{f}" for f in flat]
+            ).collect()
+        )
+        import shutil
+
+        shutil.rmtree(tpath)
+        if ids:
+            dps = self.docs_per_shard
+            self.spark.createDataFrame(
+                [(i, i // dps) for i in ids], "doc_id long, shard int"
+            ).write.mode("overwrite").partitionBy("shard").parquet(tpath)
+        if hasattr(self, "_tombstones"):
+            del self._tombstones
+
     def delete_documents(self, doc_ids) -> "PostingsIndex":
         """Mark doc_ids deleted (idempotent append to the tombstone
         table). O(len(doc_ids)) — no partition rewrites.
@@ -224,6 +260,7 @@ class PostingsIndex:
         ids = sorted({int(x) for x in doc_ids})
         if not ids:
             return self
+        self._migrate_flat_tombstones()
         dps = self.docs_per_shard
         self.spark.createDataFrame(
             [(i, i // dps) for i in ids], "doc_id long, shard int"

@@ -27,13 +27,19 @@ from pyspark.sql import functions as F
 
 
 def content_keys(pages: DataFrame, text_col: str = "text") -> DataFrame:
-    """Add the exact-dedup content key columns (same normalization +
-    dual-hash construction as operators/dedup.exact_duplicates)."""
-    norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
-    return (
-        pages.withColumn("_h1", F.xxhash64(norm))
-        .withColumn("_h2", F.xxhash64(norm, F.lit(42)))
-        .withColumn("_hlen", F.length(norm))
+    """Add the exact-dedup content key columns — the SAME dual-hash
+    construction as the batch twin (operators/dedup._content_keys:
+    raw-text xxhash64 x2 + length, byte-identical grouping), so a
+    pipeline that dedups the stream and later compacts with batch
+    dedup_exact sees consistent duplicate groups."""
+    from top2vec_spark.operators.dedup import _content_keys
+
+    keys = _content_keys(pages, text_col)
+    return pages.select(
+        "*",
+        keys[0].alias("_h1"),
+        keys[1].alias("_h2"),
+        keys[2].alias("_hlen"),
     )
 
 
