@@ -50,13 +50,54 @@ globals AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM doc_stats),
 vocab AS (SELECT term, count(*) AS cf, count(DISTINCT doc_id) AS df FROM tokens GROUP BY term)"""
 
 
-def _bm25_oracle_sql(pos: list[str], neg: list[str], k: int) -> str:
-    values = ", ".join(
-        [f"('{t}', 1.0)" for t in pos] + [f"('{t}', -1.0)" for t in neg]
-    )
+def _bm25_oracle_sql(
+    pos: list[str],
+    neg: list[str],
+    k: int,
+    *,
+    exclude: tuple[int, ...] = (),
+    skip_ranks: int = 0,
+    q_from_doc_ids: tuple[int, ...] = (),
+) -> str:
+    """Full-corpus BM25 ranking oracle. ``q_from_doc_ids`` replaces the
+    keyword list with the DISTINCT terms of the given docs (the
+    search_documents_by_documents query construction, api._doc_terms);
+    ``exclude`` drops given doc_ids from the result (self-exclusion);
+    ``skip_ranks`` drops the top-N ranked rows (the delete-oracle: mark
+    -deleted docs keep contributing to corpus stats, so the post-delete
+    top-k is exactly the full ranking minus the deleted ranks)."""
+    if q_from_doc_ids:
+        ids = ", ".join(str(int(i)) for i in q_from_doc_ids)
+        q_cte = (
+            "q(term, sign) AS ("
+            f"SELECT DISTINCT term, 1.0 FROM tokens WHERE doc_id IN ({ids}))"
+        )
+    else:
+        values = ", ".join(
+            [f"('{t}', 1.0)" for t in pos] + [f"('{t}', -1.0)" for t in neg]
+        )
+        q_cte = f"q(term, sign) AS (VALUES {values})"
+    excl = ""
+    if exclude:
+        excl = "WHERE doc_id NOT IN (%s)" % ", ".join(
+            str(int(i)) for i in exclude
+        )
+    if skip_ranks:
+        final = f""",
+ranked AS (
+  SELECT doc_id, round(score, 4) AS score,
+         row_number() OVER (ORDER BY round(score, 4) DESC, doc_id ASC) AS rn
+  FROM scored {excl}
+)
+SELECT doc_id, score FROM ranked WHERE rn > {skip_ranks}
+ORDER BY score DESC, doc_id ASC LIMIT {k}"""
+    else:
+        final = f"""
+SELECT doc_id, round(score, 4) AS score
+FROM scored {excl} ORDER BY round(score, 4) DESC, doc_id ASC LIMIT {k}"""
     return f"""
 WITH {_STATS_CTES},
-q(term, sign) AS (VALUES {values}),
+{q_cte},
 tf AS (
   SELECT doc_id, term, count(*) AS tf FROM tokens
   WHERE term IN (SELECT term FROM q) GROUP BY doc_id, term
@@ -72,9 +113,7 @@ scored AS (
   JOIN q USING (term) JOIN vocab USING (term) JOIN doc_stats USING (doc_id)
   CROSS JOIN globals
   GROUP BY tf.doc_id
-)
-SELECT doc_id, round(score, 4) AS score
-FROM scored ORDER BY round(score, 4) DESC, doc_id ASC LIMIT {k}
+){final}
 """
 
 
@@ -523,6 +562,102 @@ def _q_bm25_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bm25_append_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 incremental append under the FULL oracle: build the index on
+    docs 0..255 only (4 full 64-doc shards), append_documents docs
+    256..499 as an incremental epoch (plans/build.py append path: new
+    doc-shards only, vocab merge, exact incremental globals), then
+    answer WAND top-10 — which must equal the oracle's ranking over
+    the WHOLE corpus, proving append ≡ rebuild through the driver
+    gate (reference add_documents, top2vec.py:2003-2062). The epoch is
+    named, so re-runs replay as no-ops (crash-safe idempotency)."""
+    import hashlib
+
+    from top2vec_spark.operators.wand import wand_topk
+    from top2vec_spark.plans.build import IndexBuilder
+
+    docs = _docs(spark, sf_dir)
+    base = docs.filter(F.col("doc_id") < 256)
+    rest = docs.filter(F.col("doc_id") >= 256).select("doc_id", "text")
+    tokens = tokenize_docs(base, ascii_fast_path=True).cache()
+    tag = hashlib.sha1(f"app:{sf_dir}".encode()).hexdigest()[:10]
+    index = IndexBuilder(
+        spark,
+        f"/tmp/t2v_entry_app_{tag}",
+        docs_per_shard=64,
+        n_buckets=16,
+        input_fingerprint=_input_fingerprint(base),
+    ).build(tokens, build_vocab(tokens), build_doc_stats(tokens), resume=True)
+    index = index.append_documents(rest, epoch_id="oracle_append")
+    w = term_weights(spark, index.vocab, ["table", "spark"], [])
+    res = wand_topk(spark, index, w, index.globs, 10)
+    return (
+        res.select("doc_id", F.round("score", 4).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+
+
+def _q_bm25_delete_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2 tombstone delete under the FULL oracle: build on the whole
+    corpus, mark the ranking's top-3 docs deleted (chosen from the
+    BRUTE scorer so the victim set is stable across re-runs —
+    delete_documents is idempotent for the same ids), then WAND top-10
+    must equal the oracle's full ranking with the top-3 ranks skipped:
+    mark-deleted docs still contribute df/dl/avgdl exactly like the
+    reference's hnswlib mark_deleted (top2vec.py:2063-2122)."""
+    import hashlib
+
+    from top2vec_spark.operators.wand import wand_topk
+    from top2vec_spark.plans.build import IndexBuilder
+
+    docs = _docs(spark, sf_dir)
+    tokens = tokenize_docs(docs, ascii_fast_path=True).cache()
+    vocab = build_vocab(tokens)
+    ds = build_doc_stats(tokens)
+    g = compute_globals(ds)
+    w = term_weights(spark, vocab, ["table", "spark"], [])
+    victims = [
+        int(r["doc_id"])
+        for r in bm25_scores(tokens, ds, g, w)
+        .select("doc_id", F.round("score", 4).alias("s"))
+        .orderBy(F.col("s").desc(), F.col("doc_id").asc())
+        .limit(3)
+        .collect()
+    ]
+    tag = hashlib.sha1(f"del:{sf_dir}".encode()).hexdigest()[:10]
+    index = IndexBuilder(
+        spark,
+        f"/tmp/t2v_entry_del_{tag}",
+        docs_per_shard=256,
+        n_buckets=16,
+        input_fingerprint=_input_fingerprint(docs),
+    ).build(tokens, vocab, ds, resume=True)
+    index.delete_documents(victims)
+    wq = term_weights(spark, index.vocab, ["table", "spark"], [])
+    res = wand_topk(spark, index, wq, index.globs, 10)
+    return (
+        res.select("doc_id", F.round("score", 4).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+
+
+def _q_docs_by_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4+P5 through the full api path: search_documents_by_documents
+    (reference top2vec.py:3081-3180) — query = DISTINCT terms of docs
+    {3, 7}, over-fetch num_docs + len(query docs), exclude the query
+    docs themselves, re-limit. Oracled as a full-corpus BM25 ranking
+    with q = those docs' terms and self-ids excluded."""
+    from top2vec_spark.api import Top2VecSpark
+
+    eng = Top2VecSpark(spark, _docs(spark, sf_dir), ascii_fast_path=True)
+    res = eng.search_documents_by_documents([3, 7], 10, return_documents=False)
+    return res.select(
+        "doc_id", F.round("score", 4).alias("score")
+    ).orderBy(F.col("score").desc(), F.col("doc_id").asc())
+
+
 def _q_search_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keyword->topic search (reference search_topics re-expression,
     operators/topics.search_topics_scores) with lang as the class
@@ -588,6 +723,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_top10_single": _bm25_query(["vector"], [], 10),
         "bm25_wand_top10": _bm25_wand_query(["table", "spark"], [], 10),
         "bm25_wand_top10_neg": _bm25_wand_query(["query", "window"], ["batch"], 10),
+        "bm25_append_wand": _q_bm25_append_wand,
+        "bm25_delete_wand": _q_bm25_delete_wand,
+        "docs_by_docs_top10": _q_docs_by_docs,
         "pages_ingest_wand": _q_pages_ingest_wand,
         "bm25_phrase_top10": _q_bm25_phrase,
         "bigram_phrases": _q_bigram_phrases,
@@ -633,6 +771,13 @@ SELECT n_docs, round(avgdl, 6) AS avgdl FROM globals
         "bm25_top10_single": _bm25_oracle_sql(["vector"], [], 10),
         "bm25_wand_top10": _bm25_oracle_sql(["table", "spark"], [], 10),
         "bm25_wand_top10_neg": _bm25_oracle_sql(["query", "window"], ["batch"], 10),
+        "bm25_append_wand": _bm25_oracle_sql(["table", "spark"], [], 10),
+        "bm25_delete_wand": _bm25_oracle_sql(
+            ["table", "spark"], [], 10, skip_ranks=3
+        ),
+        "docs_by_docs_top10": _bm25_oracle_sql(
+            [], [], 10, exclude=(3, 7), q_from_doc_ids=(3, 7)
+        ),
         "pages_ingest_wand": _bm25_oracle_sql(["table", "spark"], [], 10),
         "bigram_phrases": f"""
 WITH tl AS (
