@@ -227,6 +227,8 @@ class Top2VecSpark:
         """Reference top2vec.py:2855-2945 re-expressed: positive terms
         add BM25, negative subtract. Returns
         (doc_id, score[, text...]) ordered score DESC, doc_id ASC."""
+        self._validate_list_arg(keywords, "keywords", "strings")
+        self._validate_list_arg(keywords_neg, "keywords_neg", "strings")
         self._validate_num_docs(num_docs)
         self._validate_keywords(
             [k.lower() for k in keywords] + [k.lower() for k in keywords_neg]
@@ -300,6 +302,8 @@ class Top2VecSpark:
         negative docs; over-fetch num_docs + len(query docs), exclude
         the query docs themselves, re-limit (exact arithmetic of
         top2vec.py:3167-3177)."""
+        self._validate_list_arg(doc_ids, "doc_ids", "string or int")
+        self._validate_list_arg(doc_ids_neg, "doc_ids_neg", "string or int")
         self._validate_num_docs(num_docs)
         all_ids = list(doc_ids) + list(doc_ids_neg)
         self._validate_doc_ids(all_ids)
@@ -472,6 +476,8 @@ class Top2VecSpark:
         self._require_topics(reduced)
         out = self.topic_words_reduced if reduced else self.topic_words
         if num_topics is not None:
+            # reference validates the bound (top2vec.py:2231-2240)
+            self._validate_num_topics(num_topics, reduced)
             out = out.filter(F.col("topic_id") < num_topics)
         return out
 
@@ -641,6 +647,7 @@ class Top2VecSpark:
                 "no document vectors — compute_topics or "
                 "set_document_vectors first"
             )
+        self._validate_vector(vector, self._vector_dim(self._doc_vectors))
         self._validate_num_docs(num_docs)
         res = cosine_topk(self._doc_vectors, vector, num_docs).select(
             F.col("vec_id").alias("doc_id"), "score"
@@ -656,6 +663,7 @@ class Top2VecSpark:
 
         if not hasattr(self, "_word_vectors"):
             raise ValueError("no word vectors — set_word_vectors first")
+        self._validate_vector(vector, self._vector_dim(self._word_vectors))
         self._validate_num(num_words)
         return cosine_topk_sql(
             self._word_vectors, vector, num_words, id_col="term"
@@ -669,8 +677,12 @@ class Top2VecSpark:
         import numpy as np
 
         self._require_topics(reduced)
-        self._validate_num_topics(num_topics, reduced)
         rows = self._centroid_df(reduced).collect()
+        # reference order: vector validated before num_topics
+        # (top2vec.py:2764-2765)
+        if rows:
+            self._validate_vector(vector, len(rows[0]["centroid"]))
+        self._validate_num_topics(num_topics, reduced)
         q = np.asarray(list(vector), dtype=np.float64)
         q = q / (np.linalg.norm(q) or 1.0)
         scored = sorted(
@@ -819,6 +831,39 @@ class Top2VecSpark:
             raise ValueError(
                 "Hierarchical topic reduction has not been performed."
             )
+
+    def _validate_list_arg(self, val, var_name: str, kind: str) -> None:
+        """Reference argument-type checks (_validate_doc_ids /
+        _validate_keywords, top2vec.py:1405-1410, 1427-1432) with the
+        reference's messages. The engine additionally accepts tuples
+        (its own Sequence defaults are tuples) — a strict superset."""
+        import numpy as np
+
+        if not isinstance(val, (list, tuple, np.ndarray)):
+            raise ValueError(f"{var_name} must be a list of {kind}.")
+
+    def _validate_vector(self, vector, dim: int) -> None:
+        """Reference _validate_vector (top2vec.py:1468-1473). The
+        engine accepts any 1-D numeric sequence, not just np.ndarray
+        (documented deviation — Spark-side vectors are plain lists);
+        non-sequences get the reference's type message and the
+        dimension check keeps the reference's wording."""
+        if isinstance(vector, str) or not hasattr(vector, "__len__"):
+            raise ValueError("Vector needs to be a numpy array.")
+        if len(vector) != dim:
+            raise ValueError(f"Vector needs to be of {dim} dimensions.")
+
+    def _vector_dim(self, df: DataFrame, col: str = "embedding") -> int:
+        """Dimensionality of an embedding table, from ONE head row of a
+        column-pruned scan, cached per (table, col) identity."""
+        cache = getattr(self, "_vec_dims", None)
+        if cache is None:
+            cache = self._vec_dims = {}
+        key = (id(df), col)
+        if key not in cache:
+            row = df.select(F.size(F.col(col)).alias("d")).head()
+            cache[key] = int(row["d"]) if row else 0
+        return cache[key]
 
     def _validate_keywords(self, words: Sequence[str]) -> None:
         """Reference _validate_keywords (top2vec.py:1420-1432):
