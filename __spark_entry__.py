@@ -484,6 +484,114 @@ def _q_topic_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_sliding_vec_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 sliding_window_mean under a full DuckDB oracle: the
+    embeddings table re-keyed as a long-format (doc_id, pos, vec)
+    token-vector table (doc_id = vec_id % 23 gives ragged doc lengths
+    21-22, exercising the right-aligned last window), window=8
+    stride=5 — per-window mean vectors flattened to (doc, window,
+    start, dim, value)."""
+    from pyspark.sql import Window as W
+
+    from top2vec_spark.operators.windows import sliding_window_mean
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    tok_vecs = emb.select(
+        (F.col("vec_id") % 23).alias("doc_id"),
+        (
+            F.row_number().over(
+                W.partitionBy(F.col("vec_id") % 23).orderBy("vec_id")
+            )
+            - 1
+        ).alias("pos"),
+        F.col("embedding").cast("array<double>").alias("vec"),
+    )
+    sw = sliding_window_mean(tok_vecs, window=8, stride=5)
+    return sw.select(
+        "doc_id",
+        F.col("window_id").cast("long").alias("window_id"),
+        F.col("start").cast("long").alias("start"),
+        F.posexplode("vec").alias("dim0", "v"),
+    ).select(
+        "doc_id",
+        "window_id",
+        "start",
+        (F.col("dim0") + 1).cast("long").alias("dim"),
+        F.round("v", 5).alias("v"),
+    )
+
+
+def _q_fingerprint_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 fingerprint as a dup-grouping oracle: the corpus unioned
+    with a whitespace-perturbed copy of itself (leading/trailing pad +
+    doubled internal spaces — content-identical after the
+    fingerprint's whitespace normalization), fp64 grouping -> each doc
+    mapped to the min doc_id sharing its fingerprint. DuckDB groups by
+    the same normalized-text key, so the row is green iff the
+    normalization semantics match and xxhash64 is collision-free on
+    the corpus."""
+    from top2vec_spark.operators.textquality import fingerprint
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    pert = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(
+            F.lit("  "), F.regexp_replace("text", " ", "  "), F.lit("  ")
+        ).alias("text"),
+    )
+    fp = fingerprint(docs.unionByName(pert))
+    canon = fp.groupBy("fp64").agg(F.min("doc_id").alias("canonical_id"))
+    return fp.join(canon, "fp64").select("doc_id", "canonical_id")
+
+
+def _q_quality_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming quality monitor
+    (streaming/monitor.quality_window_stats — pytest pins streaming
+    output equal to this) under a DuckDB oracle: documents get a
+    deterministic synthetic event time (epoch 1767225600 + 37s per
+    doc_id, mod 2h), 1-minute event-time windows keyed by lang.
+    Window bounds are compared as epoch seconds (timezone- and
+    serialization-independent)."""
+    from top2vec_spark.streaming.monitor import quality_window_stats
+
+    docs = _docs(spark, sf_dir)
+    pages = docs.select(
+        F.timestamp_seconds(
+            F.lit(1767225600) + (F.col("doc_id") * 37) % 7200
+        ).alias("warc_ts"),
+        "lang",
+        "text",
+    )
+    qw = quality_window_stats(pages, window="1 minute")
+    return qw.select(
+        F.col("win.start").cast("long").alias("win_start"),
+        "lang",
+        "n_pages",
+        F.round("avg_chars", 6).alias("avg_chars"),
+        F.round("avg_alpha_ratio", 6).alias("avg_alpha_ratio"),
+        F.col("n_short").cast("long").alias("n_short"),
+    )
+
+
+def _q_topic_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 get_documents_topic_distribution through the FULL api path
+    (compute_topics from the label column -> renumber by size ->
+    per-topic centroids of ASSIGNED members -> clipped, sum-normalized
+    similarity of each requested doc to every topic centroid). DuckDB
+    replicates the whole chain; probabilities rounded to 6."""
+    from top2vec_spark.api import Top2VecSpark
+
+    eng = Top2VecSpark(spark, _docs(spark, sf_dir), ascii_fast_path=True)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    eng.compute_topics(emb)
+    dist = eng.get_documents_topic_distribution([0, 1, 2, 3, 4])
+    return dist.select(
+        "doc_id",
+        F.col("topic_id").cast("long").alias("topic_id"),
+        F.round("probability", 6).alias("probability"),
+    )
+
+
 def _q_bigram_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
     from top2vec_spark.operators.phrases import find_phrases
 
@@ -747,6 +855,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sliding_mean": _q_events_sliding_mean,
         "sessions_by_user": _q_sessions,
         "topic_sizes": _q_topic_sizes,
+        "sliding_vec_mean": _q_sliding_vec_mean,
+        "fingerprint_dups": _q_fingerprint_dups,
+        "quality_windows": _q_quality_windows,
+        "topic_distribution": _q_topic_distribution,
     }
 
 
@@ -1165,5 +1277,124 @@ sizes AS (
 SELECT row_number() OVER (ORDER BY topic_size DESC, label ASC) - 1 AS topic_id,
        topic_size
 FROM sizes
+""",
+        "sliding_vec_mean": """
+WITH tv AS (
+  SELECT vec_id % 23 AS doc_id,
+         row_number() OVER (PARTITION BY vec_id % 23 ORDER BY vec_id) - 1 AS pos,
+         embedding::DOUBLE[] AS vec
+  FROM embeddings
+),
+d AS (SELECT doc_id, count(*) AS n FROM tv GROUP BY doc_id),
+wins AS (
+  SELECT doc_id, n,
+         unnest([i for i in range(0,
+           greatest(CAST(ceil((n - 8) / 5.0) AS INT), 0) + 1)]) AS window_id
+  FROM d
+),
+w2 AS (
+  SELECT doc_id, window_id,
+         least(window_id * 5, greatest(n - 8, 0)) AS start
+  FROM wins
+),
+flat AS (
+  SELECT w.doc_id, w.window_id, w.start,
+         generate_subscripts(tv.vec, 1) AS dim, unnest(tv.vec) AS v
+  FROM w2 w JOIN tv ON tv.doc_id = w.doc_id
+   AND tv.pos >= w.start AND tv.pos < w.start + 8
+)
+SELECT doc_id, window_id, start, dim, round(avg(v), 5) AS v
+FROM flat GROUP BY doc_id, window_id, start, dim
+""",
+        "fingerprint_dups": r"""
+WITH all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id,
+         '  ' || replace(text, ' ', '  ') || '  ' AS text
+  FROM documents
+),
+norm AS (
+  SELECT doc_id,
+         lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS k
+  FROM all_docs
+)
+SELECT doc_id, min(doc_id) OVER (PARTITION BY k) AS canonical_id
+FROM norm
+""",
+        "quality_windows": r"""
+WITH f AS (
+  SELECT 1767225600 + (doc_id * 37) % 7200 AS te, lang,
+         len(text) AS n_chars,
+         len(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0
+           / greatest(len(text), 1) AS alpha_ratio,
+         CASE WHEN len(text) < 200 THEN 1 ELSE 0 END AS is_short
+  FROM documents
+)
+SELECT te - te % 60 AS win_start, lang,
+       count(*) AS n_pages,
+       round(avg(n_chars), 6) AS avg_chars,
+       round(avg(alpha_ratio), 6) AS avg_alpha_ratio,
+       CAST(sum(is_short) AS BIGINT) AS n_short
+FROM f GROUP BY 1, 2
+""",
+        "topic_distribution": f"""
+WITH {_CENTROIDS_CTE},
+normed AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+           x -> x / greatest(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 1e-12)
+         ) AS v
+  FROM embeddings
+),
+scored AS (
+  SELECT n.vec_id, c.label, list_dot_product(n.v, c.c) AS s
+  FROM normed n CROSS JOIN centroids c
+),
+assigned AS (
+  SELECT vec_id, label FROM (
+    SELECT vec_id, label,
+           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, label ASC) AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
+renum AS (
+  SELECT label, row_number() OVER (
+    ORDER BY count(*) DESC, label ASC) - 1 AS topic_id
+  FROM assigned GROUP BY label
+),
+member AS (
+  SELECT a.vec_id, r.topic_id FROM assigned a JOIN renum r USING (label)
+),
+by_pos2 AS (
+  SELECT m.topic_id, unnest(e.embedding::DOUBLE[]) AS v,
+         generate_subscripts(e.embedding, 1) AS pos
+  FROM embeddings e JOIN member m USING (vec_id)
+),
+means2 AS (
+  SELECT topic_id, pos, avg(v) AS m FROM by_pos2 GROUP BY topic_id, pos
+),
+cent2 AS (
+  SELECT topic_id, array_agg(m ORDER BY pos) AS c, sqrt(sum(m * m)) AS nrm
+  FROM means2 GROUP BY topic_id
+),
+centroids2 AS (
+  SELECT topic_id, list_transform(c, x -> x / nrm) AS c FROM cent2
+),
+nt AS (SELECT count(*) AS n FROM centroids2),
+q AS (SELECT vec_id, v FROM normed WHERE vec_id IN (0, 1, 2, 3, 4)),
+s2 AS (
+  SELECT q.vec_id, c.topic_id,
+         greatest(list_dot_product(q.v, c.c), 0.0) AS p
+  FROM q CROSS JOIN centroids2 c
+),
+z AS (
+  SELECT vec_id, topic_id, p,
+         sum(p) OVER (PARTITION BY vec_id) AS z
+  FROM s2
+)
+SELECT vec_id AS doc_id, topic_id,
+       round(CASE WHEN z > 0 THEN p / z ELSE 1.0 / nt.n END, 6) AS probability
+FROM z CROSS JOIN nt
 """,
     }
