@@ -592,6 +592,108 @@ def _q_topic_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_smooth_vec_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 smooth_adjacent over VECTORS (events_sliding_mean pins the
+    frame arithmetic on scalars; this oracles the actual vector path:
+    L2-normalize, posexplode, avg over [-2,+2] rows per (doc, dim))."""
+    from pyspark.sql import Window as W
+
+    from top2vec_spark.operators.windows import smooth_adjacent
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    tok_vecs = emb.select(
+        (F.col("vec_id") % 23).alias("doc_id"),
+        (
+            F.row_number().over(
+                W.partitionBy(F.col("vec_id") % 23).orderBy("vec_id")
+            )
+            - 1
+        ).alias("pos"),
+        F.col("embedding").cast("array<double>").alias("vec"),
+    )
+    sm = smooth_adjacent(tok_vecs, w=2, normalize=True)
+    return sm.select(
+        "doc_id",
+        F.col("pos").cast("long").alias("pos"),
+        F.posexplode("vec").alias("dim0", "v"),
+    ).select(
+        "doc_id",
+        "pos",
+        (F.col("dim0") + 1).cast("long").alias("dim"),
+        F.round("v", 5).alias("v"),
+    )
+
+
+def _q_simhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3 SimHash end-to-end under a token-SET-equality oracle: corpus
+    unioned with an exact copy of itself, fingerprints -> 16-bit-band
+    LSH candidates -> exact hamming verify at max_hamming=0 -> exact
+    token-set verification (hamming-0 is NOT equivalent to set
+    equality — near sets can vote to the same fingerprint, so like
+    every sketch pipeline the candidates get an exact verify stage,
+    the D4 pattern). Identical sets always produce identical
+    fingerprints, so recall of true set-duplicates is exact;
+    bucket_cap is lifted for the small-scale exactness pin (the capped
+    degrade path is pytest-covered). DuckDB pairs docs whose sorted
+    distinct token lists are equal."""
+    from top2vec_spark.functions.tokenizer import sql_tokens_expr
+    from top2vec_spark.operators.dedup import (
+        simhash_fingerprints,
+        simhash_near_duplicates,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    both = docs.unionByName(
+        docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    )
+    ta = both.select(
+        "doc_id", sql_tokens_expr("text").alias("tokens")
+    ).cache()
+    fps = simhash_fingerprints(ta)
+    cands = simhash_near_duplicates(fps, max_hamming=0, bucket_cap=10**6)
+    tset = ta.select(
+        "doc_id",
+        F.array_sort(F.array_distinct("tokens")).alias("tset"),
+    )
+    return (
+        cands.join(tset.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .join(
+            tset.select(
+                F.col("doc_id").alias("doc_b"), F.col("tset").alias("tset_b")
+            ),
+            "doc_b",
+        )
+        .filter(F.col("tset") == F.col("tset_b"))
+        .select("doc_a", "doc_b")
+    )
+
+
+def _q_noise_topic_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 cluster-noise semantics under a full oracle (reference
+    top2vec.py:1046-1062 via api.compute_topics, api.py:438-448):
+    label 9 is relabeled -1 (HDBSCAN noise) — noise contributes to NO
+    centroid, but every doc (noise included) is still assigned to its
+    nearest remaining topic; topics renumbered by size."""
+    from top2vec_spark.operators.similarity import assign_nearest, label_centroids
+    from top2vec_spark.operators.topics import renumber_topics_by_size
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "label",
+        F.when(F.col("label") == 9, F.lit(-1)).otherwise(F.col("label")),
+    )
+    cents = label_centroids(emb.filter(F.col("label") != -1))
+    dt = assign_nearest(emb, cents).select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("assigned_label").alias("topic_id"),
+        "score",
+    )
+    return renumber_topics_by_size(dt).select(
+        "doc_id",
+        F.col("topic_id").cast("long").alias("topic_id"),
+        F.round("score", 6).alias("score"),
+    )
+
+
 def _q_bigram_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
     from top2vec_spark.operators.phrases import find_phrases
 
@@ -859,6 +961,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_dups": _q_fingerprint_dups,
         "quality_windows": _q_quality_windows,
         "topic_distribution": _q_topic_distribution,
+        "smooth_vec_adjacent": _q_smooth_vec_adjacent,
+        "simhash_dup_pairs": _q_simhash_dup_pairs,
+        "noise_topic_assign": _q_noise_topic_assign,
     }
 
 
@@ -1303,7 +1408,9 @@ flat AS (
   FROM w2 w JOIN tv ON tv.doc_id = w.doc_id
    AND tv.pos >= w.start AND tv.pos < w.start + 8
 )
-SELECT doc_id, window_id, start, dim, round(avg(v), 5) AS v
+SELECT doc_id, window_id, start, dim,
+       -- + 0.0 : DuckDB round preserves -0.0, Spark's returns +0.0
+       round(avg(v), 5) + 0.0 AS v
 FROM flat GROUP BY doc_id, window_id, start, dim
 """,
         "fingerprint_dups": r"""
@@ -1396,5 +1503,90 @@ z AS (
 SELECT vec_id AS doc_id, topic_id,
        round(CASE WHEN z > 0 THEN p / z ELSE 1.0 / nt.n END, 6) AS probability
 FROM z CROSS JOIN nt
+""",
+        "smooth_vec_adjacent": """
+WITH tv AS (
+  SELECT vec_id % 23 AS doc_id,
+         row_number() OVER (PARTITION BY vec_id % 23 ORDER BY vec_id) - 1 AS pos,
+         embedding::DOUBLE[] AS vec
+  FROM embeddings
+),
+nv AS (
+  SELECT doc_id, pos,
+         list_transform(vec, x -> x / sqrt(list_dot_product(vec, vec))) AS v
+  FROM tv
+),
+flat AS (
+  SELECT doc_id, pos, generate_subscripts(v, 1) AS dim, unnest(v) AS val
+  FROM nv
+)
+SELECT doc_id, pos, dim,
+       -- + 0.0 : DuckDB round preserves -0.0, Spark's returns +0.0
+       round(avg(val) OVER (
+         PARTITION BY doc_id, dim ORDER BY pos
+         ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING
+       ), 5) + 0.0 AS v
+FROM flat
+""",
+        "simhash_dup_pairs": f"""
+WITH all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 100000 AS doc_id, text FROM documents
+),
+tl AS (
+  SELECT doc_id, {duckdb_tokens_sql()} AS toks FROM all_docs
+),
+ss AS (
+  SELECT doc_id, list_sort(list_distinct(toks))::VARCHAR AS k FROM tl
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM ss a JOIN ss b ON a.k = b.k AND a.doc_id < b.doc_id
+""",
+        "noise_topic_assign": """
+WITH lbl AS (
+  SELECT vec_id, embedding,
+         CASE WHEN label = 9 THEN -1 ELSE label END AS label
+  FROM embeddings
+),
+by_pos AS (
+  SELECT label, unnest(embedding::DOUBLE[]) AS v,
+         generate_subscripts(embedding, 1) AS pos
+  FROM lbl WHERE label != -1
+),
+means AS (
+  SELECT label, pos, avg(v) AS m FROM by_pos GROUP BY label, pos
+),
+cent AS (
+  SELECT label, array_agg(m ORDER BY pos) AS c, sqrt(sum(m * m)) AS nrm
+  FROM means GROUP BY label
+),
+centroids AS (
+  SELECT label, list_transform(c, x -> x / nrm) AS c FROM cent
+),
+normed AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+           x -> x / greatest(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 1e-12)
+         ) AS v
+  FROM lbl
+),
+scored AS (
+  SELECT n.vec_id, c.label, list_dot_product(n.v, c.c) AS s
+  FROM normed n CROSS JOIN centroids c
+),
+assigned AS (
+  SELECT vec_id, label, s FROM (
+    SELECT vec_id, label, s,
+           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, label ASC) AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
+renum AS (
+  SELECT label, row_number() OVER (
+    ORDER BY count(*) DESC, label ASC) - 1 AS topic_id
+  FROM assigned GROUP BY label
+)
+SELECT a.vec_id AS doc_id, r.topic_id, round(a.s, 6) AS score
+FROM assigned a JOIN renum r USING (label)
 """,
     }
