@@ -694,6 +694,50 @@ def _q_noise_topic_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_incremental_topic_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 through the FULL api path (reference add_documents extends
+    doc_top without retraining topic vectors, top2vec.py:2030-2050):
+    compute_topics on the base embeddings, then add_documents with a
+    REVERSED-embedding copy of the corpus — new docs are assigned to
+    their nearest EXISTING (post-renumber, recomputed) topic centroid
+    and sizes grow incrementally; centroids/words are not retrained.
+    DuckDB replicates: base chain -> recomputed centroids -> assign
+    reversed copies -> summed sizes."""
+    from top2vec_spark.api import Top2VecSpark
+
+    docs = _docs(spark, sf_dir)
+    eng = Top2VecSpark(spark, docs, ascii_fast_path=True)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    eng.compute_topics(emb)
+    new_docs = docs.withColumn(
+        "doc_id", (F.col("doc_id") + 100000).cast("long")
+    )
+    new_emb = emb.select(
+        (F.col("vec_id") + 100000).cast("long").alias("vec_id"),
+        F.reverse("embedding").alias("embedding"),
+    )
+    eng2 = eng.add_documents(new_docs, new_embeddings=new_emb)
+    return eng2.get_topic_sizes().select(
+        F.col("topic_id").cast("long").alias("topic_id"), "topic_size"
+    )
+
+
+def _q_chunks_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7/H3 custom-chunker seam (reference document_chunker callable,
+    top2vec.py:365-415) under a DuckDB oracle: a user Python callable
+    (fixed 80-char slices) through the Arrow-batched mapInPandas seam;
+    the oracle recomputes the slices with substring arithmetic."""
+    from top2vec_spark.operators.chunks import custom_chunks
+
+    def chunker(text: str) -> list:
+        return [text[i : i + 80] for i in range(0, len(text), 80)]
+
+    ch = custom_chunks(_docs(spark, sf_dir), chunker)
+    return ch.select(
+        "doc_id", F.col("chunk_id").cast("long").alias("chunk_id"), "chunk_text"
+    )
+
+
 def _q_bigram_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
     from top2vec_spark.operators.phrases import find_phrases
 
@@ -964,6 +1008,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "smooth_vec_adjacent": _q_smooth_vec_adjacent,
         "simhash_dup_pairs": _q_simhash_dup_pairs,
         "noise_topic_assign": _q_noise_topic_assign,
+        "incremental_topic_sizes": _q_incremental_topic_sizes,
+        "chunks_custom": _q_chunks_custom,
     }
 
 
@@ -1588,5 +1634,81 @@ renum AS (
 )
 SELECT a.vec_id AS doc_id, r.topic_id, round(a.s, 6) AS score
 FROM assigned a JOIN renum r USING (label)
+""",
+        "incremental_topic_sizes": f"""
+WITH {_CENTROIDS_CTE},
+normed AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+           x -> x / greatest(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 1e-12)
+         ) AS v
+  FROM embeddings
+),
+scored AS (
+  SELECT n.vec_id, c.label, list_dot_product(n.v, c.c) AS s
+  FROM normed n CROSS JOIN centroids c
+),
+assigned AS (
+  SELECT vec_id, label FROM (
+    SELECT vec_id, label,
+           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, label ASC) AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
+renum AS (
+  SELECT label, row_number() OVER (
+    ORDER BY count(*) DESC, label ASC) - 1 AS topic_id
+  FROM assigned GROUP BY label
+),
+member AS (
+  SELECT a.vec_id, r.topic_id FROM assigned a JOIN renum r USING (label)
+),
+by_pos2 AS (
+  SELECT m.topic_id, unnest(e.embedding::DOUBLE[]) AS v,
+         generate_subscripts(e.embedding, 1) AS pos
+  FROM embeddings e JOIN member m USING (vec_id)
+),
+means2 AS (
+  SELECT topic_id, pos, avg(v) AS m FROM by_pos2 GROUP BY topic_id, pos
+),
+cent2 AS (
+  SELECT topic_id, array_agg(m ORDER BY pos) AS c, sqrt(sum(m * m)) AS nrm
+  FROM means2 GROUP BY topic_id
+),
+centroids2 AS (
+  SELECT topic_id, list_transform(c, x -> x / nrm) AS c FROM cent2
+),
+newv AS (
+  SELECT vec_id + 100000 AS vec_id,
+         list_transform(list_reverse(embedding::DOUBLE[]),
+           x -> x / greatest(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 1e-12)
+         ) AS v
+  FROM embeddings
+),
+ns AS (
+  SELECT n.vec_id, c.topic_id, list_dot_product(n.v, c.c) AS s
+  FROM newv n CROSS JOIN centroids2 c
+),
+nassign AS (
+  SELECT vec_id, topic_id FROM (
+    SELECT vec_id, topic_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, topic_id ASC) AS rn
+    FROM ns
+  ) WHERE rn = 1
+),
+allm AS (
+  SELECT topic_id FROM member UNION ALL SELECT topic_id FROM nassign
+)
+SELECT topic_id, count(*) AS topic_size FROM allm GROUP BY topic_id
+""",
+        "chunks_custom": """
+WITH c AS (
+  SELECT doc_id,
+         unnest([{'cid': i, 'ch': substring(text, i * 80 + 1, 80)}
+                 for i in range(0, CAST(ceil(len(text) / 80.0) AS INT))]) AS u
+  FROM documents
+)
+SELECT doc_id, CAST(u.cid AS BIGINT) AS chunk_id, u.ch AS chunk_text
+FROM c
 """,
     }
