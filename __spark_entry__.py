@@ -738,6 +738,45 @@ def _q_chunks_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_docs_by_topic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3+K3 through the api (reference search_documents_by_topic,
+    top2vec.py:2832-2847): ALL members of topic 1 by stored assignment
+    score — num_docs = the topic's exact size (the reference's
+    _validate_topic_search caps at it), so there is no float-boundary
+    cut and the order-insensitive hash is stable."""
+    from top2vec_spark.api import Top2VecSpark
+
+    eng = Top2VecSpark(spark, _docs(spark, sf_dir), ascii_fast_path=True)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    eng.compute_topics(emb)
+    size1 = (
+        eng.get_topic_sizes().filter(F.col("topic_id") == 1).collect()[0][
+            "topic_size"
+        ]
+    )
+    res = eng.search_documents_by_topic(1, int(size1), return_documents=False)
+    return res.select("doc_id", F.round("score", 6).alias("score"))
+
+
+def _q_vocab_custom_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H1 tokenizer hook (reference tokenizer callable,
+    top2vec.py:95-133) under a DuckDB oracle: a user Python callable
+    (lowercase, split on non-letters, keep len>=3) through the engine's
+    row-at-a-time seam; vocab with strict '>' min_count=5 replicated
+    with regexp_split arithmetic."""
+    import re
+
+    from top2vec_spark.api import Top2VecSpark
+
+    pat = re.compile(r"[^a-z]+")
+
+    def tok(t: str) -> list:
+        return [w for w in pat.split((t or "").lower()) if len(w) >= 3]
+
+    eng = Top2VecSpark(spark, _docs(spark, sf_dir), min_count=5, tokenizer=tok)
+    return eng.vocab.select("term", "term_id", "df", "cf")
+
+
 def _q_bigram_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
     from top2vec_spark.operators.phrases import find_phrases
 
@@ -1010,6 +1049,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "noise_topic_assign": _q_noise_topic_assign,
         "incremental_topic_sizes": _q_incremental_topic_sizes,
         "chunks_custom": _q_chunks_custom,
+        "docs_by_topic": _q_docs_by_topic,
+        "vocab_custom_tokenizer": _q_vocab_custom_tokenizer,
     }
 
 
@@ -1710,5 +1751,64 @@ WITH c AS (
 )
 SELECT doc_id, CAST(u.cid AS BIGINT) AS chunk_id, u.ch AS chunk_text
 FROM c
+""",
+        "docs_by_topic": """
+WITH by_pos AS (
+  SELECT label, unnest(embedding::DOUBLE[]) AS v,
+         generate_subscripts(embedding, 1) AS pos
+  FROM embeddings
+),
+means AS (
+  SELECT label, pos, avg(v) AS m FROM by_pos GROUP BY label, pos
+),
+cent AS (
+  SELECT label, array_agg(m ORDER BY pos) AS c, sqrt(sum(m * m)) AS nrm
+  FROM means GROUP BY label
+),
+centroids AS (
+  SELECT label, list_transform(c, x -> x / nrm) AS c FROM cent
+),
+normed AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+           x -> x / greatest(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 1e-12)
+         ) AS v
+  FROM embeddings
+),
+scored AS (
+  SELECT n.vec_id, c.label, list_dot_product(n.v, c.c) AS s
+  FROM normed n CROSS JOIN centroids c
+),
+assigned AS (
+  SELECT vec_id, label, s FROM (
+    SELECT vec_id, label, s,
+           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, label ASC) AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
+renum AS (
+  SELECT label, row_number() OVER (
+    ORDER BY count(*) DESC, label ASC) - 1 AS topic_id
+  FROM assigned GROUP BY label
+)
+SELECT a.vec_id AS doc_id, round(a.s, 6) AS score
+FROM assigned a JOIN renum r USING (label)
+WHERE r.topic_id = 1
+""",
+        "vocab_custom_tokenizer": r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(
+           regexp_split_to_array(lower(text), '[^a-z]+'),
+           w -> len(w) >= 3)) AS term
+  FROM documents
+),
+counts AS (
+  SELECT term, count(*) AS cf, count(DISTINCT doc_id) AS df
+  FROM toks GROUP BY term HAVING count(*) > 5
+)
+SELECT term, row_number() OVER (ORDER BY df DESC, term ASC) - 1 AS term_id,
+       df, cf
+FROM counts
 """,
     }
