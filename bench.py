@@ -43,6 +43,9 @@ QUERIES = [
 ]
 K = 10
 P50_REPEATS = 7
+# the sandbox host has co-tenant noise (identical builds vary up to
+# 2x wall-clock) — build best-of-N and report every rep
+BUILD_REPS = int(os.environ.get("SPARK_GRAFT_BUILD_REPS", "2"))
 
 
 def main() -> None:
@@ -53,12 +56,17 @@ def main() -> None:
     idx_dir = tempfile.mkdtemp(prefix="bench_idx_")
     timings: dict[str, float] = {}
     try:
-        t0 = time.time()
-        index = IndexBuilder(
-            spark, idx_dir, docs_per_shard=max(4096, n_docs // 32)
-        ).build_from_docs(docs, resume=False)
-        t_build = time.time() - t0
-        timings["build"] = round(t_build, 3)
+        build_reps = []
+        for _ in range(BUILD_REPS):
+            shutil.rmtree(idx_dir, ignore_errors=True)
+            t0 = time.time()
+            index = IndexBuilder(
+                spark, idx_dir, docs_per_shard=max(4096, n_docs // 32)
+            ).build_from_docs(docs, resume=False)
+            build_reps.append(round(time.time() - t0, 3))
+        t_build = min(build_reps)
+        timings["build"] = t_build
+        timings["build_reps"] = build_reps
 
         index.cache()  # warm serving: postings pinned in memory
         vmap = {
