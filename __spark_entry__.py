@@ -777,6 +777,25 @@ def _q_vocab_custom_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.vocab.select("term", "term_id", "df", "cf")
 
 
+def _q_docs_topics_top2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3/W4 through the api (reference get_documents_topics with
+    num_topics>1, top2vec.py:1873-1958): top-2 topics per requested
+    doc, scored against the RECOMPUTED (post-renumber) topic
+    centroids. DuckDB replicates the full chain."""
+    from top2vec_spark.api import Top2VecSpark
+
+    eng = Top2VecSpark(spark, _docs(spark, sf_dir), ascii_fast_path=True)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    eng.compute_topics(emb)
+    res = eng.get_documents_topics(list(range(20)), num_topics=2)
+    return res.select(
+        "doc_id",
+        F.col("rank").cast("int").alias("rank"),
+        F.col("topic_id").cast("long").alias("topic_id"),
+        F.round("score", 6).alias("score"),
+    )
+
+
 def _q_bigram_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
     from top2vec_spark.operators.phrases import find_phrases
 
@@ -1051,6 +1070,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunks_custom": _q_chunks_custom,
         "docs_by_topic": _q_docs_by_topic,
         "vocab_custom_tokenizer": _q_vocab_custom_tokenizer,
+        "docs_topics_top2": _q_docs_topics_top2,
     }
 
 
@@ -1810,5 +1830,62 @@ counts AS (
 SELECT term, row_number() OVER (ORDER BY df DESC, term ASC) - 1 AS term_id,
        df, cf
 FROM counts
+""",
+        "docs_topics_top2": f"""
+WITH {_CENTROIDS_CTE},
+normed AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+           x -> x / greatest(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 1e-12)
+         ) AS v
+  FROM embeddings
+),
+scored AS (
+  SELECT n.vec_id, c.label, list_dot_product(n.v, c.c) AS s
+  FROM normed n CROSS JOIN centroids c
+),
+assigned AS (
+  SELECT vec_id, label FROM (
+    SELECT vec_id, label,
+           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, label ASC) AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
+renum AS (
+  SELECT label, row_number() OVER (
+    ORDER BY count(*) DESC, label ASC) - 1 AS topic_id
+  FROM assigned GROUP BY label
+),
+member AS (
+  SELECT a.vec_id, r.topic_id FROM assigned a JOIN renum r USING (label)
+),
+by_pos2 AS (
+  SELECT m.topic_id, unnest(e.embedding::DOUBLE[]) AS v,
+         generate_subscripts(e.embedding, 1) AS pos
+  FROM embeddings e JOIN member m USING (vec_id)
+),
+means2 AS (
+  SELECT topic_id, pos, avg(v) AS m FROM by_pos2 GROUP BY topic_id, pos
+),
+cent2 AS (
+  SELECT topic_id, array_agg(m ORDER BY pos) AS c, sqrt(sum(m * m)) AS nrm
+  FROM means2 GROUP BY topic_id
+),
+centroids2 AS (
+  SELECT topic_id, list_transform(c, x -> x / nrm) AS c FROM cent2
+),
+q AS (SELECT vec_id, v FROM normed WHERE vec_id < 20),
+s2 AS (
+  SELECT q.vec_id, c.topic_id, list_dot_product(q.v, c.c) AS s
+  FROM q CROSS JOIN centroids2 c
+),
+ranked AS (
+  SELECT vec_id, topic_id, s,
+         row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, topic_id ASC) AS rn
+  FROM s2
+)
+SELECT vec_id AS doc_id, CAST(rn AS INT) AS rank, topic_id,
+       round(s, 6) AS score
+FROM ranked WHERE rn <= 2
 """,
     }
