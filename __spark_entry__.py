@@ -484,6 +484,27 @@ def _q_topic_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TOPIC_ENGINES: dict = {}
+
+
+def _topic_engine(spark: SparkSession, sf_dir: str):
+    """One compute_topics engine per sf_dir, shared READ-ONLY by the
+    topic-layer queries (topic_distribution, docs_by_topic,
+    docs_topics_top2, incremental_topic_sizes — the last returns a NEW
+    engine from add_documents, never mutating this one). Saves 3
+    redundant corpus tokenizations per gate run."""
+    eng = _TOPIC_ENGINES.get(sf_dir)
+    if eng is None:
+        from top2vec_spark.api import Top2VecSpark
+
+        eng = Top2VecSpark(spark, _docs(spark, sf_dir), ascii_fast_path=True)
+        eng.compute_topics(
+            spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        )
+        _TOPIC_ENGINES[sf_dir] = eng
+    return eng
+
+
 def _q_sliding_vec_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W1 sliding_window_mean under a full DuckDB oracle: the
     embeddings table re-keyed as a long-format (doc_id, pos, vec)
@@ -579,11 +600,7 @@ def _q_topic_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-topic centroids of ASSIGNED members -> clipped, sum-normalized
     similarity of each requested doc to every topic centroid). DuckDB
     replicates the whole chain; probabilities rounded to 6."""
-    from top2vec_spark.api import Top2VecSpark
-
-    eng = Top2VecSpark(spark, _docs(spark, sf_dir), ascii_fast_path=True)
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    eng.compute_topics(emb)
+    eng = _topic_engine(spark, sf_dir)
     dist = eng.get_documents_topic_distribution([0, 1, 2, 3, 4])
     return dist.select(
         "doc_id",
@@ -703,12 +720,9 @@ def _q_incremental_topic_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     and sizes grow incrementally; centroids/words are not retrained.
     DuckDB replicates: base chain -> recomputed centroids -> assign
     reversed copies -> summed sizes."""
-    from top2vec_spark.api import Top2VecSpark
-
     docs = _docs(spark, sf_dir)
-    eng = Top2VecSpark(spark, docs, ascii_fast_path=True)
+    eng = _topic_engine(spark, sf_dir)
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    eng.compute_topics(emb)
     new_docs = docs.withColumn(
         "doc_id", (F.col("doc_id") + 100000).cast("long")
     )
@@ -744,11 +758,7 @@ def _q_docs_by_topic(spark: SparkSession, sf_dir: str) -> DataFrame:
     score — num_docs = the topic's exact size (the reference's
     _validate_topic_search caps at it), so there is no float-boundary
     cut and the order-insensitive hash is stable."""
-    from top2vec_spark.api import Top2VecSpark
-
-    eng = Top2VecSpark(spark, _docs(spark, sf_dir), ascii_fast_path=True)
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    eng.compute_topics(emb)
+    eng = _topic_engine(spark, sf_dir)
     size1 = (
         eng.get_topic_sizes().filter(F.col("topic_id") == 1).collect()[0][
             "topic_size"
@@ -782,11 +792,7 @@ def _q_docs_topics_top2(spark: SparkSession, sf_dir: str) -> DataFrame:
     num_topics>1, top2vec.py:1873-1958): top-2 topics per requested
     doc, scored against the RECOMPUTED (post-renumber) topic
     centroids. DuckDB replicates the full chain."""
-    from top2vec_spark.api import Top2VecSpark
-
-    eng = Top2VecSpark(spark, _docs(spark, sf_dir), ascii_fast_path=True)
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    eng.compute_topics(emb)
+    eng = _topic_engine(spark, sf_dir)
     res = eng.get_documents_topics(list(range(20)), num_topics=2)
     return res.select(
         "doc_id",
