@@ -49,6 +49,9 @@ def number_vocab(counts: DataFrame, start: int = 0) -> DataFrame:
         [F.col("df").desc(), F.col("term").asc()],
         "term_id",
         start=start,
+        # counts is a corpus-scale aggregation: cache it so the range
+        # sampler + count job don't each re-run the full tf pass
+        persist_input=True,
     ).select("term", "term_id", "df", "cf")
 
 

@@ -53,6 +53,7 @@ def two_phase_row_number(
     order: list[Column],
     out_col: str,
     start: int = 0,
+    persist_input: bool = False,
 ) -> DataFrame:
     """Add ``out_col`` = dense global rank (start..start+n-1) of each
     row under ``order`` (a list of Columns, each with its sort
@@ -61,7 +62,21 @@ def two_phase_row_number(
     The combined sort key should be a TOTAL order (unique per row):
     ties would be numbered in an arbitrary but valid order, exactly
     like ``row_number`` itself.
+
+    ``persist_input``: cache ``df`` itself for the call's duration.
+    ``repartitionByRange`` runs an internal range-sampling job that
+    recomputes the FULL input plan before the count job computes it
+    again — when the input is an expensive aggregation over a much
+    larger relation (vocab counts over the exploded corpus tf), that
+    is a duplicated corpus-scale pass. Set True when the input frame
+    is small relative to its lineage (vocab: <= 10^8 rows even at web
+    scale, spilled via MEMORY_AND_DISK); leave False when the input IS
+    the big relation (doc-id numbering over the raw corpus) where
+    caching would cost more than the rescan.
     """
+    if persist_input:
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        _LIVE.append(df)
     parts = (
         df.repartitionByRange(*order)
         .sortWithinPartitions(*order)
