@@ -69,3 +69,30 @@ def test_doc_stats_and_globals(tokens_df, tiny_corpus):
     g = compute_globals(build_doc_stats(tokens_df))
     assert g.n_docs == len(ds)
     assert g.avgdl == pytest.approx(sum(ds.values()) / len(ds))
+
+
+def test_two_phase_numbering_persist_invariant(tokens_df):
+    """persist_input (vocab path: cache the counts frame across the
+    range-sampler and count jobs) must not change a single term_id."""
+    from pyspark.sql import functions as F
+
+    from top2vec_spark.operators.numbering import two_phase_row_number
+
+    counts = (
+        tokens_df.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cf"), F.countDistinct("doc_id").alias("df"))
+    )
+    order = [F.col("df").desc(), F.col("term").asc()]
+    plain = {
+        r["term"]: r["term_id"]
+        for r in two_phase_row_number(
+            counts, order, "term_id", persist_input=False
+        ).collect()
+    }
+    cached = {
+        r["term"]: r["term_id"]
+        for r in two_phase_row_number(
+            counts, order, "term_id", persist_input=True
+        ).collect()
+    }
+    assert plain == cached and len(plain) > 0
