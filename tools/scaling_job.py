@@ -32,6 +32,18 @@ def main() -> None:
     scratch = "/dev/shm" if os.path.isdir("/dev/shm") else None
     idx_dir = tempfile.mkdtemp(prefix=f"scale_idx_{cpus}_", dir=scratch)
     try:
+        # Warm the Python UDF workers + shuffle machinery BEFORE the
+        # timed build: worker fork costs seconds of wall-clock that
+        # are identical at any parallelism (it happens once per
+        # worker, in parallel) — a pure fixed cost that would bias
+        # the N-vs-4N ratio toward 1. The study measures steady-state
+        # build throughput, not session cold-start.
+        from top2vec_spark.operators.tokens import doc_term_counts_packed
+
+        doc_term_counts_packed(
+            docs.limit(cpus * 32).repartition(cpus)
+        ).groupBy().count().collect()
+
         t0 = time.time()
         index = IndexBuilder(
             spark, idx_dir, docs_per_shard=max(4096, n_docs // 32)
