@@ -36,13 +36,14 @@ from pyspark.sql import functions as F
 
 # Bounded registry of persisted numbering inputs: each call persists
 # its range-partitioned frame (the count job and the numbering job MUST
-# see identical partitioning — range sampling is per-plan), and the
-# oldest entries are unpersisted once more than _MAX_LIVE calls have
-# happened. Invariant required of callers: materialize the numbered
-# output before issuing _MAX_LIVE further numbering calls — trivially
-# true for every in-repo flow (each build stage / append epoch /
-# micro-batch writes its output synchronously). Without the cap, a
-# long-running stream (one numbering per micro-batch) leaks one
+# see identical partitioning — range sampling is per-plan; a
+# persist_input call adds a second entry for the cached input), and the
+# oldest entries are unpersisted once more than _MAX_LIVE entries are
+# live. Invariant required of callers: materialize the numbered
+# output before issuing _MAX_LIVE/2 further numbering calls —
+# trivially true for every in-repo flow (each build stage / append
+# epoch / micro-batch writes its output synchronously). Without the
+# cap, a long-running stream (one numbering per micro-batch) leaks one
 # MEMORY_AND_DISK frame per batch.
 _MAX_LIVE = 8
 _LIVE: list = []
