@@ -149,3 +149,73 @@ def test_append_is_o_batch_and_idempotent(spark, corpora, tmp_path):
     q = resolve_query_terms(vmap, ["wa"], [])
     got = wand_topk(spark, idx3, q, idx3.globs, 5).collect()
     assert len(got) == 5
+
+
+def test_append_delete_soak_matches_oneshot(spark, tmp_path):
+    """Lifecycle soak: build -> append -> delete -> append -> delete
+    must answer queries IDENTICALLY (docids + scores) to a one-shot
+    build over the full union with the same tombstones — pins that
+    epoch-partitioned appends and shard-sidecar tombstones compose
+    across interleavings, not just individually."""
+    dps, nb = 128, 8
+    a = assign_doc_ids(
+        spark.createDataFrame(generate_pages_pdf(300, seed=61)[["url", "text"]])
+    ).select("doc_id", "url", "text").cache()
+
+    inc_path = str(tmp_path / "soak_inc")
+    idx = IndexBuilder(
+        spark, inc_path, docs_per_shard=dps, n_buckets=nb
+    ).build_from_docs(a, resume=False)
+
+    lo1 = idx.next_doc_id()
+    b = assign_doc_ids(
+        spark.createDataFrame(generate_pages_pdf(150, seed=62, start=20_000)[["url", "text"]])
+    ).select("doc_id", "url", "text").withColumn(
+        "doc_id", (F.col("doc_id") + F.lit(lo1)).cast("long")
+    ).cache()
+    idx = idx.append_documents(b, epoch_id="e1")
+
+    victims1 = [5, 17, lo1 + 3]  # from base AND first append
+    idx.delete_documents(victims1)
+
+    lo2 = idx.next_doc_id()
+    c = assign_doc_ids(
+        spark.createDataFrame(generate_pages_pdf(150, seed=63, start=40_000)[["url", "text"]])
+    ).select("doc_id", "url", "text").withColumn(
+        "doc_id", (F.col("doc_id") + F.lit(lo2)).cast("long")
+    ).cache()
+    idx = idx.append_documents(c, epoch_id="e2")
+
+    victims2 = [lo2 + 1, 42]
+    idx.delete_documents(victims2)
+    assert idx.globs.n_docs == 600
+
+    oneshot_path = str(tmp_path / "soak_full")
+    full = IndexBuilder(
+        spark, oneshot_path, docs_per_shard=dps, n_buckets=nb
+    ).build_from_docs(a.unionByName(b).unionByName(c), resume=False)
+    full.delete_documents(victims1 + victims2)
+
+    vmap = {r["term"]: (r["term_id"], r["df"]) for r in idx.vocab.collect()}
+    vmap_full = {
+        r["term"]: (r["term_id"], r["df"]) for r in full.vocab.collect()
+    }
+    for pos, neg in QUERIES:
+        qi = resolve_query_terms(vmap, pos, neg)
+        qf = resolve_query_terms(vmap_full, pos, neg)
+        ri = [(r["doc_id"], r["score"]) for r in wand_topk(spark, idx, qi, idx.globs, 10).collect()]
+        rf = [(r["doc_id"], r["score"]) for r in wand_topk(spark, full, qf, full.globs, 10).collect()]
+        assert ri == rf and len(ri) == 10
+        assert not ({v for v in victims1 + victims2} & {d for d, _ in ri})
+
+    # reload from disk: tombstones + epochs survive
+    loaded = PostingsIndex.load(spark, inc_path)
+    assert set(victims1 + victims2) <= loaded.tombstones
+    qi = resolve_query_terms(vmap, *QUERIES[0])
+    assert [
+        (r["doc_id"], r["score"])
+        for r in wand_topk(spark, loaded, qi, loaded.globs, 10).collect()
+    ] == [
+        (r["doc_id"], r["score"])
+        for r in wand_topk(spark, idx, qi, idx.globs, 10).collect()
+    ]
