@@ -139,3 +139,43 @@ def test_embedding_near_dup_lsh_vs_exact(spark):
     assert len(exact) > 0
     recall = len(lsh) / len(exact)
     assert recall >= 0.95, recall
+
+
+def test_ivf_persisted_layout_prunes_partitions(emb, emb_np, query_vec, tmp_path):
+    """The persisted IVF serving layout: cell-partitioned parquet, and
+    the probe query's cell filter lands as a directory-level PARTITION
+    filter on the scan (only n_probe cells read) — identical results
+    to the in-memory path."""
+    from top2vec_spark.operators.similarity import (
+        ivf_load,
+        ivf_topk_path,
+        ivf_write,
+    )
+
+    assigned, cents = ivf_build(emb, n_cells=8, sample=500)
+    path = str(tmp_path / "ivf")
+    ivf_write(assigned, cents, path)
+
+    spark = emb.sparkSession
+    got = ivf_topk_path(spark, path, query_vec, 10, n_probe=3)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan, plan
+    # in-memory same-probe equivalence (same centroids -> same cells)
+    mem = ivf_topk(assigned, cents, query_vec, 10, n_probe=3)
+    assert [(r["vec_id"], r["score"]) for r in got.collect()] == [
+        (r["vec_id"], r["score"]) for r in mem.collect()
+    ]
+    # loaded centroids round-trip exactly
+    _, cents2 = ivf_load(spark, path)
+    np.testing.assert_allclose(cents2, cents, atol=0)
+    # the scan prunes to exactly the probed cell DIRECTORIES: the plan
+    # carries the cell list as a PartitionFilter (not a DataFilter)
+    import re
+
+    qn = np.asarray(query_vec, dtype=np.float64)
+    qn = qn / np.linalg.norm(qn)
+    probed = set(np.argsort(-(cents @ qn))[:3].tolist())
+    m = re.search(r"PartitionFilters: \[cell#\d+ IN \(([\d,]+)\)\]", plan)
+    assert m, plan
+    assert {int(x) for x in m.group(1).split(",")} == probed
+    assert "DataFilters: [cell" not in plan

@@ -179,6 +179,46 @@ def ivf_topk(
     return cosine_topk(pruned, query, k)
 
 
+def ivf_write(assigned: DataFrame, centroids: np.ndarray, path: str) -> None:
+    """Persist the IVF index in the 10^12-row serving layout: vectors
+    PARTITIONED BY cell (a query's `cell IN (...)` becomes directory-
+    level partition pruning — only the n_probe probed cells are read,
+    like postings buckets) + the centroid table alongside."""
+    spark = assigned.sparkSession
+    assigned.repartition("cell").write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(f"{path}/cells")
+    spark.createDataFrame(
+        [(int(i), [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cell int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def ivf_load(spark, path: str) -> tuple[DataFrame, np.ndarray]:
+    """Load an ivf_write index: (cell-partitioned vectors, centroids)."""
+    rows = sorted(
+        spark.read.parquet(f"{path}/centroids").collect(),
+        key=lambda r: r["cell"],
+    )
+    cents = np.vstack([np.asarray(r["centroid"], dtype=np.float64) for r in rows])
+    return spark.read.parquet(f"{path}/cells"), cents
+
+
+def ivf_topk_path(
+    spark,
+    path: str,
+    query: Sequence[float],
+    k: int,
+    n_probe: int = 8,
+) -> DataFrame:
+    """ANN top-k over a persisted ivf_write index. The cell filter is
+    a PARTITION filter on the parquet scan (directory pruning): the
+    job reads only the n_probe probed cells regardless of corpus
+    size — the plan-pinned scale path (tests/test_similarity.py)."""
+    assigned, cents = ivf_load(spark, path)
+    return ivf_topk(assigned, cents, query, k, n_probe=n_probe)
+
+
 # ---------------------------------------------------------------------------
 # embedding-cosine near-duplicate detection (training-data pipeline)
 # ---------------------------------------------------------------------------
