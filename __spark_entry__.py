@@ -195,6 +195,41 @@ def _bm25_wand_query(pos: list[str], neg: list[str], k: int):
     return run
 
 
+def _q_bm25_wand_many(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched multi-query serving (wand_topk_many — MANY queries in
+    ONE job with shared block decodes, the amortized serving path)
+    under the same DuckDB BM25 oracle as the single-query rows: three
+    fixture queries, output (query_id, doc_id, score)."""
+    import hashlib
+
+    from top2vec_spark.operators.bm25 import resolve_query_terms
+    from top2vec_spark.operators.wand import wand_topk_many
+    from top2vec_spark.plans.build import IndexBuilder
+
+    docs = _docs(spark, sf_dir)
+    tokens = tokenize_docs(docs, ascii_fast_path=True).cache()
+    vocab = build_vocab(tokens)
+    ds = build_doc_stats(tokens)
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    index = IndexBuilder(
+        spark,
+        f"/tmp/t2v_entry_idx_{tag}",
+        docs_per_shard=256,
+        n_buckets=16,
+        input_fingerprint=_input_fingerprint(docs),
+    ).build(tokens, vocab, ds, resume=True)
+    vmap = {r["term"]: (r["term_id"], r["df"]) for r in index.vocab.collect()}
+    qmap = {
+        "q0": resolve_query_terms(vmap, ["table", "spark"], []),
+        "q1": resolve_query_terms(vmap, ["query", "window"], ["batch"]),
+        "q2": resolve_query_terms(vmap, ["vector"], []),
+    }
+    res = wand_topk_many(spark, index, qmap, index.globs, 10)
+    return res.select(
+        "query_id", "doc_id", F.round("score", 4).alias("score")
+    )
+
+
 def _q_pages_ingest_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-rule ingest path end-to-end: documents re-shaped into the
     Iceberg-page schema (url, warc_ts, html, text, lang) with text
@@ -1041,6 +1076,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_top10_single": _bm25_query(["vector"], [], 10),
         "bm25_wand_top10": _bm25_wand_query(["table", "spark"], [], 10),
         "bm25_wand_top10_neg": _bm25_wand_query(["query", "window"], ["batch"], 10),
+        "bm25_wand_many3": _q_bm25_wand_many,
         "bm25_append_wand": _q_bm25_append_wand,
         "bm25_delete_wand": _q_bm25_delete_wand,
         "docs_by_docs_top10": _q_docs_by_docs,
@@ -1101,6 +1137,15 @@ SELECT n_docs, round(avgdl, 6) AS avgdl FROM globals
         "bm25_top10_single": _bm25_oracle_sql(["vector"], [], 10),
         "bm25_wand_top10": _bm25_oracle_sql(["table", "spark"], [], 10),
         "bm25_wand_top10_neg": _bm25_oracle_sql(["query", "window"], ["batch"], 10),
+        "bm25_wand_many3": (
+            "SELECT 'q0' AS query_id, * FROM ("
+            + _bm25_oracle_sql(["table", "spark"], [], 10)
+            + ") UNION ALL SELECT 'q1' AS query_id, * FROM ("
+            + _bm25_oracle_sql(["query", "window"], ["batch"], 10)
+            + ") UNION ALL SELECT 'q2' AS query_id, * FROM ("
+            + _bm25_oracle_sql(["vector"], [], 10)
+            + ")"
+        ),
         "bm25_append_wand": _bm25_oracle_sql(["table", "spark"], [], 10),
         "bm25_delete_wand": _bm25_oracle_sql(
             ["table", "spark"], [], 10, skip_ranks=3
