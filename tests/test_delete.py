@@ -145,3 +145,37 @@ def test_flat_tombstone_layout_migrates(spark, tmp_path):
     assert set(victims) | {more} <= loaded.tombstones
     final = wand_topk(spark, loaded, q, loaded.globs, 10).collect()
     assert more not in {r["doc_id"] for r in final}
+
+
+def test_wand_topk_many_honors_tombstones(spark, tmp_path):
+    """Batched serving must skip deleted docs exactly like the single-
+    query kernel (both read the same per-shard tombstone sidecar)."""
+    from top2vec_spark.operators.wand import wand_topk_many
+
+    pdf = generate_pages_pdf(200, seed=53)
+    docs = assign_doc_ids(spark.createDataFrame(pdf[["url", "text"]])).select(
+        "doc_id", "url", "text"
+    )
+    idx = IndexBuilder(
+        spark, str(tmp_path / "midx"), docs_per_shard=64, n_buckets=8
+    ).build_from_docs(docs, resume=False)
+    vmap = {r["term"]: (r["term_id"], r["df"]) for r in idx.vocab.collect()}
+    batch = {
+        "a": resolve_query_terms(vmap, ["wa", "wb"], []),
+        "b": resolve_query_terms(vmap, ["wc"], []),
+    }
+    before = wand_topk_many(spark, idx, batch, idx.globs, 10).collect()
+    victims = sorted({r["doc_id"] for r in before})[:4]
+    idx.delete_documents(victims)
+
+    many = wand_topk_many(spark, idx, batch, idx.globs, 10).collect()
+    assert not (set(victims) & {r["doc_id"] for r in many})
+    by_q = {}
+    for r in many:
+        by_q.setdefault(r["query_id"], []).append((r["doc_id"], r["score"]))
+    for qid, q in batch.items():
+        single = [
+            (r["doc_id"], r["score"])
+            for r in wand_topk(spark, idx, q, idx.globs, 10).collect()
+        ]
+        assert by_q[qid] == single
