@@ -822,6 +822,30 @@ def _q_vocab_custom_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.vocab.select("term", "term_id", "df", "cf")
 
 
+def _q_vocab_sentencized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H4/T7 sentencizer seam (reference sentencizer callable,
+    top2vec.py:365-370, 550-558, 684-689) under a DuckDB oracle: a
+    deterministic '.'-splitter through the engine's pre-tokenize
+    sentence seam, each sentence then tokenized as its own chunk-doc
+    (composite id doc_id*100000+sent_id) and rolled into a
+    min_count=2 vocabulary — df counts SENTENCES, not documents, and
+    the delimiter ' table ' is a frequent corpus token (the synthetic
+    text has no '.'), so the row only passes if the seam really split
+    before tokenizing: 'table' mostly vanishes from the vocab and
+    every df shifts from document to sentence granularity."""
+    from top2vec_spark.operators.chunks import sentencize
+    from top2vec_spark.operators.corpus_stats import build_vocab
+    from top2vec_spark.operators.tokens import tokenize_docs
+
+    sents = sentencize(_docs(spark, sf_dir), lambda t: t.split(" table "))
+    sdocs = sents.select(
+        (F.col("doc_id") * 100000 + F.col("sent_id")).alias("doc_id"),
+        F.col("sentence").alias("text"),
+    )
+    toks = tokenize_docs(sdocs, ascii_fast_path=True)
+    return build_vocab(toks, min_count=2).select("term", "term_id", "df", "cf")
+
+
 def _q_docs_topics_top2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J3/W4 through the api (reference get_documents_topics with
     num_topics>1, top2vec.py:1873-1958): top-2 topics per requested
@@ -1112,6 +1136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunks_custom": _q_chunks_custom,
         "docs_by_topic": _q_docs_by_topic,
         "vocab_custom_tokenizer": _q_vocab_custom_tokenizer,
+        "vocab_sentencized": _q_vocab_sentencized,
         "docs_topics_top2": _q_docs_topics_top2,
     }
 
@@ -1495,9 +1520,9 @@ WITH ordered AS (
   FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 numbered AS (
-  SELECT *, sum(new_sess) OVER (
+  SELECT *, CAST(sum(new_sess) OVER (
     PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING
-  ) AS session_id
+  ) AS BIGINT) AS session_id
   FROM ordered
 )
 SELECT user_id, session_id,
@@ -1877,6 +1902,29 @@ WITH toks AS (
 counts AS (
   SELECT term, count(*) AS cf, count(DISTINCT doc_id) AS df
   FROM toks GROUP BY term HAVING count(*) > 5
+)
+SELECT term, row_number() OVER (ORDER BY df DESC, term ASC) - 1 AS term_id,
+       df, cf
+FROM counts
+""",
+        "vocab_sentencized": f"""
+WITH sents AS (
+  SELECT doc_id, generate_subscripts(parts, 1) - 1 AS sent_id,
+         unnest(parts) AS sentence
+  FROM (SELECT doc_id, regexp_split_to_array(text, ' table ') AS parts
+        FROM documents)
+),
+stoks AS (
+  SELECT doc_id * 100000 + sent_id AS sid,
+         unnest(list_filter(
+           regexp_extract_all(lower(regexp_replace(sentence, '<[^>]+>', '', 'g')), '[a-z_]+'),
+           t -> len(t) BETWEEN {MIN_TOKEN_LEN} AND {MAX_TOKEN_LEN} AND NOT starts_with(t, '_')
+         )) AS term
+  FROM sents
+),
+counts AS (
+  SELECT term, count(*) AS cf, count(DISTINCT sid) AS df
+  FROM stoks GROUP BY term HAVING count(*) > 2
 )
 SELECT term, row_number() OVER (ORDER BY df DESC, term ASC) - 1 AS term_id,
        df, cf

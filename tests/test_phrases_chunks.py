@@ -109,3 +109,38 @@ def test_random_chunks_deterministic_and_in_bounds(tok_arr):
     counts = Counter(r["doc_id"] for r in a)
     for d, n in counts.items():
         assert n == max(1, math.ceil(len(toks[d]) * 1.0 / 4))
+
+
+# -- sentencizer seam (H4/T7, reference top2vec.py:365-370, 550-558) --------
+
+
+def test_sentencize_splits_before_tokenize(spark, phrase_docs):
+    from top2vec_spark.operators.chunks import sentencize
+
+    out = sentencize(phrase_docs, lambda t: [s for s in t.split(" and ")])
+    got = {
+        (r["doc_id"], r["sent_id"]): r["sentence"] for r in out.collect()
+    }
+    exp = {}
+    for r in phrase_docs.collect():
+        for i, s in enumerate(r["text"].split(" and ")):
+            exp[(r["doc_id"], i)] = s
+    assert got == exp
+
+
+def test_sentencizer_api_validation(spark, phrase_docs):
+    from top2vec_spark.api import Top2VecSpark
+
+    eng = Top2VecSpark(spark, phrase_docs, min_count=0)
+    # mutual exclusion (reference top2vec.py:371 docstring contract)
+    with pytest.raises(ValueError, match="Only one of"):
+        eng.chunk_documents(chunker=lambda t: [t], sentencizer=lambda t: [t])
+    # non-callable message parity (reference top2vec.py:557-558)
+    with pytest.raises(ValueError, match="must be callable"):
+        eng.chunk_documents(sentencizer="nope")
+    # happy path through the api
+    out = eng.chunk_documents(sentencizer=lambda t: t.split(" and "))
+    assert out.columns == ["doc_id", "sent_id", "sentence"]
+    n_sent = out.count()
+    n_doc = phrase_docs.count()
+    assert n_sent > n_doc  # the corpus contains ' and ', so it must split

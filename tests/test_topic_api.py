@@ -419,3 +419,32 @@ def test_delete_filters_reduced_mirror(spark, tmp_path):
         F.sum("topic_size").alias("s")
     ).collect()[0]["s"]
     assert total == 39
+
+
+def test_generate_topic_wordcloud(engine):
+    """M5/S6 export (reference generate_topic_wordcloud,
+    top2vec.py:3188-3236): softmax frequencies dict — positive,
+    sums to 1, ordered like the stored word scores, and validated
+    like the reference."""
+    import math
+
+    freqs = engine.generate_topic_wordcloud(0)
+    assert freqs and all(v > 0 for v in freqs.values())
+    assert abs(sum(freqs.values()) - 1.0) < 1e-9
+    # softmax is monotone: weight order == stored ctfidf order
+    words = {
+        r["term"]: (r["ctfidf"], r["rank"])
+        for r in engine.topic_words.filter("topic_id = 0").collect()
+    }
+    assert set(freqs) == set(words)
+    by_weight = sorted(freqs, key=freqs.get, reverse=True)
+    by_score = sorted(words, key=lambda t: (-words[t][0], words[t][1]))
+    assert [round(freqs[t], 12) for t in by_weight] == sorted(
+        (round(v, 12) for v in freqs.values()), reverse=True
+    )
+    assert freqs[by_score[0]] == max(freqs.values())
+    # validation parity (reference _validate_topic_num)
+    with pytest.raises(ValueError, match="cannot be less than 0"):
+        engine.generate_topic_wordcloud(-1)
+    with pytest.raises(ValueError, match="valid original topics"):
+        engine.generate_topic_wordcloud(10_000)

@@ -1,7 +1,15 @@
 """Local mimic of the driver's correctness gate: run every
 __spark_entry__.queries() entry at sf0.01 and compare with the
-oracle_sql() DuckDB result — row count, column names/types, and an
-order-insensitive value hash (floats canonicalized via repr)."""
+oracle_sql() DuckDB result — row count, column names, and an
+order-insensitive value hash computed over ARROW-typed values.
+
+Both sides are collected as Arrow tables (Spark `DataFrame.toArrow()`,
+DuckDB `.arrow()`) and each cell is canonicalized via `repr()` of its
+`to_pylist()` Python value, so type-level divergence is visible:
+DuckDB HUGEINT -> decimal128 -> Decimal('5') hashes differently from
+Spark int64 -> 5 even when numerically equal.  (Round-3 lesson: the
+old repr-of-collect() path coerced both to plain ints and masked
+exactly the `sessions_by_user` driver failure.)"""
 
 from __future__ import annotations
 
@@ -24,14 +32,21 @@ TABLES = (
 
 
 def canon(v):
+    # repr distinguishes int vs Decimal vs float, -0.0 vs 0.0, and
+    # datetime tz-ness — the categories the driver's hash is sensitive to.
     if isinstance(v, float):
-        return f"{v:.10g}"
+        return repr(v)
     return repr(v)
 
 
-def value_hash(rows, cols):
+def arrow_hash(table):
+    """Order-insensitive value hash over an Arrow table (cols sorted by name)."""
+    cols = table.column_names
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    lines = sorted("|".join(canon(r[i]) for i in order) for r in rows)
+    pycols = [table.column(i).to_pylist() for i in order]
+    lines = sorted(
+        "|".join(canon(c[r]) for c in pycols) for r in range(table.num_rows)
+    )
     return hashlib.sha256("\n".join(lines).encode()).hexdigest()[:16]
 
 
@@ -58,29 +73,33 @@ def main():
             continue
         t0 = time.time()
         sdf = fn(spark, SF_DIR)
-        srows = [tuple(r) for r in sdf.collect()]
-        scols = sdf.columns
+        stab = sdf.toArrow()
         elapsed = time.time() - t0
         if name not in oracles:
-            print(f"{name:24s} rows={len(srows):6d}  (no oracle, rows-only) {elapsed:.1f}s")
+            print(
+                f"{name:24s} rows={stab.num_rows:6d}  (no oracle, rows-only) {elapsed:.1f}s"
+            )
             continue
-        ddf = con.sql(oracles[name])
-        drows = ddf.fetchall()
-        dcols = [d[0] for d in ddf.description]
-        ok_rows = len(srows) == len(drows)
-        ok_cols = sorted(scols) == sorted(dcols)
-        sh, dh = value_hash(srows, scols), value_hash(drows, dcols)
+        dtab = con.sql(oracles[name]).arrow()
+        ok_rows = stab.num_rows == dtab.num_rows
+        ok_cols = sorted(stab.column_names) == sorted(dtab.column_names)
+        sh, dh = arrow_hash(stab), arrow_hash(dtab)
         ok_hash = sh == dh
         status = "OK " if (ok_rows and ok_cols and ok_hash) else "FAIL"
         if status == "FAIL":
             failures += 1
         print(
-            f"{name:24s} {status} rows {len(srows)}/{len(drows)} cols={ok_cols} "
+            f"{name:24s} {status} rows {stab.num_rows}/{dtab.num_rows} cols={ok_cols} "
             f"hash {sh}/{dh} {elapsed:.1f}s"
         )
-        if status == "FAIL" and len(srows) <= 20:
-            print("  spark :", sorted(srows)[:10])
-            print("  duckdb:", sorted(drows)[:10])
+        if status == "FAIL":
+            print("  spark  schema:", stab.schema)
+            print("  duckdb schema:", dtab.schema)
+            if stab.num_rows <= 20:
+                srows = sorted(repr(tuple(d.values())) for d in stab.to_pylist())
+                drows = sorted(repr(tuple(d.values())) for d in dtab.to_pylist())
+                print("  spark :", srows[:10])
+                print("  duckdb:", drows[:10])
 
     if not ONLY:
         # smoke entry()

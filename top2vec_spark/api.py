@@ -370,14 +370,38 @@ class Top2VecSpark:
         max_num_chunks: int | None = None,
         chunk_overlap_ratio: float = 0.0,
         chunker=None,
+        sentencizer=None,
     ) -> DataFrame:
-        """T5/H3 (reference get_chunks + document_chunker hook,
-        top2vec.py:134-167, 365-415): chunk every document. Default is
-        the pure-column sequential chunker over tokens; a ``chunker``
-        callable (str -> list[str]) switches to the user seam."""
-        from top2vec_spark.operators.chunks import custom_chunks, sequential_chunks
+        """T5/H3/H4 (reference get_chunks + document_chunker +
+        sentencizer hooks, top2vec.py:134-167, 365-415, 550-558):
+        chunk every document. Default is the pure-column sequential
+        chunker over tokens; a ``chunker`` callable (str -> list[str])
+        switches to the user chunker seam; a ``sentencizer`` callable
+        (str -> list[str]) to the pre-tokenize sentence seam (output
+        (doc_id, sent_id, sentence)). Mutually exclusive, like the
+        reference ('Only one of document_chunker or sentincizer
+        should be used', top2vec.py:371)."""
+        from top2vec_spark.operators.chunks import (
+            custom_chunks,
+            sentencize,
+            sequential_chunks,
+        )
 
+        if chunker is not None and sentencizer is not None:
+            raise ValueError(
+                "Only one of document_chunker or sentencizer should be used."
+            )
+        if sentencizer is not None:
+            if not callable(sentencizer):
+                # reference message parity (top2vec.py:557-558)
+                raise ValueError(
+                    f"{sentencizer} is invalid. Document sentencizer must be callable."
+                )
+            return sentencize(self.docs, sentencizer)
         if chunker is not None:
+            if not callable(chunker):
+                # reference message parity (top2vec.py:553)
+                raise ValueError(f"{chunker} is an invalid document chunker.")
             return custom_chunks(self.docs, chunker)
         arr = self.tokens.groupBy("doc_id").agg(
             F.array_sort(
@@ -483,6 +507,35 @@ class Top2VecSpark:
 
     def get_num_topics(self, reduced: bool = False) -> int:
         return self._dt(reduced).select("topic_id").distinct().count()
+
+    def generate_topic_wordcloud(
+        self, topic_num: int, reduced: bool = False
+    ) -> dict:
+        """M5/S6 wordcloud export (reference generate_topic_wordcloud,
+        top2vec.py:3188-3236): softmax over the topic's stored top-50
+        word scores -> {word: weight}, the exact frequencies dict the
+        reference feeds ``WordCloud().generate_from_frequencies``.
+        Rendering (matplotlib/wordcloud) is the caller's concern — the
+        container has no plotting libs, and a 50-entry dict is
+        driver-side by construction (O(topics * 50) total, never
+        corpus-scale). Weights are a numerically-stable softmax:
+        positive, descending in score, summing to 1."""
+        import math as _math
+
+        self._require_topics(reduced)
+        self._validate_topic_num(topic_num, reduced)
+        words = self.topic_words_reduced if reduced else self.topic_words
+        rows = (
+            words.filter(F.col("topic_id") == int(topic_num))
+            .select("term", "ctfidf")
+            .collect()
+        )
+        if not rows:
+            return {}
+        mx = max(r["ctfidf"] for r in rows)
+        exps = {r["term"]: _math.exp(r["ctfidf"] - mx) for r in rows}
+        z = sum(exps.values())
+        return {t: v / z for t, v in exps.items()}
 
     def search_documents_by_topic(
         self,
@@ -664,7 +717,7 @@ class Top2VecSpark:
         if not hasattr(self, "_word_vectors"):
             raise ValueError("no word vectors — set_word_vectors first")
         self._validate_vector(vector, self._vector_dim(self._word_vectors))
-        self._validate_num(num_words)
+        self._validate_num(num_words, "num_words")
         return cosine_topk_sql(
             self._word_vectors, vector, num_words, id_col="term"
         ).select(F.col("vec_id").alias("term"), "score")
@@ -1077,6 +1130,10 @@ class Top2VecSpark:
             cols.append("text")
         if len(cols) == 1:
             return result
+        # Persist before the probing collect: the over-cap fallback
+        # reuses the computed result instead of re-running the whole
+        # WAND/brute job a second time for the streaming join.
+        result = result.persist()
         rows = result.limit(self._PROJECT_COLLECT_CAP + 1).collect()
         if len(rows) > self._PROJECT_COLLECT_CAP:
             # huge k (e.g. search_documents_by_topic over a whole
@@ -1085,6 +1142,7 @@ class Top2VecSpark:
             return result.join(self.docs.select(*cols), "doc_id").orderBy(
                 F.col("score").desc(), F.col("doc_id").asc()
             )
+        result.unpersist()
         local = self.spark.createDataFrame(rows, result.schema)
         ids = [int(r["doc_id"]) for r in rows]
         side = self.docs.select(*cols).filter(F.col("doc_id").isin(ids))

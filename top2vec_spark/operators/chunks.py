@@ -91,6 +91,40 @@ def custom_chunks(
     )
 
 
+def sentencize(
+    docs: DataFrame,
+    sentencizer,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """H4/T7 sentencizer seam (reference ``sentencizer`` callable,
+    top2vec.py:365-370, validated at 550-558, applied at 684-689): a
+    user Python callable str -> list[str] that splits each document
+    into sentence chunks BEFORE tokenization — the reference feeds
+    each sentence to doc2vec as its own chunk, keyed back to the
+    parent document. Output (doc_id, sent_id, sentence), sent_id
+    0-based in callable order. Same Arrow-batched mapInPandas shape
+    as custom_chunks: the callable is the documented slow per-row
+    seam, the batch transfer is vectorized."""
+    import pandas as pd
+
+    def batch(pdfs):
+        for pdf in pdfs:
+            ids, sids, sents = [], [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                for si, s in enumerate(sentencizer(text or "")):
+                    ids.append(did)
+                    sids.append(si)
+                    sents.append(s)
+            yield pd.DataFrame(
+                {"doc_id": ids, "sent_id": sids, "sentence": sents}
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(
+        batch, "doc_id long, sent_id int, sentence string"
+    )
+
+
 def random_chunks(
     tokens_arr: DataFrame,
     chunk_length: int,

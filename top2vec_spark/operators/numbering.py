@@ -9,19 +9,35 @@ both must be numbered without serializing on one core. The two-phase
 scheme used here keeps every stage parallel:
 
 1. range-partition by the sort key (equal keys co-locate; partition p
-   holds a contiguous key range, so global order == partition order)
-   and sort within partitions;
-2. count rows per partition (a tiny collect), prefix-sum into
-   per-partition offsets;
+   holds a contiguous key range, so global order == partition order),
+   sort within partitions, and EAGERLY materialize the partitioned
+   frame with ``localCheckpoint`` — this freezes the range-sample
+   boundaries and the per-row local positions once, for every
+   downstream consumer;
+2. count rows per partition over the checkpointed data (a tiny,
+   cache-local job), prefix-sum into per-partition offsets;
 3. number = offset[partition] + local position, where the local
    position comes from ``monotonically_increasing_id`` (= partition_id
    << 33 + row position within the already-sorted partition) — NOT a
    window, which would force one more full hash Exchange.
 
-Everything stays JVM-side (whole-stage codegen, zero Python). The
-repartitioned frame is persisted for the duration of the two jobs so
-the count job and the numbering job see identical partitioning (range
-sampling is seeded per-plan; persistence removes recompute ambiguity).
+Everything stays JVM-side (whole-stage codegen, zero Python).
+
+Why an eager checkpoint and not ``persist``: range-sample boundaries
+are drawn per QueryExecution, so with a merely-persisted frame any
+consumer that recomputes an evicted partition in its OWN query would
+draw fresh boundaries while the offsets were computed against the old
+ones — silently producing duplicate/skipped ids (the round-3 design
+documented this as an eviction-registry invariant instead of enforcing
+it). ``localCheckpoint(eager=True)`` truncates lineage: every consumer
+reads the one materialized partitioning, recompute-with-new-boundaries
+is impossible by construction, and a lost partition fails loudly
+instead of corrupting ids. Storage is reclaimed automatically by
+Spark's ContextCleaner when the frame is garbage-collected — no
+eviction registry. On a multi-executor cluster with dynamic
+allocation, swap ``localCheckpoint`` for a reliable ``checkpoint()``
+to the cluster FS (executor loss would otherwise fail the job); on
+static executors localCheckpoint is the cheaper standard choice.
 
 Replaces the reference's implicit positional numbering (``range(0, n)``
 document ids, top2vec.py:524-528, and CountVectorizer's vocabulary
@@ -33,20 +49,6 @@ from __future__ import annotations
 from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-
-# Bounded registry of persisted numbering inputs: each call persists
-# its range-partitioned frame (the count job and the numbering job MUST
-# see identical partitioning — range sampling is per-plan; a
-# persist_input call adds a second entry for the cached input), and the
-# oldest entries are unpersisted once more than _MAX_LIVE entries are
-# live. Invariant required of callers: materialize the numbered
-# output before issuing _MAX_LIVE/2 further numbering calls —
-# trivially true for every in-repo flow (each build stage / append
-# epoch / micro-batch writes its output synchronously). Without the
-# cap, a long-running stream (one numbering per micro-batch) leaks one
-# MEMORY_AND_DISK frame per batch.
-_MAX_LIVE = 8
-_LIVE: list = []
 
 
 def two_phase_row_number(
@@ -64,30 +66,30 @@ def two_phase_row_number(
     ties would be numbered in an arbitrary but valid order, exactly
     like ``row_number`` itself.
 
-    ``persist_input``: cache ``df`` itself for the call's duration.
+    ``persist_input``: cache ``df`` for the duration of THIS call.
     ``repartitionByRange`` runs an internal range-sampling job that
-    recomputes the FULL input plan before the count job computes it
+    recomputes the FULL input plan before the shuffle computes it
     again — when the input is an expensive aggregation over a much
     larger relation (vocab counts over the exploded corpus tf), that
     is a duplicated corpus-scale pass. Set True when the input frame
     is small relative to its lineage (vocab: <= 10^8 rows even at web
     scale, spilled via MEMORY_AND_DISK); leave False when the input IS
     the big relation (doc-id numbering over the raw corpus) where
-    caching would cost more than the rescan.
+    caching would cost more than the rescan. The cache is released
+    before returning (the checkpoint severs the lineage), so there is
+    no cross-call registry and nothing to evict.
     """
     if persist_input:
         df = df.persist(StorageLevel.MEMORY_AND_DISK)
-        _LIVE.append(df)
     parts = (
         df.repartitionByRange(*order)
         .sortWithinPartitions(*order)
         .withColumn("_pid", F.spark_partition_id())
         .withColumn("_mid", F.monotonically_increasing_id())
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=True)
     )
-    _LIVE.append(parts)
-    while len(_LIVE) > _MAX_LIVE:
-        _LIVE.pop(0).unpersist()
+    if persist_input:
+        df.unpersist()
     counts = sorted(
         (r["_pid"], r["cnt"])
         for r in parts.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()

@@ -306,14 +306,29 @@ def _query_shard_topk(
         return pd.DataFrame({"doc_id": cands[order], "score": scores[order]})
 
     # ---- seed θ from the most promising positive blocks --------------
-    seed_entries = []  # (max_score, tid, block_idx)
-    for tid, t in pos_terms.items():
-        for j in range(t["firsts"].size):
-            seed_entries.append((t["maxs"][j], tid, j))
-    seed_entries.sort(key=lambda x: -x[0])
+    # Vectorized selection: one argpartition over the concatenated
+    # per-term block maxima, instead of a Python loop + sort over
+    # every block of the shard's query terms (O(blocks log blocks)
+    # per query-shard; the tie order among equal maxima is
+    # irrelevant — seeds only set the initial pruning θ, the final
+    # top-k stays exact for any seed choice).
     seed_docs = []
-    for _, tid, j in seed_entries[:_SEED_BLOCKS]:
-        seed_docs.append(_blk_docs(terms[tid], j)[0])
+    pos_list = list(pos_terms.items())
+    if pos_list:
+        all_maxs = np.concatenate([t["maxs"] for _, t in pos_list])
+        all_ti = np.repeat(
+            np.arange(len(pos_list)),
+            [t["maxs"].size for _, t in pos_list],
+        )
+        all_j = np.concatenate(
+            [np.arange(t["maxs"].size) for _, t in pos_list]
+        )
+        nseed = min(_SEED_BLOCKS, all_maxs.size)
+        if nseed:
+            top = np.argpartition(-all_maxs, nseed - 1)[:nseed]
+            for i in top:
+                tid = pos_list[int(all_ti[i])][0]
+                seed_docs.append(_blk_docs(terms[tid], int(all_j[i]))[0])
     cands0 = (
         np.unique(np.concatenate(seed_docs)) if seed_docs else
         np.empty(0, dtype=np.int64)

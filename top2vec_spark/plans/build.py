@@ -223,6 +223,10 @@ class PostingsIndex:
         partitioned files next to flat ones breaks partition
         discovery."""
         tpath = self.tombstones_path
+        # Recover from a crash mid-swap: if the live dir vanished but
+        # the aside copy survives, restore it and re-run the migration.
+        if not os.path.isdir(tpath) and os.path.isdir(f"{tpath}.__old__"):
+            os.rename(f"{tpath}.__old__", tpath)
         if not os.path.isdir(tpath):
             return
         flat = [
@@ -239,12 +243,29 @@ class PostingsIndex:
         )
         import shutil
 
-        shutil.rmtree(tpath)
+        # Crash-safe swap: write the partitioned table to a temp dir,
+        # rename the flat dir aside, move the new one into place, THEN
+        # delete the old — a crash at any step leaves a complete
+        # tombstone set on disk (either the old flat one, which this
+        # migration re-finds on the next load, or the new partitioned
+        # one), never a window where deletes are silently resurrected.
+        tmp = f"{tpath}.__migrating__"
+        old = f"{tpath}.__old__"
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(old, ignore_errors=True)
         if ids:
             dps = self.docs_per_shard
             self.spark.createDataFrame(
                 [(i, i // dps) for i in ids], "doc_id long, shard int"
-            ).write.mode("overwrite").partitionBy("shard").parquet(tpath)
+            ).write.mode("overwrite").partitionBy("shard").parquet(tmp)
+            os.rename(tpath, old)
+            os.rename(tmp, tpath)
+            shutil.rmtree(old)
+        else:
+            # Nothing to carry over — drop the empty flat table via
+            # rename-then-delete so a crash can't leave a half-deleted dir.
+            os.rename(tpath, old)
+            shutil.rmtree(old)
         if hasattr(self, "_tombstones"):
             del self._tombstones
 
