@@ -846,6 +846,79 @@ def _q_vocab_sentencized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return build_vocab(toks, min_count=2).select("term", "term_id", "df", "cf")
 
 
+def _q_doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference get_document_tokens (top2vec.py:1694-1706) through
+    the api: ordered per-document token arrays from the long tokens
+    table; DuckDB recomputes the same filtered token lists directly
+    from text."""
+    from top2vec_spark.api import Top2VecSpark
+
+    eng = Top2VecSpark(spark, _docs(spark, sf_dir), min_count=0)
+    return eng.get_document_tokens()
+
+
+def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1 multimodal pipeline under a DuckDB oracle: per doc_id a PPM
+    image (4x8, pixel[y,x,c] = (doc_id*7+y*31+x*13+c*97) mod 256) and
+    a PCM-16 WAV clip (400 samples at 8 kHz, s[i] = (doc_id*31+i*17)
+    mod 4096 - 2048) are ENCODED to real container bytes, pushed
+    through the REAL pure-numpy decoders (multimodal.decode_ppm /
+    decode_wav_pcm16 — operators/multimodal.py:48,128) inside the
+    mapInPandas feature kernels, and the oracle recomputes every
+    feature from the generating arithmetic — so the row fails if
+    encode, decode, batch shape, or the feature math drifts."""
+    import numpy as np
+    import pandas as pd
+
+    from top2vec_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        audio_features,
+        encode_ppm,
+        encode_wav_pcm16,
+        image_features,
+    )
+
+    H, W, N, RATE = 4, 8, 400, 8000
+
+    def mk(pdfs):
+        for pdf in pdfs:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                yy, xx, cc = np.meshgrid(
+                    np.arange(H), np.arange(W), np.arange(3), indexing="ij"
+                )
+                img = ((did * 7 + yy * 31 + xx * 13 + cc * 97) % 256).astype(
+                    np.uint8
+                )
+                i = np.arange(N)
+                s = ((did * 31 + i * 17) % 4096 - 2048).astype(np.int16)
+                rows.append((did * 2, "image", encode_ppm(img), None))
+                rows.append((did * 2 + 1, "audio", encode_wav_pcm16(s, RATE), None))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "payload", "meta"]
+            )
+
+    media = _docs(spark, sf_dir).select("doc_id").mapInPandas(mk, MEDIA_SCHEMA)
+    imgf = image_features(media, use_real_decoder=True).select(
+        (F.col("media_id") / 2).cast("long").alias("doc_id"),
+        *[
+            F.round(F.col("features")[i], 6).alias(n)
+            for i, n in enumerate(
+                ["mean_r", "mean_g", "mean_b", "std_r", "std_g", "std_b"]
+            )
+        ],
+    )
+    audf = audio_features(media).select(
+        ((F.col("media_id") - 1) / 2).cast("long").alias("doc_id"),
+        F.round("duration_s", 6).alias("duration_s"),
+        F.round("rms", 6).alias("rms"),
+        F.round("zcr", 6).alias("zcr"),
+        F.round("peak", 6).alias("peak"),
+    )
+    return imgf.join(audf, "doc_id")
+
+
 def _q_docs_topics_top2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J3/W4 through the api (reference get_documents_topics with
     num_topics>1, top2vec.py:1873-1958): top-2 topics per requested
@@ -1137,6 +1210,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_by_topic": _q_docs_by_topic,
         "vocab_custom_tokenizer": _q_vocab_custom_tokenizer,
         "vocab_sentencized": _q_vocab_sentencized,
+        "doc_tokens": _q_doc_tokens,
+        "media_features": _q_media_features,
         "docs_topics_top2": _q_docs_topics_top2,
     }
 
@@ -1929,6 +2004,53 @@ counts AS (
 SELECT term, row_number() OVER (ORDER BY df DESC, term ASC) - 1 AS term_id,
        df, cf
 FROM counts
+""",
+        "doc_tokens": f"""
+SELECT doc_id,
+       list_filter(
+         regexp_extract_all(lower(regexp_replace(text, '<[^>]+>', '', 'g')), '[a-z_]+'),
+         t -> len(t) BETWEEN {MIN_TOKEN_LEN} AND {MAX_TOKEN_LEN} AND NOT starts_with(t, '_')
+       ) AS tokens
+FROM documents
+""",
+        "media_features": """
+WITH px AS (
+  SELECT doc_id,
+         (doc_id*7 + y*31 + x*13) % 256 AS r,
+         (doc_id*7 + y*31 + x*13 + 97) % 256 AS g,
+         (doc_id*7 + y*31 + x*13 + 194) % 256 AS b
+  FROM documents, range(0, 4) t1(y), range(0, 8) t2(x)
+),
+imgf AS (
+  SELECT doc_id,
+         round(avg(r), 6) AS mean_r, round(avg(g), 6) AS mean_g,
+         round(avg(b), 6) AS mean_b,
+         round(stddev_pop(r), 6) AS std_r, round(stddev_pop(g), 6) AS std_g,
+         round(stddev_pop(b), 6) AS std_b
+  FROM px GROUP BY doc_id
+),
+smp AS (
+  SELECT doc_id, i,
+         CAST((doc_id*31 + i*17) % 4096 - 2048 AS DOUBLE) AS s
+  FROM documents, range(0, 400) t(i)
+),
+lagged AS (
+  SELECT doc_id, s, lag(s) OVER (PARTITION BY doc_id ORDER BY i) AS ps
+  FROM smp
+),
+rmsf AS (
+  SELECT doc_id, round(sqrt(avg(s*s)), 6) AS rms,
+         round(max(abs(s)), 6) AS peak
+  FROM smp GROUP BY doc_id
+),
+zcrf AS (
+  SELECT doc_id,
+         round(avg(CASE WHEN (s < 0) != (ps < 0) THEN 1.0 ELSE 0.0 END), 6) AS zcr
+  FROM lagged WHERE ps IS NOT NULL GROUP BY doc_id
+)
+SELECT imgf.doc_id, mean_r, mean_g, mean_b, std_r, std_g, std_b,
+       round(400.0 / 8000.0, 6) AS duration_s, rms, zcr, peak
+FROM imgf JOIN rmsf USING (doc_id) JOIN zcrf USING (doc_id)
 """,
         "docs_topics_top2": f"""
 WITH {_CENTROIDS_CTE},

@@ -96,3 +96,41 @@ def test_two_phase_numbering_persist_invariant(tokens_df):
         ).collect()
     }
     assert plain == cached and len(plain) > 0
+
+
+def test_two_phase_numbering_stable_across_actions(spark):
+    """The eager localCheckpoint freezes range boundaries: repeated
+    actions on the SAME numbered frame — and downstream plans that
+    embed it (the postings-build shape that caught the fused-offsets
+    design producing duplicate ids) — must see one consistent, dense,
+    duplicate-free numbering."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from top2vec_spark.operators.numbering import two_phase_row_number
+
+    random.seed(11)
+    rows = [(f"t{i:05d}", random.randint(1, 40)) for i in range(3000)]
+    df = spark.createDataFrame(rows, "term string, df int")
+    out = two_phase_row_number(
+        df, [F.col("df").desc(), F.col("term").asc()], "rid"
+    )
+    a = sorted((r["rid"], r["term"]) for r in out.collect())
+    assert [x[0] for x in a] == list(range(3000))  # dense, no dups/skips
+    # embed in a downstream plan (separate QueryExecution) — ids must
+    # not shift: group by rid parity and re-collect the raw frame
+    parity = {
+        r["p"]: r["n"]
+        for r in out.groupBy((F.col("rid") % 2).alias("p"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert parity == {0: 1500, 1: 1500}
+    b = sorted((r["rid"], r["term"]) for r in out.collect())
+    assert a == b
+    # order respected
+    exp = sorted(rows, key=lambda r: (-r[1], r[0]))
+    assert [(t, d) for (_, t), (t2, d) in zip(a, exp) if t == t2] or [
+        x[1] for x in a
+    ] == [t for t, _ in exp]

@@ -179,3 +179,47 @@ def test_wand_topk_many_honors_tombstones(spark, tmp_path):
             for r in wand_topk(spark, idx, q, idx.globs, 10).collect()
         ]
         assert by_q[qid] == single
+
+
+def test_flat_tombstone_migration_crash_recovery(spark, tmp_path):
+    """A crash between the aside-rename and the swap must not lose
+    tombstones: on the next load the migration finds the .__old__ dir,
+    restores it, and completes (plans/build.py _migrate_flat_tombstones
+    crash-safe swap)."""
+    import os
+    import shutil
+
+    from top2vec_spark.plans.build import IndexBuilder
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta doc{chr(97 + i % 26)}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "idx")
+    index = IndexBuilder(spark, path, docs_per_shard=16).build_from_docs(docs)
+    # fabricate the legacy FLAT layout (pre-sidecar): part files at root
+    tpath = index.tombstones_path
+    spark.createDataFrame([(3,), (17,)], "doc_id long").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(tpath)
+    assert any(f.endswith(".parquet") for f in os.listdir(tpath))
+    # simulate a crash mid-swap: live dir renamed aside, new dir lost
+    os.rename(tpath, f"{tpath}.__old__")
+    assert not os.path.isdir(tpath)
+    # next mutation triggers migration -> recovery -> partitioned layout
+    index.delete_documents([5])
+    assert os.path.isdir(tpath)
+    assert any(d.startswith("shard=") for d in os.listdir(tpath))
+    gone = {3, 17, 5}
+    from top2vec_spark.operators.bm25 import resolve_query_terms
+
+    vmap = {r["term"]: (r["term_id"], r["df"]) for r in index.vocab.collect()}
+    from top2vec_spark.operators.wand import wand_topk
+
+    q = resolve_query_terms(vmap, ["alpha"], [])
+    hits = {
+        r["doc_id"]
+        for r in wand_topk(spark, index, q, index.globs, 40).collect()
+    }
+    assert hits.isdisjoint(gone)
+    assert len(hits) == 40 - len(gone)

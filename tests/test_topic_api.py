@@ -448,3 +448,37 @@ def test_generate_topic_wordcloud(engine):
         engine.generate_topic_wordcloud(-1)
     with pytest.raises(ValueError, match="valid original topics"):
         engine.generate_topic_wordcloud(10_000)
+
+
+def test_get_document_tokens(engine):
+    """Reference get_document_tokens (top2vec.py:1694-1706): per-doc
+    ordered token lists == reference_tokenize of each text."""
+    from top2vec_spark.functions.tokenizer import reference_tokenize
+
+    got = {r["doc_id"]: r["tokens"] for r in engine.get_document_tokens().collect()}
+    for r in engine.docs.select("doc_id", "text").collect():
+        assert got[r["doc_id"]] == reference_tokenize(r["text"]), r["doc_id"]
+
+
+def test_get_document_token_topic_assignment(engine):
+    """Reference get_document_token_topic_assignment
+    (top2vec.py:1681-1692), lexical re-expression: one row per token
+    occurrence; each term maps to its argmax-ctfidf topic; scores
+    match the stored ctfidf relation."""
+    out = engine.get_document_token_topic_assignment()
+    rows = out.collect()
+    assert len(rows) == engine.tokens.count()
+    scored = {}
+    for r in engine._ctfidf.collect():
+        cur = scored.get(r["term"])
+        key = (r["ctfidf"], -r["topic_id"])
+        if cur is None or key > (cur[1], -cur[0]):
+            scored[r["term"]] = (r["topic_id"], r["ctfidf"])
+    n_topics = engine.get_num_topics()
+    for r in rows[:500]:
+        if r["term"] in scored:
+            tid, sc = scored[r["term"]]
+            assert r["topic_id"] == tid and r["score"] == pytest.approx(sc)
+            assert 0 <= r["topic_id"] < n_topics
+        else:
+            assert r["topic_id"] is None and r["score"] is None

@@ -508,6 +508,60 @@ class Top2VecSpark:
     def get_num_topics(self, reduced: bool = False) -> int:
         return self._dt(reduced).select("topic_id").distinct().count()
 
+    def get_document_tokens(self) -> DataFrame:
+        """Reference get_document_tokens (top2vec.py:1694-1706):
+        the tokenized corpus, one row per document with its ordered
+        token list. Re-expressed from the long-format tokens table
+        (array_sort over (pos, term) structs — JVM-side, no window);
+        documents whose every token was filtered out keep an empty
+        array, like the reference's empty list."""
+        arr = self.tokens.groupBy("doc_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "term"))),
+                lambda x: x["term"],
+            ).alias("tokens")
+        )
+        return (
+            self.docs.select("doc_id")
+            .join(arr, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce(
+                    "tokens", F.array().cast("array<string>")
+                ).alias("tokens"),
+            )
+        )
+
+    def get_document_token_topic_assignment(self) -> DataFrame:
+        """Reference get_document_token_topic_assignment
+        (top2vec.py:1681-1692): token-level topic assignment per
+        document. The reference's contextual model scores each token
+        against each topic; the lexical re-expression assigns each
+        TERM its argmax c-TF-IDF topic (ties to the smaller
+        topic_id), then joins that onto the long tokens table —
+        one row per (doc_id, pos) token occurrence with (topic_id,
+        score); OOV-for-topics terms (no topic contains them) carry
+        NULLs. Requires computed topics, mirroring the reference's
+        contextual_top2vec_req guard."""
+        from pyspark.sql import Window as W
+
+        self._require_topics()
+        best = (
+            self._ctfidf.withColumn(
+                "rn",
+                F.row_number().over(
+                    W.partitionBy("term").orderBy(
+                        F.col("ctfidf").desc(), F.col("topic_id").asc()
+                    )
+                ),
+            )
+            .filter(F.col("rn") == 1)
+            .select("term", "topic_id", F.col("ctfidf").alias("score"))
+        )
+        return self.tokens.join(best, "term", "left").select(
+            "doc_id", "pos", "term", "topic_id", "score"
+        )
+
     def generate_topic_wordcloud(
         self, topic_num: int, reduced: bool = False
     ) -> dict:
