@@ -482,3 +482,42 @@ def test_get_document_token_topic_assignment(engine):
             assert 0 <= r["topic_id"] < n_topics
         else:
             assert r["topic_id"] is None and r["score"] is None
+
+
+def test_embedding_model_hook(spark, tiny_docs):
+    """H2 seam end-to-end (reference set_embedding_model
+    top2vec.py:1827-1843 + _embed_documents 1022-1048): a user
+    callable list[str] -> ndarray runs batched inside mapInPandas,
+    output L2-normalized, registered for vector search."""
+    import math
+
+    from top2vec_spark.api import Top2VecSpark
+
+    def toy_embed(texts):
+        # deterministic, shape (n, 3)
+        return [
+            [float(len(t)), float(t.count("a")) + 1.0, 2.0] for t in texts
+        ]
+
+    eng = Top2VecSpark(spark, tiny_docs, min_count=0)
+    with pytest.raises(ValueError, match="must be callable"):
+        eng.set_embedding_model("nope")
+    with pytest.raises(ValueError, match="set_embedding_model first"):
+        eng.embed_documents()
+    eng.set_embedding_model(toy_embed)
+    out = {r["vec_id"]: r["embedding"] for r in eng.embed_documents(batch_size=2).collect()}
+    for r in tiny_docs.collect():
+        raw = toy_embed([r["text"]])[0]
+        n = math.sqrt(sum(x * x for x in raw))
+        exp = [x / n for x in raw]
+        got = out[r["doc_id"]]
+        assert got == pytest.approx(exp, abs=1e-6), r["doc_id"]
+        assert sum(x * x for x in got) == pytest.approx(1.0, abs=1e-5)
+    # the registered table powers vector search end-to-end
+    qv = eng.embed_query("aaaa")
+    assert sum(x * x for x in qv) == pytest.approx(1.0, abs=1e-9)
+    res = eng.search_documents_by_vector(qv, 3, return_documents=False)
+    rows = res.collect()
+    assert 0 < len(rows) <= 3
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)

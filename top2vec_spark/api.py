@@ -740,6 +740,76 @@ class Top2VecSpark:
         search_words_by_vector."""
         self._word_vectors = word_vectors
 
+    def set_embedding_model(self, embedding_model) -> None:
+        """H2 hook — reference set_embedding_model
+        (top2vec.py:1827-1843): register a user callable
+        ``list[str] -> np.ndarray (n, dim)``. Like the reference, the
+        callable is NOT serialized with the model; re-set it after
+        load. Message parity with the reference's guard."""
+        if not callable(embedding_model):
+            raise ValueError("embedding_model must be callable.")
+        self.embed = embedding_model
+
+    def embed_documents(self, batch_size: int = 32) -> DataFrame:
+        """Distributed re-expression of reference _embed_documents
+        (top2vec.py:1022-1048, default embedding_batch_size=32,
+        top2vec.py:460): slice each Arrow partition into
+        ``batch_size``-doc batches, call the registered callable per
+        batch, L2-normalize row-wise like the reference, and register
+        the result as the document-vector table (vec_id == doc_id) —
+        so search_documents_by_vector / compute_topics work on top.
+        The callable executes inside mapInPandas on the executors
+        (the documented user-code seam; Arrow moves the text batches,
+        the model call itself is whatever the user supplies — e.g. a
+        GPU encoder on a real cluster)."""
+        import numpy as np
+        import pandas as pd
+
+        if not hasattr(self, "embed"):
+            raise ValueError(
+                "no embedding model — set_embedding_model first"
+            )
+        embed, bs = self.embed, int(batch_size)
+
+        def batches(pdfs):
+            for pdf in pdfs:
+                texts = pdf["text"].fillna("").tolist()
+                vecs = []
+                for i in range(0, len(texts), bs):
+                    vecs.append(np.asarray(embed(texts[i : i + bs])))
+                if not vecs:
+                    continue
+                m = np.vstack(vecs).astype(np.float64)
+                norms = np.maximum(
+                    np.linalg.norm(m, axis=1, keepdims=True), 1e-12
+                )
+                m = m / norms
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pdf["doc_id"],
+                        "embedding": [r.astype(np.float32).tolist() for r in m],
+                    }
+                )
+
+        out = self.docs.select("doc_id", "text").mapInPandas(
+            batches, "vec_id long, embedding array<float>"
+        )
+        self._doc_vectors = out
+        return out
+
+    def embed_query(self, query: str) -> list:
+        """Reference _embed_query (top2vec.py:1050-1054): embed ONE
+        query string driver-side and L2-normalize — the vector feeds
+        search_documents_by_vector / search_words_by_vector."""
+        import numpy as np
+
+        if not hasattr(self, "embed"):
+            raise ValueError(
+                "no embedding model — set_embedding_model first"
+            )
+        v = np.asarray(self.embed([query])[0], dtype=np.float64)
+        return (v / max(float(np.linalg.norm(v)), 1e-12)).tolist()
+
     def search_documents_by_vector(
         self, vector: Sequence[float], num_docs: int, return_documents: bool = True
     ) -> DataFrame:
