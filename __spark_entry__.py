@@ -850,11 +850,35 @@ def _q_doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference get_document_tokens (top2vec.py:1694-1706) through
     the api: ordered per-document token arrays from the long tokens
     table; DuckDB recomputes the same filtered token lists directly
-    from text."""
+    from text.  The API keeps its typed array<string> return; the
+    driver row projects `array_join(tokens, ' ')` because the driver's
+    canonicalizer sorts result rows with pandas sort_values, which
+    cannot hash list cells (round-4 red row)."""
     from top2vec_spark.api import Top2VecSpark
 
     eng = Top2VecSpark(spark, _docs(spark, sf_dir), min_count=0)
-    return eng.get_document_tokens()
+    return eng.get_document_tokens().select(
+        "doc_id", F.array_join("tokens", " ").alias("tokens_joined")
+    )
+
+
+def _q_doc_token_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference get_document_token_topic_assignment
+    (top2vec.py:1682-1692) through the FULL api path: topics computed
+    from the embeddings label column (nearest-centroid -> renumber by
+    size), each TERM assigned its argmax c-TF-IDF topic (rank on the
+    6-digit-rounded score so 1-ulp log noise can't flip the argmax
+    against DuckDB; tie -> smaller topic_id), joined onto the long
+    tokens table — one row per (doc_id, pos) token occurrence."""
+    eng = _topic_engine(spark, sf_dir)
+    out = eng.get_document_token_topic_assignment(round_digits=6)
+    return out.select(
+        "doc_id",
+        F.col("pos").cast("long").alias("pos"),
+        "term",
+        F.col("topic_id").cast("long").alias("topic_id"),
+        "score",
+    )
 
 
 def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1211,6 +1235,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_custom_tokenizer": _q_vocab_custom_tokenizer,
         "vocab_sentencized": _q_vocab_sentencized,
         "doc_tokens": _q_doc_tokens,
+        "doc_token_topics": _q_doc_token_topics,
         "media_features": _q_media_features,
         "docs_topics_top2": _q_docs_topics_top2,
     }
@@ -2007,12 +2032,71 @@ FROM counts
 """,
         "doc_tokens": f"""
 SELECT doc_id,
-       list_filter(
+       array_to_string(list_filter(
          regexp_extract_all(lower(regexp_replace(text, '<[^>]+>', '', 'g')), '[a-z_]+'),
          t -> len(t) BETWEEN {MIN_TOKEN_LEN} AND {MAX_TOKEN_LEN} AND NOT starts_with(t, '_')
-       ) AS tokens
+       ), ' ') AS tokens_joined
 FROM documents
 """,
+        "doc_token_topics": f"""
+WITH {_CENTROIDS_CTE},
+normed AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+           x -> x / greatest(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 1e-12)
+         ) AS v
+  FROM embeddings
+),
+assign_scored AS (
+  SELECT n.vec_id, c.label, list_dot_product(n.v, c.c) AS s
+  FROM normed n CROSS JOIN centroids c
+),
+assigned AS (
+  SELECT vec_id, label FROM (
+    SELECT vec_id, label,
+           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, label ASC) AS rn
+    FROM assign_scored
+  ) WHERE rn = 1
+),
+renum AS (
+  SELECT label, row_number() OVER (
+    ORDER BY count(*) DESC, label ASC) - 1 AS topic_id
+  FROM assigned GROUP BY label
+),
+member AS (
+  SELECT a.vec_id AS doc_id, r.topic_id FROM assigned a JOIN renum r USING (label)
+),
+tl AS (SELECT doc_id, {{tokens_expr}} AS toks FROM documents),
+tokens_pos AS (
+  SELECT doc_id, unnest(toks) AS term,
+         generate_subscripts(toks, 1) - 1 AS pos
+  FROM tl
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tokens_pos GROUP BY doc_id, term),
+ttf AS (
+  SELECT m.topic_id, tf.term, sum(tf.tf) AS ctf
+  FROM tf JOIN member m USING (doc_id) GROUP BY m.topic_id, tf.term
+),
+clen AS (SELECT topic_id, sum(ctf) AS clen FROM ttf GROUP BY topic_id),
+al AS (SELECT avg(clen) AS avg_len FROM clen),
+cf AS (SELECT term, sum(tf) AS cf FROM tf GROUP BY term),
+ctfidf AS (
+  SELECT ttf.topic_id, ttf.term,
+         round((ttf.ctf * 1.0 / clen.clen)
+               * ln(1.0 + (SELECT avg_len FROM al) / cf.cf), 6) AS score
+  FROM ttf JOIN clen USING (topic_id) JOIN cf USING (term)
+),
+best AS (
+  SELECT term, topic_id, score FROM (
+    SELECT term, topic_id, score,
+           row_number() OVER (PARTITION BY term ORDER BY score DESC, topic_id ASC) AS rn
+    FROM ctfidf
+  ) WHERE rn = 1
+)
+SELECT t.doc_id, CAST(t.pos AS BIGINT) AS pos, t.term,
+       CAST(b.topic_id AS BIGINT) AS topic_id, b.score
+FROM tokens_pos t JOIN best b USING (term)
+""".replace("{tokens_expr}", duckdb_tokens_sql()),
         "media_features": """
 WITH px AS (
   SELECT doc_id,

@@ -223,3 +223,36 @@ def test_flat_tombstone_migration_crash_recovery(spark, tmp_path):
     }
     assert hits.isdisjoint(gone)
     assert len(hits) == 40 - len(gone)
+
+
+def test_stale_old_dir_cleaned_after_completed_migration(spark, tmp_path):
+    """A crash AFTER the swap but BEFORE the old-dir delete leaves a
+    stale tombstones.__old__ next to the live partitioned dir. The next
+    migration check must delete it — otherwise a later loss of the live
+    dir would let the crash-recovery path restore the stale
+    pre-migration set, resurrecting documents deleted since
+    (round-4 advice, plans/build.py _migrate_flat_tombstones)."""
+    import os
+
+    from top2vec_spark.plans.build import IndexBuilder
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma doc{chr(97 + i % 26)}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "idx")
+    index = IndexBuilder(spark, path, docs_per_shard=16).build_from_docs(docs)
+    index.delete_documents([3])  # live partitioned tombstone dir exists
+    tpath = index.tombstones_path
+    assert any(d.startswith("shard=") for d in os.listdir(tpath))
+    # fabricate the post-swap crash debris: a stale __old__ with a
+    # DIFFERENT (pre-migration) tombstone set, plus a half-written tmp
+    os.makedirs(f"{tpath}.__old__", exist_ok=True)
+    with open(f"{tpath}.__old__/part-stale.parquet", "w") as f:
+        f.write("stale")
+    os.makedirs(f"{tpath}.__migrating__", exist_ok=True)
+    index.delete_documents([7])  # any mutation runs the migration check
+    assert not os.path.isdir(f"{tpath}.__old__")
+    assert not os.path.isdir(f"{tpath}.__migrating__")
+    # and the live set still holds both deletes
+    assert {3, 7} <= set(index.tombstones)

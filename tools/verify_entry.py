@@ -50,6 +50,20 @@ def arrow_hash(table):
     return hashlib.sha256("\n".join(lines).encode()).hexdigest()[:16]
 
 
+def driver_canon_check(table):
+    """Mimic the driver's canonicalization path EXACTLY where it can
+    fail: the driver collects the result to pandas and row-sorts it via
+    DataFrame.sort_values over all columns (name-sorted).  sort_values
+    factorizes object columns through a hash table, so an un-hashable
+    cell (list/dict/ndarray) raises TypeError — the round-4 `doc_tokens`
+    red row failed HERE in the driver while the local repr-based hash
+    passed.  Run the same operation locally so any un-sortable result
+    shape fails before the driver sees it.  Raises on failure."""
+    pdf = table.to_pandas()
+    cols = sorted(pdf.columns)
+    pdf[cols].sort_values(by=cols)  # raises TypeError on unhashable cells
+
+
 def main():
     spark = get_spark(parallelism=8, app_name="verify_entry")
     con = duckdb.connect()
@@ -81,11 +95,21 @@ def main():
             )
             continue
         dtab = con.sql(oracles[name]).arrow()
+        try:
+            driver_canon_check(stab)
+            driver_canon_check(dtab)
+            canon_err = None
+        except Exception as exc:  # driver would error this row
+            canon_err = f"{type(exc).__name__}: {exc}"
         ok_rows = stab.num_rows == dtab.num_rows
         ok_cols = sorted(stab.column_names) == sorted(dtab.column_names)
         sh, dh = arrow_hash(stab), arrow_hash(dtab)
         ok_hash = sh == dh
-        status = "OK " if (ok_rows and ok_cols and ok_hash) else "FAIL"
+        status = (
+            "OK " if (ok_rows and ok_cols and ok_hash and canon_err is None) else "FAIL"
+        )
+        if canon_err is not None:
+            print(f"{name:24s} DRIVER-CANON-FAIL {canon_err}")
         if status == "FAIL":
             failures += 1
         print(

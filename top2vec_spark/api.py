@@ -532,7 +532,9 @@ class Top2VecSpark:
             )
         )
 
-    def get_document_token_topic_assignment(self) -> DataFrame:
+    def get_document_token_topic_assignment(
+        self, round_digits: int | None = None
+    ) -> DataFrame:
         """Reference get_document_token_topic_assignment
         (top2vec.py:1681-1692): token-level topic assignment per
         document. The reference's contextual model scores each token
@@ -542,12 +544,20 @@ class Top2VecSpark:
         one row per (doc_id, pos) token occurrence with (topic_id,
         score); OOV-for-topics terms (no topic contains them) carry
         NULLs. Requires computed topics, mirroring the reference's
-        contextual_top2vec_req guard."""
+        contextual_top2vec_req guard.
+
+        ``round_digits`` (oracle-compare mode): rank AND return the
+        c-TF-IDF rounded to that many digits, so 1-ulp JVM-vs-libm log
+        noise cannot flip the per-term argmax against an external
+        recomputation; default None keeps full precision for users."""
         from pyspark.sql import Window as W
 
         self._require_topics()
+        src = self._ctfidf
+        if round_digits is not None:
+            src = src.withColumn("ctfidf", F.round("ctfidf", round_digits))
         best = (
-            self._ctfidf.withColumn(
+            src.withColumn(
                 "rn",
                 F.row_number().over(
                     W.partitionBy("term").orderBy(
@@ -1254,6 +1264,14 @@ class Top2VecSpark:
             cols.append("text")
         if len(cols) == 1:
             return result
+        # Retire the previous over-cap query's persisted frame now:
+        # unpersisting only makes a still-held result DataFrame
+        # recompute, so correctness is preserved, and a long-lived
+        # serving session holds at most ONE leaked cache entry instead
+        # of accumulating one per huge-k query.
+        for prev in self._project_persisted:
+            prev.unpersist()
+        self._project_persisted.clear()
         # Persist before the probing collect: the over-cap fallback
         # reuses the computed result instead of re-running the whole
         # WAND/brute job a second time for the streaming join.
@@ -1263,6 +1281,7 @@ class Top2VecSpark:
             # huge k (e.g. search_documents_by_topic over a whole
             # topic): a driver-side IN list would blow up — fall back
             # to the streaming join, which handles any k
+            self._project_persisted.append(result)
             return result.join(self.docs.select(*cols), "doc_id").orderBy(
                 F.col("score").desc(), F.col("doc_id").asc()
             )
@@ -1275,6 +1294,12 @@ class Top2VecSpark:
         )
 
     _PROJECT_COLLECT_CAP = 10_000  # max hits fetched via a driver IN list
+
+    @property
+    def _project_persisted(self) -> list:
+        if not hasattr(self, "_project_persisted_frames"):
+            self._project_persisted_frames = []
+        return self._project_persisted_frames
 
     def _validate_num(self, k: int, var_name: str = "num_docs") -> None:
         """Reference _less_than_zero (top2vec.py:1350-1353), plus an

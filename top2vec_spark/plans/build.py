@@ -234,6 +234,16 @@ class PostingsIndex:
             if f.endswith(".parquet") and os.path.isfile(f"{tpath}/{f}")
         ]
         if not flat:
+            # The live dir exists and is already partitioned — any
+            # leftover __old__/__migrating__ is debris from a crash
+            # AFTER the swap completed. Delete it here, or a much
+            # later loss of the live dir would let the line-228
+            # recovery restore the stale pre-migration set,
+            # resurrecting documents deleted since.
+            import shutil
+
+            shutil.rmtree(f"{tpath}.__old__", ignore_errors=True)
+            shutil.rmtree(f"{tpath}.__migrating__", ignore_errors=True)
             return
         ids = sorted(
             int(r["doc_id"])
