@@ -163,3 +163,70 @@ def test_real_wav_decode_and_features(spark):
     assert abs(f["rms"] - 10000 / math.sqrt(2)) / 10000 < 0.01
     # 440 Hz tone crosses zero ~880 times/s -> zcr ~ 880/8000
     assert abs(f["zcr"] - 880 / 8000) < 0.01
+
+
+def test_optional_pil_seam_both_ways(monkeypatch):
+    """The JPEG/PNG branch must use Pillow WHEN IMPORTABLE and raise
+    the documented NotImplementedError only when it is not (round-4
+    verdict item 6). The container has no Pillow, so the importable
+    direction is exercised through a stub module with PIL's decode
+    surface (Image.open(...).convert('RGB') -> array-able)."""
+    from top2vec_spark.operators import multimodal as mm
+
+    jpeg_payload = b"\xff\xd8\xff" + b"restofjpeg"
+    want = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+
+    class _FakeDecoded:
+        def convert(self, mode):
+            assert mode == "RGB"
+            return want  # np.asarray(ndarray) is identity
+
+    class _FakeImageModule:
+        @staticmethod
+        def open(buf):
+            assert buf.read(3) == b"\xff\xd8\xff"
+            return _FakeDecoded()
+
+    # importable direction: the seam returns a module -> branch decodes
+    monkeypatch.setattr(mm, "_optional_pil", lambda: _FakeImageModule)
+    np.testing.assert_array_equal(mm.decode_image(jpeg_payload), want)
+
+    # absent direction: the seam returns None -> documented raise
+    monkeypatch.setattr(mm, "_optional_pil", lambda: None)
+    with pytest.raises(NotImplementedError, match="Pillow"):
+        mm.decode_image(jpeg_payload)
+
+    # and the real seam never raises ImportError itself
+    assert mm._optional_pil() is None or mm._optional_pil() is not None
+
+
+def test_optional_soundfile_seam_both_ways(monkeypatch):
+    """decode_audio: PCM-16 WAV decodes natively; anything else routes
+    through the soundfile seam when importable, else raises the
+    documented NotImplementedError."""
+    from top2vec_spark.operators import multimodal as mm
+
+    # native path unaffected by the seam
+    tone = (1000 * np.sin(np.arange(100))).astype(np.int16)
+    wav = mm.encode_wav_pcm16(tone, 8000)
+    monkeypatch.setattr(mm, "_optional_soundfile", lambda: None)
+    samples, rate = mm.decode_audio(wav)
+    assert rate == 8000 and (samples[:, 0] == tone).all()
+
+    mp3_payload = b"ID3\x04fakemp3body"
+    with pytest.raises(NotImplementedError, match="soundfile"):
+        mm.decode_audio(mp3_payload)
+
+    want = np.full((7, 2), 5, dtype=np.int16)
+
+    class _FakeSoundfile:
+        @staticmethod
+        def read(buf, dtype, always_2d):
+            assert dtype == "int16" and always_2d
+            assert buf.read(3) == b"ID3"
+            return want, 44100
+
+    monkeypatch.setattr(mm, "_optional_soundfile", lambda: _FakeSoundfile)
+    samples, rate = mm.decode_audio(mp3_payload)
+    assert rate == 44100
+    np.testing.assert_array_equal(samples, want)

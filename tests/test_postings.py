@@ -116,3 +116,118 @@ def test_head_term_spreads_across_shards(built):
         .first()
     )
     assert head["n_shards"] == 400 // DPS + 1  # head term in every shard
+
+
+def test_zipf_head_term_no_encode_straggler(spark):
+    """Adversarial skew-stress for the build (round-4 verdict item 8;
+    SURVEY §4 head-term salting claim): a corpus where ONE term occurs
+    in ~50% of all documents. The salt is the doc-shard, so the head
+    term's postings work spreads over every shard instead of
+    hot-spotting one reducer the way a plain repartition-by-term
+    would. Pins, per encode partition, (a) input-row balance
+    (deterministic for this fixture) and (b) measured kernel wall time
+    within a straggler bound of the median (loose vs the ~2x target to
+    absorb host co-tenant noise; BENCH/SKEW_r5.md records actuals)."""
+    import statistics
+    import string
+    import time
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from top2vec_spark.operators import postings as P
+    from top2vec_spark.operators.corpus_stats import (
+        build_doc_stats,
+        build_vocab,
+        compute_globals,
+    )
+    from top2vec_spark.operators.tokens import pack_tokens, tokenize_docs
+
+    def w(j):  # letter-only term names (digits terminate tokens)
+        s = ""
+        j = int(j)
+        while True:
+            s += string.ascii_lowercase[j % 26]
+            j //= 26
+            if j == 0:
+                return "w" + s
+
+    n_docs, dps, n_parts = 4096, 16, 16
+    rows = []
+    for i in range(n_docs):
+        toks = []
+        if i % 2 == 0:
+            toks += ["headword"] * 2          # the 50%-df head term
+        toks += [w(i % 40)] * 3               # zipf body
+        toks += [w(40 + i % 400)] * 2
+        toks += [w(440 + i)]                  # singleton tail
+        rows.append((i, " ".join(toks)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string").repartition(16)
+
+    toks = tokenize_docs(docs, ascii_fast_path=True)
+    vocab = build_vocab(toks)
+    globs = compute_globals(build_doc_stats(toks))
+    packed = pack_tokens(toks)
+
+    # the head term really is in ~50% of docs
+    head_df = vocab.filter(F.col("term") == "headword").first()["df"]
+    assert head_df == n_docs // 2
+
+    vrows = vocab.select("term", "term_id", "df").collect()
+    df_by_id = np.zeros(len(vrows), dtype=np.int64)
+    for r in vrows:
+        df_by_id[int(r["term_id"])] = int(r["df"])
+    vm = {
+        "terms": pd.Index([r["term"] for r in vrows]),
+        "ids": np.array([r["term_id"] for r in vrows], dtype=np.int64),
+        "df": df_by_id,
+    }
+    n, avgdl = globs.n_docs, globs.avgdl
+
+    sharded = packed.repartition(
+        n_parts, (F.col("doc_id") / F.lit(dps)).cast("int")
+    )
+
+    def timed(pdfs):
+        chunks = list(pdfs)
+        nrows = sum(len(c) for c in chunks)
+        t0 = time.perf_counter()
+        nblocks = 0
+        for out in P.encode_shard_partition(
+            iter(chunks), vm, dps, 128, 1.2, 0.75, n, avgdl
+        ):
+            nblocks += len(out)
+        yield pd.DataFrame(
+            {"sec": [time.perf_counter() - t0],
+             "rows": [nrows], "blocks": [nblocks]}
+        )
+
+    stats = sharded.mapInPandas(
+        timed, "sec double, rows long, blocks long"
+    ).collect()
+    stats = [r for r in stats if r["rows"] > 0]
+    assert len(stats) >= 8  # work really spread over many partitions
+
+    row_counts = [r["rows"] for r in stats]
+    med_rows = statistics.median(row_counts)
+    # deterministic for this fixture (dense ids, fixed hash): the head
+    # term adds one packed row per even doc, spread uniformly
+    assert max(row_counts) <= 2.0 * med_rows, row_counts
+
+    secs = [r["sec"] for r in stats]
+    med = statistics.median(secs)
+    # target ~2x; assert 3x + 150 ms absolute slack (host co-tenant
+    # noise on sub-100ms kernels), record actuals in BENCH/SKEW_r5.md
+    assert max(secs) <= max(3.0 * med, med + 0.15), secs
+
+    # and the head term's postings landed in EVERY shard (the salt
+    # spread the skew; a term-keyed shuffle would put all of these in
+    # one task)
+    head_id = next(int(r["term_id"]) for r in vrows if r["term"] == "headword")
+    out = P.build_postings_from_packed(packed, vocab, globs, docs_per_shard=dps)
+    n_shards_head = (
+        out.filter(F.col("term_id") == head_id)
+        .select("shard").distinct().count()
+    )
+    assert n_shards_head == n_docs // dps

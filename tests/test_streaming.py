@@ -220,6 +220,168 @@ def test_stateful_sessionization_matches_batch(spark, tmp_path):
     assert len(expect) == 9  # 3 users x 3 closed sessions
 
 
+def _skewed_session_events(spark):
+    """Events where user 0 owns ~30% of all rows (the hyperactive-user
+    skew case): one 180-event run at 1000 s intervals (a single session
+    chain-merging across ~25 two-hour chunks), one 80-event run at
+    1700 s intervals after a >gap break, 40 isolated 3600 s-spaced
+    singleton sessions; users 1..9 get 15 ordinary 5-event sessions."""
+    import datetime as dt
+
+    base = dt.datetime(2026, 3, 1, 0, 0, 0)
+    rows, eid = [], 0
+
+    def add(u, t, v):
+        nonlocal eid
+        rows.append((eid, t, u, "click", float(v)))
+        eid += 1
+
+    t = base
+    for i in range(180):  # run A: one giant session, gap 1000 < 1800
+        add(0, t, i % 7)
+        t += dt.timedelta(seconds=1000)
+    t += dt.timedelta(seconds=4000)  # session break (> gap)
+    for i in range(80):  # run B: gap 1700 < 1800, still chains chunks
+        add(0, t, i % 5)
+        t += dt.timedelta(seconds=1700)
+    t += dt.timedelta(seconds=5000)
+    for i in range(40):  # singletons: every gap 3600 > 1800
+        add(0, t, i % 3)
+        t += dt.timedelta(seconds=3600)
+    for u in range(1, 10):
+        for s in range(15):
+            t0 = base + dt.timedelta(hours=3 * s, minutes=7 * u)
+            for e in range(5):
+                add(u, t0 + dt.timedelta(minutes=5 * e), u + s + e)
+    # duplicate-timestamp tie-break: two extra events at an existing ts
+    add(0, base + dt.timedelta(seconds=500_000), 1)
+    add(0, base + dt.timedelta(seconds=500_000), 2)
+    return spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+
+
+def test_salted_sessionization_matches_unsalted_on_skew(spark):
+    """sessionize_batch_salted ≡ sessionize_batch on the skewed fixture
+    (one user ~30% of events), including session_id numbering — and the
+    per-event phase-1 window is partitioned by (user, _chunk), so the
+    hyperactive user's log splits across many groups instead of one
+    straggler partition (round-4 verdict item 5)."""
+    from top2vec_spark.operators.sessions import (
+        sessionize_batch,
+        sessionize_batch_salted,
+    )
+
+    ev = _skewed_session_events(spark)
+    n_total = ev.count()
+    n_hyper = ev.filter(F.col("user_id") == 0).count()
+    assert 0.25 < n_hyper / n_total < 0.40  # the fixture really is skewed
+
+    def rows(df):
+        return sorted(
+            (r["user_id"], r["session_id"], r["session_start"],
+             r["session_end"], r["n_events"], round(r["total_value"], 6))
+            for r in df.collect()
+        )
+
+    expect = rows(sessionize_batch(ev, gap_seconds=1800))
+    salted = sessionize_batch_salted(ev, gap_seconds=1800)
+    assert rows(salted) == expect
+    # chunk width NOT aligned to the fixture's rhythm: same result
+    assert rows(
+        sessionize_batch_salted(ev, gap_seconds=1800, chunk_seconds=3701)
+    ) == expect
+
+    # skew evidence: the hyperactive user's per-event work spans many
+    # (user, chunk) groups — no single task owns their whole log
+    n_chunks = (
+        ev.filter(F.col("user_id") == 0)
+        .select(
+            F.floor(
+                F.col("ts").cast("timestamp").cast("double") / 7200
+            ).alias("c")
+        )
+        .distinct()
+        .count()
+    )
+    assert n_chunks >= 20
+    # and the executed plan's first window really partitions by _chunk
+    plan = salted._jdf.queryExecution().executedPlan().toString()
+    assert "_chunk" in plan
+
+
+def test_streaming_sessionization_matches_salted_on_skew(spark, tmp_path):
+    """Streaming ≡ batch on the SKEWED fixture, with the batch side
+    computed by the salted path — closed sessions from the stateful
+    stream equal the salted twin minus each user's still-open final
+    session."""
+    from top2vec_spark.operators.sessions import sessionize_batch_salted
+    from top2vec_spark.streaming.sessions import sessionize_stream
+
+    import datetime as dt
+
+    ev = _skewed_session_events(spark)
+    # sentinel wave closes every open session
+    mx = ev.agg(F.max("event_id")).collect()[0][0]
+    sent = spark.createDataFrame(
+        [(mx + 1 + u, dt.datetime(2027, 1, 1), u, "end", 0.0) for u in range(10)],
+        ev.schema,
+    )
+    all_ev = ev.unionByName(sent)
+    src = str(tmp_path / "skew_src")
+    # micro-batches must respect per-user event-time order (streams
+    # arrive in time order; the stateful fold assumes it): event_ids
+    # are assigned in time order per user in the fixture, so range
+    # splits give three time-ordered waves
+    cut1, cut2 = mx // 3, 2 * mx // 3
+    all_ev.filter(F.col("event_id") < cut1).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    all_ev.filter(
+        (F.col("event_id") >= cut1) & (F.col("event_id") < cut2)
+    ).coalesce(1).write.mode("append").parquet(src)
+    all_ev.filter(F.col("event_id") >= cut2).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    stream = (
+        spark.readStream.schema(all_ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        sessionize_stream(stream, gap_seconds=1800)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("skew_sessions_test")
+        .option("checkpointLocation", str(tmp_path / "skew_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"],
+         round(r["total_value"], 6))
+        for r in spark.table("skew_sessions_test").collect()
+    }
+    batch = sessionize_batch_salted(all_ev, gap_seconds=1800)
+    last_id = {
+        r["user_id"]: r["mx"]
+        for r in batch.groupBy("user_id").agg(F.max("session_id").alias("mx")).collect()
+    }
+    expect = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"],
+         round(r["total_value"], 6))
+        for r in batch.collect()
+        if r["session_id"] != last_id[r["user_id"]]
+    }
+    assert got == expect
+    assert len(expect) > 100  # singletons + runs + 9 users x 15 sessions
+
+
 def test_streaming_dedup_matches_batch(spark, tmp_path):
     """Streaming exact dedup (dropDuplicatesWithinWatermark over the
     dual content key): first arrival per content survives across

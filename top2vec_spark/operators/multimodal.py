@@ -4,10 +4,13 @@ typed metadata.
 Decoders: self-describing uncompressed formats decode FOR REAL here in
 pure numpy — PPM (P6), 24-bit BMP, PCM-16 WAV — so the image/audio
 pipelines are genuinely end-to-end in this container. Codec-bound
-formats (JPEG/PNG/MP3/MP4) need native libraries absent from the
-container; exactly those branches raise NotImplementedError with the
-one-line production replacement documented, and a deterministic fake
-decoder covers plumbing tests at full batch shape.
+formats (JPEG/PNG via Pillow, MP3/FLAC/OGG via soundfile) decode
+through import-guarded OPTIONAL-dependency seams (_optional_pil /
+_optional_soundfile): on a production image with those libs installed
+the branches run for real; only in a lib-less container do they raise
+NotImplementedError (tests pin the guard both ways via monkeypatched
+imports). A deterministic fake decoder covers plumbing tests at full
+batch shape.
 
 Pattern: binary payload + metadata struct travel together; decode /
 feature-extract / resize / frame-sample are mapInPandas stages whose
@@ -105,22 +108,53 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     return rows[..., ::-1].copy()  # BGR -> RGB
 
 
+def _optional_pil():
+    """Import seam for the optional Pillow dependency. Returns the
+    ``PIL.Image`` module or None when Pillow is not installed.
+    Monkeypatched both ways by tests/test_multimodal.py (the container
+    has no Pillow; a production image usually does)."""
+    try:
+        from PIL import Image  # type: ignore
+
+        return Image
+    except ImportError:
+        return None
+
+
+def _optional_soundfile():
+    """Import seam for the optional soundfile dependency (libsndfile).
+    Returns the ``soundfile`` module or None. Monkeypatched both ways
+    by tests."""
+    try:
+        import soundfile  # type: ignore
+
+        return soundfile
+    except ImportError:
+        return None
+
+
 def decode_image(payload: bytes) -> np.ndarray:
     """Dispatching REAL decoder: self-describing uncompressed formats
     (PPM P6, 24-bit BMP) decode here in pure numpy — genuinely
-    end-to-end in this container. Codec-bound formats (JPEG/PNG) need
-    libjpeg/libpng (PIL), absent here — that single branch raises; on
-    a production cluster it becomes
-    ``np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))``.
-    """
+    end-to-end in this container. Codec-bound formats (JPEG/PNG)
+    decode through the OPTIONAL Pillow seam when importable
+    (``np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))``);
+    only when Pillow is absent does that branch raise, so the
+    NotImplementedError vanishes on a normal production image."""
     if payload[:2] == b"P6":
         return decode_ppm(payload)
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:3] == b"\xff\xd8\xff" or payload[:8] == b"\x89PNG\r\n\x1a\n":
+        Image = _optional_pil()
+        if Image is not None:
+            import io
+
+            return np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
         raise NotImplementedError(
-            "JPEG/PNG decode requires PIL/libjpeg — not in this container; "
-            "PPM/BMP decode natively, or use fake_decode_image for plumbing tests"
+            "JPEG/PNG decode requires Pillow/libjpeg — not installed in this "
+            "container (pip install pillow enables this branch); PPM/BMP "
+            "decode natively, or use fake_decode_image for plumbing tests"
         )
     raise ValueError("unrecognized image payload")
 
@@ -148,6 +182,30 @@ def decode_wav_pcm16(payload: bytes) -> tuple[np.ndarray, int]:
         raise NotImplementedError("only PCM-16 WAV supported")
     samples = np.frombuffer(data, dtype="<i2")
     return samples.reshape(-1, channels), rate
+
+
+def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
+    """Dispatching audio decoder: PCM-16 RIFF/WAVE decodes natively in
+    pure numpy; anything else (MP3, FLAC, OGG, non-16-bit WAV) goes
+    through the OPTIONAL soundfile seam when importable — only when
+    libsndfile is absent does the codec branch raise. Returns
+    (samples int16 (n, channels), sample_rate)."""
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        try:
+            return decode_wav_pcm16(payload)
+        except NotImplementedError:
+            pass  # non-16-bit WAV: fall through to soundfile
+    sf = _optional_soundfile()
+    if sf is not None:
+        import io
+
+        data, rate = sf.read(io.BytesIO(payload), dtype="int16", always_2d=True)
+        return np.asarray(data, dtype=np.int16), int(rate)
+    raise NotImplementedError(
+        "compressed/non-PCM16 audio requires soundfile/libsndfile — not "
+        "installed in this container (pip install soundfile enables this "
+        "branch); PCM-16 WAV decodes natively"
+    )
 
 
 def encode_wav_pcm16(samples: np.ndarray, rate: int) -> bytes:
@@ -247,7 +305,7 @@ def audio_features(media: DataFrame, use_real_decoder: bool = True) -> DataFrame
         rng = np.random.default_rng(seed)
         return rng.integers(-32768, 32767, size=(1600, 1), dtype=np.int16), 16000
 
-    decode = decode_wav_pcm16 if use_real_decoder else fake_decode
+    decode = decode_audio if use_real_decoder else fake_decode
 
     def batch(pdfs):
         for pdf in pdfs:
