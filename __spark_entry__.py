@@ -746,6 +746,52 @@ def _q_noise_topic_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_topic_merge_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3 duplicate-topic merge (reference top2vec.py:1064-1086:
+    dbscan eps=1-threshold over topic vectors == connected components
+    of the cosine>threshold graph, merged into the smallest member
+    id). Engine: label_centroids -> merge_duplicate_topics union-find
+    (topics.py:151). DuckDB recomputes the centroids, the thresholded
+    similarity graph, and the components via a recursive
+    reachability CTE (min reachable id == union-find root, because
+    every union parents the larger root under the smaller).
+    threshold=0.2 sits >=0.003 away from every centroid-pair cosine
+    at sf0.01/sf0.001, so both engines see the identical graph."""
+    import numpy as np
+
+    from top2vec_spark.operators.similarity import label_centroids
+    from top2vec_spark.operators.topics import merge_duplicate_topics
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = {
+        int(r["label"]): np.array(r["centroid"])
+        for r in label_centroids(emb).collect()
+    }
+    mapping = merge_duplicate_topics(cents, threshold=0.2)
+    return spark.createDataFrame(
+        sorted(mapping.items()), "topic_id long, merged_id long"
+    )
+
+
+def _q_wordcloud_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6/M5 wordcloud export (reference generate_topic_wordcloud,
+    top2vec.py:3188-3236): softmax over topic 0's stored c-TF-IDF
+    word scores — the exact frequencies dict the reference feeds
+    ``WordCloud().generate_from_frequencies``. Through the FULL api
+    path (compute_topics -> topic_words -> generate_topic_wordcloud);
+    DuckDB recomputes the whole chain (centroid assign -> renumber ->
+    ctfidf -> softmax). round_digits=6 on both sides BEFORE the
+    softmax so the exponentials see identical inputs; at sf0.01 the
+    vocab (30 terms) is under the top-50 cutoff, so dict membership
+    has no rank-boundary sensitivity."""
+    eng = _topic_engine(spark, sf_dir)
+    d = eng.generate_topic_wordcloud(0, round_digits=6)
+    return spark.createDataFrame(
+        [(t, round(w, 6)) for t, w in sorted(d.items())],
+        "term string, weight double",
+    )
+
+
 def _q_incremental_topic_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5 through the FULL api path (reference add_documents extends
     doc_top without retraining topic vectors, top2vec.py:2030-2050):
@@ -1153,6 +1199,55 @@ def _q_search_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select(F.col("topic_id").alias("lang"), "score")
 
 
+_TOPIC_CTFIDF_CTE = """
+normed AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+           x -> x / greatest(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 1e-12)
+         ) AS v
+  FROM embeddings
+),
+assign_scored AS (
+  SELECT n.vec_id, c.label, list_dot_product(n.v, c.c) AS s
+  FROM normed n CROSS JOIN centroids c
+),
+assigned AS (
+  SELECT vec_id, label FROM (
+    SELECT vec_id, label,
+           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, label ASC) AS rn
+    FROM assign_scored
+  ) WHERE rn = 1
+),
+renum AS (
+  SELECT label, row_number() OVER (
+    ORDER BY count(*) DESC, label ASC) - 1 AS topic_id
+  FROM assigned GROUP BY label
+),
+member AS (
+  SELECT a.vec_id AS doc_id, r.topic_id FROM assigned a JOIN renum r USING (label)
+),
+tl AS (SELECT doc_id, {tokens_expr} AS toks FROM documents),
+tokens_pos AS (
+  SELECT doc_id, unnest(toks) AS term,
+         generate_subscripts(toks, 1) - 1 AS pos
+  FROM tl
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tokens_pos GROUP BY doc_id, term),
+ttf AS (
+  SELECT m.topic_id, tf.term, sum(tf.tf) AS ctf
+  FROM tf JOIN member m USING (doc_id) GROUP BY m.topic_id, tf.term
+),
+clen AS (SELECT topic_id, sum(ctf) AS clen FROM ttf GROUP BY topic_id),
+al AS (SELECT avg(clen) AS avg_len FROM clen),
+cf AS (SELECT term, sum(tf) AS cf FROM tf GROUP BY term),
+ctfidf AS (
+  SELECT ttf.topic_id, ttf.term,
+         round((ttf.ctf * 1.0 / clen.clen)
+               * ln(1.0 + (SELECT avg_len FROM al) / cf.cf), 6) AS score
+  FROM ttf JOIN clen USING (topic_id) JOIN cf USING (term)
+)
+"""
+
 _CENTROIDS_CTE = """
 by_pos AS (
   SELECT label, unnest(embedding::DOUBLE[]) AS v,
@@ -1229,6 +1324,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "smooth_vec_adjacent": _q_smooth_vec_adjacent,
         "simhash_dup_pairs": _q_simhash_dup_pairs,
         "noise_topic_assign": _q_noise_topic_assign,
+        "topic_merge_map": _q_topic_merge_map,
+        "wordcloud_weights": _q_wordcloud_weights,
         "incremental_topic_sizes": _q_incremental_topic_sizes,
         "chunks_custom": _q_chunks_custom,
         "docs_by_topic": _q_docs_by_topic,
@@ -1872,6 +1969,23 @@ renum AS (
 SELECT a.vec_id AS doc_id, r.topic_id, round(a.s, 6) AS score
 FROM assigned a JOIN renum r USING (label)
 """,
+        "topic_merge_map": f"""
+WITH RECURSIVE {_CENTROIDS_CTE},
+edges AS (
+  SELECT a.label AS src, b.label AS dst
+  FROM centroids a JOIN centroids b ON a.label <> b.label
+  WHERE list_dot_product(a.c, b.c) > 0.2
+  UNION ALL
+  SELECT label, label FROM centroids
+),
+reach(src, node) AS (
+  SELECT label, label FROM centroids
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.node = e.src
+)
+SELECT src AS topic_id, min(node) AS merged_id
+FROM reach GROUP BY src ORDER BY topic_id
+""",
         "incremental_topic_sizes": f"""
 WITH {_CENTROIDS_CTE},
 normed AS (
@@ -2040,52 +2154,7 @@ FROM documents
 """,
         "doc_token_topics": f"""
 WITH {_CENTROIDS_CTE},
-normed AS (
-  SELECT vec_id,
-         list_transform(embedding::DOUBLE[],
-           x -> x / greatest(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 1e-12)
-         ) AS v
-  FROM embeddings
-),
-assign_scored AS (
-  SELECT n.vec_id, c.label, list_dot_product(n.v, c.c) AS s
-  FROM normed n CROSS JOIN centroids c
-),
-assigned AS (
-  SELECT vec_id, label FROM (
-    SELECT vec_id, label,
-           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, label ASC) AS rn
-    FROM assign_scored
-  ) WHERE rn = 1
-),
-renum AS (
-  SELECT label, row_number() OVER (
-    ORDER BY count(*) DESC, label ASC) - 1 AS topic_id
-  FROM assigned GROUP BY label
-),
-member AS (
-  SELECT a.vec_id AS doc_id, r.topic_id FROM assigned a JOIN renum r USING (label)
-),
-tl AS (SELECT doc_id, {{tokens_expr}} AS toks FROM documents),
-tokens_pos AS (
-  SELECT doc_id, unnest(toks) AS term,
-         generate_subscripts(toks, 1) - 1 AS pos
-  FROM tl
-),
-tf AS (SELECT doc_id, term, count(*) AS tf FROM tokens_pos GROUP BY doc_id, term),
-ttf AS (
-  SELECT m.topic_id, tf.term, sum(tf.tf) AS ctf
-  FROM tf JOIN member m USING (doc_id) GROUP BY m.topic_id, tf.term
-),
-clen AS (SELECT topic_id, sum(ctf) AS clen FROM ttf GROUP BY topic_id),
-al AS (SELECT avg(clen) AS avg_len FROM clen),
-cf AS (SELECT term, sum(tf) AS cf FROM tf GROUP BY term),
-ctfidf AS (
-  SELECT ttf.topic_id, ttf.term,
-         round((ttf.ctf * 1.0 / clen.clen)
-               * ln(1.0 + (SELECT avg_len FROM al) / cf.cf), 6) AS score
-  FROM ttf JOIN clen USING (topic_id) JOIN cf USING (term)
-),
+{_TOPIC_CTFIDF_CTE},
 best AS (
   SELECT term, topic_id, score FROM (
     SELECT term, topic_id, score,
@@ -2096,6 +2165,22 @@ best AS (
 SELECT t.doc_id, CAST(t.pos AS BIGINT) AS pos, t.term,
        CAST(b.topic_id AS BIGINT) AS topic_id, b.score
 FROM tokens_pos t JOIN best b USING (term)
+""".replace("{tokens_expr}", duckdb_tokens_sql()),
+        "wordcloud_weights": f"""
+WITH {_CENTROIDS_CTE},
+{_TOPIC_CTFIDF_CTE},
+t0 AS (
+  SELECT term, score FROM (
+    SELECT term, score,
+           row_number() OVER (ORDER BY score DESC, term ASC) AS rn
+    FROM ctfidf WHERE topic_id = 0
+  ) WHERE rn <= 50
+),
+mx AS (SELECT max(score) AS m FROM t0),
+ex AS (SELECT term, exp(score - (SELECT m FROM mx)) AS e FROM t0),
+z AS (SELECT sum(e) AS zz FROM ex)
+SELECT term, round(e / (SELECT zz FROM z), 6) AS weight
+FROM ex ORDER BY term
 """.replace("{tokens_expr}", duckdb_tokens_sql()),
         "media_features": """
 WITH px AS (

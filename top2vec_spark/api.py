@@ -573,7 +573,8 @@ class Top2VecSpark:
         )
 
     def generate_topic_wordcloud(
-        self, topic_num: int, reduced: bool = False
+        self, topic_num: int, reduced: bool = False,
+        round_digits: int | None = None,
     ) -> dict:
         """M5/S6 wordcloud export (reference generate_topic_wordcloud,
         top2vec.py:3188-3236): softmax over the topic's stored top-50
@@ -583,15 +584,23 @@ class Top2VecSpark:
         container has no plotting libs, and a 50-entry dict is
         driver-side by construction (O(topics * 50) total, never
         corpus-scale). Weights are a numerically-stable softmax:
-        positive, descending in score, summing to 1."""
+        positive, descending in score, summing to 1.
+
+        ``round_digits`` (oracle-compare mode) rounds the stored
+        ctfidf scores BEFORE the softmax so an external recomputation
+        of the score chain (e.g. the DuckDB driver oracle) feeds the
+        softmax bit-identical inputs."""
         import math as _math
 
         self._require_topics(reduced)
         self._validate_topic_num(topic_num, reduced)
         words = self.topic_words_reduced if reduced else self.topic_words
+        score = F.col("ctfidf")
+        if round_digits is not None:
+            score = F.round(score, round_digits)
         rows = (
             words.filter(F.col("topic_id") == int(topic_num))
-            .select("term", "ctfidf")
+            .select("term", score.alias("ctfidf"))
             .collect()
         )
         if not rows:
