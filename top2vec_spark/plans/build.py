@@ -575,7 +575,15 @@ class IndexBuilder:
         """``input_fingerprint``: an identity of the INPUT DATA (e.g.
         row count + xxhash64 aggregate, or source file mtimes). Folded
         into the stage fingerprint so ``resume=True`` can never reuse
-        an index built from different data at the same path."""
+        an index built from different data at the same path.
+
+        ``docs_per_shard`` trades build throughput against
+        single-query serving latency (measured at 1.6M docs,
+        BENCH/LATENCY_FLOOR_r5.md): ~128k maximizes build rate
+        (23.5k docs/s there), ~50k halves the per-query kernel
+        max-task and cuts warm bucketed p50 0.80 -> 0.63 s and
+        batched serving 0.157 -> 0.108 s/query (build 18.2k docs/s).
+        Pick by deployment; the default favors build."""
         if not path:
             raise ValueError("IndexBuilder requires an index path")
         self.spark = spark
