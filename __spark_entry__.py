@@ -1199,6 +1199,112 @@ def _q_search_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select(F.col("topic_id").alias("lang"), "score")
 
 
+def _q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (operators/webtext.py) — the
+    public Rae et al. 2021 §A.1.1 rules as count-based fractions."""
+    from top2vec_spark.operators.webtext import repetition_stats
+
+    rs = repetition_stats(_docs(spark, sf_dir))
+    return rs.select(
+        "doc_id",
+        "n_words",
+        F.round("top_word_frac", 6).alias("top_word_frac"),
+        F.round("top_bigram_frac", 6).alias("top_bigram_frac"),
+        F.round("dup_trigram_frac", 6).alias("dup_trigram_frac"),
+    )
+
+
+def _q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain rollup over the pages shape: urls derived
+    deterministically from `documents` (host := source.example.com),
+    parsed with Spark's built-in parse_url, aggregated per host."""
+    from top2vec_spark.operators.webtext import domain_stats
+
+    pages = _docs(spark, sf_dir).select(
+        "doc_id",
+        "lang",
+        "text",
+        F.concat(
+            F.lit("https://"),
+            F.col("source"),
+            F.lit(".example.com/"),
+            F.col("lang"),
+            F.lit("/docs/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    d = domain_stats(pages)
+    return d.select(
+        "host",
+        "tld",
+        F.col("n_pages").cast("long").alias("n_pages"),
+        F.col("n_langs").cast("long").alias("n_langs"),
+        F.round("avg_chars", 6).alias("avg_chars"),
+        F.col("max_path_depth").cast("int").alias("max_path_depth"),
+    )
+
+
+def _q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization dedup: deterministic scheme/www/query/
+    trailing-slash variants constructed from doc_id, grouped by the
+    canonical form (operators/webtext.canonicalize_url), keeper =
+    min doc_id."""
+    from top2vec_spark.operators.webtext import url_dedup
+
+    d = F.col("doc_id")
+    pages = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.when(d % 2 == 0, F.lit("http://")).otherwise(F.lit("https://")),
+            F.when(d % 3 == 0, F.lit("www.")).otherwise(F.lit("")),
+            F.col("source"),
+            F.lit(".example.com/p/"),
+            (d % 100).cast("string"),
+            F.when(d % 5 == 0, F.lit("/")).otherwise(F.lit("")),
+            F.when(d % 7 == 0, F.lit("?utm=1")).otherwise(F.lit("")),
+        ).alias("url"),
+    )
+    return url_dedup(pages).select("canon_url", "keeper", "n_dupes")
+
+
+def _q_index_manifest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule lineage/metrics manifest, checked against the
+    corpus: total postings emitted across bucket partitions must equal
+    the distinct (doc, term) pairs DuckDB counts from raw text, and
+    docs_tokenized (global + summed per-shard) the tokenized-doc
+    count. Reuses the cached entry index build (resume=True)."""
+    import hashlib
+
+    from top2vec_spark.plans.build import IndexBuilder
+
+    docs = _docs(spark, sf_dir)
+    tokens = tokenize_docs(docs, ascii_fast_path=True).cache()
+    vocab = build_vocab(tokens)
+    ds = build_doc_stats(tokens)
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    path = f"/tmp/t2v_entry_idx_{tag}"
+    IndexBuilder(
+        spark,
+        path,
+        docs_per_shard=256,
+        n_buckets=16,
+        input_fingerprint=_input_fingerprint(docs),
+    ).build(tokens, vocab, ds, resume=True)
+    m = spark.read.parquet(f"{path}/manifest")
+    is_postings = F.col("checkpoint_path").contains("/postings/")
+    return m.agg(
+        F.max(F.when(is_postings, F.col("docs_tokenized")))
+        .cast("long")
+        .alias("docs_tokenized"),
+        F.sum(F.when(is_postings, F.col("postings_emitted")))
+        .cast("long")
+        .alias("postings_total"),
+        F.sum(F.when(~is_postings, F.col("docs_tokenized")))
+        .cast("long")
+        .alias("docs_by_shard_total"),
+    )
+
+
 _TOPIC_CTFIDF_CTE = """
 normed AS (
   SELECT vec_id,
@@ -1335,6 +1441,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_token_topics": _q_doc_token_topics,
         "media_features": _q_media_features,
         "docs_topics_top2": _q_docs_topics_top2,
+        "repetition_stats": _q_repetition_stats,
+        "domain_stats": _q_domain_stats,
+        "url_dedup": _q_url_dedup,
+        "index_manifest_stats": _q_index_manifest_stats,
     }
 
 
@@ -2277,5 +2387,86 @@ ranked AS (
 SELECT vec_id AS doc_id, CAST(rn AS INT) AS rank, topic_id,
        round(s, 6) AS score
 FROM ranked WHERE rn <= 2
+""",
+        "repetition_stats": r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS ws
+  FROM documents
+),
+lists AS (
+  SELECT doc_id, ws AS g1,
+         list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1]) AS g2,
+         list_transform(range(1, len(ws) - 1),
+                        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS g3
+  FROM w
+),
+longg AS (
+  SELECT doc_id, 1 AS n, unnest(g1) AS gram FROM lists
+  UNION ALL SELECT doc_id, 2 AS n, unnest(g2) AS gram FROM lists
+  UNION ALL SELECT doc_id, 3 AS n, unnest(g3) AS gram FROM lists
+),
+counts AS (SELECT doc_id, n, gram, count(*) AS c FROM longg GROUP BY ALL),
+per AS (
+  SELECT doc_id,
+    sum(CASE WHEN n=1 THEN c END) AS w_tot, max(CASE WHEN n=1 THEN c END) AS w_top,
+    sum(CASE WHEN n=2 THEN c END) AS b_tot, max(CASE WHEN n=2 THEN c END) AS b_top,
+    sum(CASE WHEN n=3 THEN c END) AS t_tot, count(CASE WHEN n=3 THEN 1 END) AS t_dist
+  FROM counts GROUP BY doc_id
+)
+SELECT doc_id, cast(coalesce(w_tot, 0) AS BIGINT) AS n_words,
+  round(coalesce(w_top * 1.0 / w_tot, 0.0), 6) AS top_word_frac,
+  round(coalesce(b_top * 1.0 / b_tot, 0.0), 6) AS top_bigram_frac,
+  round(coalesce((t_tot - t_dist) * 1.0 / t_tot, 0.0), 6) AS dup_trigram_frac
+FROM per
+""",
+        "domain_stats": r"""
+WITH pages AS (
+  SELECT doc_id, lang, text,
+         'https://' || source || '.example.com/' || lang || '/docs/'
+           || cast(doc_id AS VARCHAR) AS url
+  FROM documents
+),
+parts AS (
+  SELECT *, regexp_extract(url, 'https?://([^/?#]+)', 1) AS host,
+         regexp_extract(url, 'https?://[^/?#]+(/[^?#]*)', 1) AS path
+  FROM pages
+)
+SELECT host, regexp_extract(host, '([^.]+)$', 1) AS tld,
+  cast(count(*) AS BIGINT) AS n_pages,
+  cast(count(DISTINCT lang) AS BIGINT) AS n_langs,
+  round(avg(length(text)), 6) AS avg_chars,
+  cast(max(len(list_filter(string_split(path, '/'), x -> x <> ''))) AS INT)
+    AS max_path_depth
+FROM parts GROUP BY host
+""",
+        "url_dedup": r"""
+WITH pages AS (
+  SELECT doc_id,
+    (CASE WHEN doc_id % 2 = 0 THEN 'http://' ELSE 'https://' END)
+    || (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END)
+    || source || '.example.com/p/' || cast(doc_id % 100 AS VARCHAR)
+    || (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END)
+    || (CASE WHEN doc_id % 7 = 0 THEN '?utm=1' ELSE '' END) AS url
+  FROM documents
+),
+canon AS (
+  SELECT doc_id,
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(lower(url),
+      '^https?://', ''), '^www\.', ''), '[?#].*$', ''), '/+$', '') AS canon_url
+  FROM pages
+)
+SELECT canon_url, cast(min(doc_id) AS BIGINT) AS keeper,
+       cast(count(*) - 1 AS BIGINT) AS n_dupes
+FROM canon GROUP BY canon_url
+""",
+        "index_manifest_stats": f"""
+WITH {_TOKENS_CTE}
+SELECT
+  cast((SELECT count(DISTINCT doc_id) FROM tokens) AS BIGINT) AS docs_tokenized,
+  cast((SELECT count(*) FROM (SELECT DISTINCT doc_id, term FROM tokens))
+       AS BIGINT) AS postings_total,
+  cast((SELECT count(DISTINCT doc_id) FROM tokens) AS BIGINT)
+       AS docs_by_shard_total
 """,
     }

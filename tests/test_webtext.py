@@ -1,0 +1,130 @@
+"""Webtext operators: Gopher-style repetition stats, URL parsing,
+canonicalization dedup (operators/webtext.py). Expected values are
+hand-computed on tiny fixtures."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from top2vec_spark.operators.webtext import (
+    canonicalize_url,
+    domain_stats,
+    repetition_stats,
+    url_dedup,
+    with_url_parts,
+)
+
+
+def _rep(spark, rows):
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    return {
+        r["doc_id"]: r
+        for r in repetition_stats(df).collect()
+    }
+
+
+def test_repetition_stats_hand_computed(spark):
+    out = _rep(
+        spark,
+        [
+            # words: a b a c a b -> top word 'a' 3/6; bigrams
+            # (a b, b a, a c, c a, a b) -> top 'a b' 2/5; trigrams
+            # (a b a, b a c, a c a, c a b) -> 4 occ, 4 distinct -> 0
+            (0, "a b a c a b"),
+            # all identical: top word 4/4; bigram 3/3; trigrams 2 occ
+            # 1 distinct -> dup 1/2
+            (1, "x x x x"),
+            (2, "lone"),  # 1 word: bigram/trigram fracs 0
+            (3, "two words"),  # 2 words: trigram frac 0, bigram 1/1
+        ],
+    )
+    r0 = out[0]
+    assert r0["n_words"] == 6
+    assert r0["top_word_frac"] == pytest.approx(3 / 6)
+    assert r0["top_bigram_frac"] == pytest.approx(2 / 5)
+    assert r0["dup_trigram_frac"] == 0.0
+    r1 = out[1]
+    assert r1["n_words"] == 4
+    assert r1["top_word_frac"] == 1.0
+    assert r1["top_bigram_frac"] == 1.0
+    assert r1["dup_trigram_frac"] == pytest.approx(1 / 2)
+    r2 = out[2]
+    assert (r2["n_words"], r2["top_word_frac"]) == (1, 1.0)
+    assert r2["top_bigram_frac"] == 0.0 and r2["dup_trigram_frac"] == 0.0
+    r3 = out[3]
+    assert r3["n_words"] == 2
+    assert r3["top_bigram_frac"] == 1.0
+    assert r3["dup_trigram_frac"] == 0.0
+
+
+def test_repetition_stats_whitespace_and_empty(spark):
+    # Multi-space / tab runs collapse; all-space text yields no row
+    # from the explode (no grams) — callers left-join if they need
+    # empty docs back, same convention as doc_stats.
+    out = _rep(spark, [(0, "  a   b\t a  "), (1, "q")])
+    assert out[0]["n_words"] == 3
+    assert out[0]["top_word_frac"] == pytest.approx(2 / 3)
+
+
+def test_url_parts(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "https://www.ex.co.uk/a/b/c?q=1"),
+            (1, "http://host.test/"),
+            (2, "https://bare.io"),
+        ],
+        "doc_id long, url string",
+    )
+    rows = {r["doc_id"]: r for r in with_url_parts(df).collect()}
+    assert rows[0]["host"] == "www.ex.co.uk"
+    assert rows[0]["tld"] == "uk"
+    assert rows[0]["path"] == "/a/b/c"
+    assert rows[0]["path_depth"] == 3
+    assert rows[1]["path_depth"] == 0
+    assert rows[2]["host"] == "bare.io" and rows[2]["path_depth"] == 0
+
+
+def test_canonicalize_url(spark):
+    cases = [
+        ("HTTPS://WWW.Ex.com/A/b/?utm=1#frag", "ex.com/a/b"),
+        ("http://ex.com/p/1", "ex.com/p/1"),
+        ("https://ex.com///", "ex.com"),
+        ("http://www.ex.com", "ex.com"),
+    ]
+    df = spark.createDataFrame(cases, "url string, want string")
+    bad = df.withColumn("got", canonicalize_url(F.col("url"))).filter(
+        F.col("got") != F.col("want")
+    )
+    assert bad.count() == 0, bad.collect()
+
+
+def test_url_dedup_keeper_is_min_id(spark):
+    df = spark.createDataFrame(
+        [
+            (5, "http://www.ex.com/p/1/"),
+            (2, "https://ex.com/p/1?x=2"),
+            (9, "https://ex.com/p/2"),
+        ],
+        "doc_id long, url string",
+    )
+    rows = {r["canon_url"]: r for r in url_dedup(df).collect()}
+    assert rows["ex.com/p/1"]["keeper"] == 2
+    assert rows["ex.com/p/1"]["n_dupes"] == 1
+    assert rows["ex.com/p/2"]["n_dupes"] == 0
+
+
+def test_domain_stats(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "en", "abcd", "https://a.test/x/1"),
+            (1, "de", "ab", "https://a.test/x/y/2"),
+            (2, "en", "abcdef", "https://b.test/1"),
+        ],
+        "doc_id long, lang string, text string, url string",
+    )
+    rows = {r["host"]: r for r in domain_stats(df).collect()}
+    a = rows["a.test"]
+    assert (a["n_pages"], a["n_langs"], a["max_path_depth"]) == (2, 2, 3)
+    assert a["avg_chars"] == pytest.approx(3.0)
+    assert rows["b.test"]["n_pages"] == 1
