@@ -1209,8 +1209,42 @@ def _q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_words",
         F.round("top_word_frac", 6).alias("top_word_frac"),
+        F.round("uniq_word_frac", 6).alias("uniq_word_frac"),
         F.round("top_bigram_frac", 6).alias("top_bigram_frac"),
         F.round("dup_trigram_frac", 6).alias("dup_trigram_frac"),
+    )
+
+
+def _q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite C4/Gopher keep/drop filter (webtext.corpus_filter):
+    per-doc keep flag + comma-joined failed-rule names, every rule
+    evaluated on round-6 features on both engines."""
+    from top2vec_spark.operators.webtext import corpus_filter
+
+    return corpus_filter(_docs(spark, sf_dir))
+
+
+def _q_sessions_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-safe salted sessionization twin answered against the
+    SAME oracle as sessions_by_user — proves the three-phase
+    (local -> boundary-merge -> renumber) plan is output-identical to
+    the single-window semantics, not just pytest-equal to the batch
+    twin."""
+    from top2vec_spark.operators.sessions import sessionize_batch_salted
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    sess = sessionize_batch_salted(ev, gap_seconds=1800)
+    return sess.select(
+        "user_id",
+        "session_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias(
+            "session_start"
+        ),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias(
+            "session_end"
+        ),
+        "n_events",
+        "total_value",
     )
 
 
@@ -1303,6 +1337,31 @@ def _q_index_manifest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("docs_by_shard_total"),
     )
+
+
+# Shared by sessions_by_user (single-window batch twin) and
+# sessions_by_user_salted (three-phase skew-safe twin) — one semantic,
+# two physical plans, one oracle.
+_SESSIONS_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+numbered AS (
+  SELECT *, CAST(sum(new_sess) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING
+  ) AS BIGINT) AS session_id
+  FROM ordered
+)
+SELECT user_id, session_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+       count(*) AS n_events, round(sum(value), 6) AS total_value
+FROM numbered GROUP BY user_id, session_id ORDER BY user_id, session_id
+"""
 
 
 _TOPIC_CTFIDF_CTE = """
@@ -1445,6 +1504,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_stats": _q_domain_stats,
         "url_dedup": _q_url_dedup,
         "index_manifest_stats": _q_index_manifest_stats,
+        "corpus_filter": _q_corpus_filter,
+        "sessions_by_user_salted": _q_sessions_salted,
     }
 
 
@@ -1818,26 +1879,7 @@ cooc AS (
 SELECT term, round(score, 4) AS score FROM cooc
 ORDER BY score DESC, term ASC LIMIT 10
 """,
-        "sessions_by_user": """
-WITH ordered AS (
-  SELECT user_id, event_id, ts, value,
-         CASE WHEN lag(ts) OVER w IS NULL
-              OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
-              THEN 1 ELSE 0 END AS new_sess
-  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-),
-numbered AS (
-  SELECT *, CAST(sum(new_sess) OVER (
-    PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING
-  ) AS BIGINT) AS session_id
-  FROM ordered
-)
-SELECT user_id, session_id,
-       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
-       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
-       count(*) AS n_events, round(sum(value), 6) AS total_value
-FROM numbered GROUP BY user_id, session_id ORDER BY user_id, session_id
-""",
+        "sessions_by_user": _SESSIONS_ORACLE,
         "events_sliding_mean": """
 SELECT event_id, user_id,
        round(avg(value) OVER (
@@ -2410,16 +2452,57 @@ counts AS (SELECT doc_id, n, gram, count(*) AS c FROM longg GROUP BY ALL),
 per AS (
   SELECT doc_id,
     sum(CASE WHEN n=1 THEN c END) AS w_tot, max(CASE WHEN n=1 THEN c END) AS w_top,
+    count(CASE WHEN n=1 THEN 1 END) AS w_dist,
     sum(CASE WHEN n=2 THEN c END) AS b_tot, max(CASE WHEN n=2 THEN c END) AS b_top,
     sum(CASE WHEN n=3 THEN c END) AS t_tot, count(CASE WHEN n=3 THEN 1 END) AS t_dist
   FROM counts GROUP BY doc_id
 )
 SELECT doc_id, cast(coalesce(w_tot, 0) AS BIGINT) AS n_words,
   round(coalesce(w_top * 1.0 / w_tot, 0.0), 6) AS top_word_frac,
+  round(coalesce(w_dist * 1.0 / w_tot, 0.0), 6) AS uniq_word_frac,
   round(coalesce(b_top * 1.0 / b_tot, 0.0), 6) AS top_bigram_frac,
   round(coalesce((t_tot - t_dist) * 1.0 / t_tot, 0.0), 6) AS dup_trigram_frac
 FROM per
 """,
+        "corpus_filter": r"""
+WITH w AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS ws
+  FROM documents
+),
+lists AS (
+  SELECT doc_id, text, ws AS g1,
+         list_transform(range(1, len(ws) - 1),
+                        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS g3
+  FROM w
+),
+feats AS (
+  SELECT doc_id,
+    len(g1) AS n_words,
+    round(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0
+          / greatest(length(text), 1), 6) AS alpha_r,
+    round((SELECT max(c) FROM (SELECT count(*) AS c
+             FROM unnest(g1) AS t(x) GROUP BY x)) * 1.0
+          / greatest(len(g1), 1), 6) AS topw_r,
+    round(len(list_distinct(g1)) * 1.0 / greatest(len(g1), 1), 6) AS uniq_r,
+    round(coalesce((len(g3) - len(list_distinct(g3))) * 1.0
+          / nullif(len(g3), 0), 0.0), 6) AS trig_r
+  FROM lists WHERE len(g1) > 0
+),
+flagged AS (
+  SELECT doc_id,
+    concat_ws(',',
+      CASE WHEN NOT (n_words >= 30) THEN 'len' END,
+      CASE WHEN NOT (alpha_r >= 0.82) THEN 'alpha' END,
+      CASE WHEN NOT (uniq_r >= 0.40) THEN 'uniq' END,
+      CASE WHEN NOT (topw_r <= 0.12) THEN 'top_word' END,
+      CASE WHEN NOT (trig_r <= 0.10) THEN 'dup_trigram' END
+    ) AS fails
+  FROM feats
+)
+SELECT doc_id, fails = '' AS keep, fails FROM flagged
+""",
+        "sessions_by_user_salted": _SESSIONS_ORACLE,
         "domain_stats": r"""
 WITH pages AS (
   SELECT doc_id, lang, text,

@@ -42,6 +42,7 @@ def test_repetition_stats_hand_computed(spark):
     r0 = out[0]
     assert r0["n_words"] == 6
     assert r0["top_word_frac"] == pytest.approx(3 / 6)
+    assert r0["uniq_word_frac"] == pytest.approx(3 / 6)  # {a,b,c} of 6
     assert r0["top_bigram_frac"] == pytest.approx(2 / 5)
     assert r0["dup_trigram_frac"] == 0.0
     r1 = out[1]
@@ -65,6 +66,29 @@ def test_repetition_stats_whitespace_and_empty(spark):
     out = _rep(spark, [(0, "  a   b\t a  "), (1, "q")])
     assert out[0]["n_words"] == 3
     assert out[0]["top_word_frac"] == pytest.approx(2 / 3)
+
+
+def test_corpus_filter_rules(spark):
+    from top2vec_spark.operators.webtext import corpus_filter
+
+    # 6-letter distinct words: alpha = 6/7 ≈ 0.857 > 0.82 threshold
+    good = " ".join(
+        f"word{chr(97 + i % 26)}{chr(97 + i // 26)}" for i in range(40)
+    )
+    df = spark.createDataFrame(
+        [
+            (0, good),  # 40 distinct letter words -> keeps
+            (1, "x y"),  # too short + repetitive profile
+            (2, " ".join(["dup"] * 50)),  # top_word/uniq/dup_trigram fail
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in corpus_filter(df).collect()}
+    assert rows[0]["keep"] is True and rows[0]["fails"] == ""
+    assert rows[1]["keep"] is False and "len" in rows[1]["fails"]
+    f2 = rows[2]["fails"]
+    assert rows[2]["keep"] is False
+    assert "top_word" in f2 and "uniq" in f2 and "dup_trigram" in f2
 
 
 def test_url_parts(spark):

@@ -38,9 +38,10 @@ def _words(text_col: Column) -> Column:
 def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document repetition signals over whitespace words.
 
-    Returns (doc_id, n_words long, top_word_frac, top_bigram_frac,
-    dup_trigram_frac — all double in [0,1]). Docs with < 2 (resp. < 3)
-    words report 0.0 for the bigram (trigram) fractions.
+    Returns (doc_id, n_words long, top_word_frac, uniq_word_frac,
+    top_bigram_frac, dup_trigram_frac — all double in [0,1]). Docs
+    with < 2 (resp. < 3) words report 0.0 for the bigram (trigram)
+    fractions.
     """
     # Materialize the word array in its own Project: referencing the
     # raw split expression inside the n-gram lambdas would re-split
@@ -84,6 +85,7 @@ def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     per_doc = counts.groupBy("doc_id").agg(
         agg_n(1, F.sum, "w_tot"),
         agg_n(1, F.max, "w_top"),
+        F.count(F.when(F.col("n") == 1, True)).alias("w_dist"),
         agg_n(2, F.sum, "b_tot"),
         agg_n(2, F.max, "b_top"),
         agg_n(3, F.sum, "t_tot"),
@@ -96,10 +98,63 @@ def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
         "doc_id",
         F.coalesce(F.col("w_tot"), F.lit(0)).cast("long").alias("n_words"),
         frac(F.col("w_top"), F.col("w_tot")).alias("top_word_frac"),
+        frac(F.col("w_dist"), F.col("w_tot")).alias("uniq_word_frac"),
         frac(F.col("b_top"), F.col("b_tot")).alias("top_bigram_frac"),
         frac(F.col("t_tot") - F.col("t_dist"), F.col("t_tot")).alias(
             "dup_trigram_frac"
         ),
+    )
+
+
+def corpus_filter(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_words: int = 30,
+    min_alpha: float = 0.82,
+    min_uniq: float = 0.40,
+    max_top_word: float = 0.12,
+    max_dup_trigram: float = 0.10,
+) -> DataFrame:
+    """Composite C4/Gopher-style keep/drop filter. Returns
+    (doc_id, keep boolean, fails string — comma-joined names of the
+    failed rules, '' when kept).
+
+    All rules are evaluated on ROUND-6 features so threshold
+    comparisons are bit-stable across engines (a raw-double boundary
+    case could round differently than it compares). Docs that produce
+    zero words have no repetition row and are dropped by the inner
+    join — at pipeline scale empty docs should be culled by a length
+    predicate before this operator.
+    """
+    rep = repetition_stats(docs, text_col)
+    t = F.col(text_col)
+    alpha = (
+        F.length(F.regexp_replace(t, r"[^A-Za-z]", ""))
+        / F.greatest(F.length(t), F.lit(1))
+    ).cast("double")
+    joined = docs.select("doc_id", F.round(alpha, 6).alias("alpha_r")).join(
+        rep.select(
+            "doc_id",
+            "n_words",
+            F.round("top_word_frac", 6).alias("topw_r"),
+            F.round("uniq_word_frac", 6).alias("uniq_r"),
+            F.round("dup_trigram_frac", 6).alias("trig_r"),
+        ),
+        "doc_id",
+    )
+    rules = [
+        ("len", F.col("n_words") >= min_words),
+        ("alpha", F.col("alpha_r") >= min_alpha),
+        ("uniq", F.col("uniq_r") >= min_uniq),
+        ("top_word", F.col("topw_r") <= max_top_word),
+        ("dup_trigram", F.col("trig_r") <= max_dup_trigram),
+    ]
+    # concat_ws skips NULLs, so only failed rule names appear.
+    fails = F.concat_ws(
+        ",", *[F.when(~cond, F.lit(name)) for name, cond in rules]
+    )
+    return joined.select(
+        "doc_id", (fails == "").alias("keep"), fails.alias("fails")
     )
 
 
