@@ -1301,6 +1301,86 @@ def _q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return url_dedup(pages).select("canon_url", "keeper", "n_dupes")
 
 
+def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (operators/webtext.pii_scrub) under a full-value
+    oracle: emails / IPv4s / phone numbers are injected into the
+    corpus text deterministically from doc_id, scrubbed by the
+    three-stage regexp pipeline, and DuckDB replays the identical
+    construction + rules — md5 of the scrubbed text pins every byte
+    of every replacement."""
+    from top2vec_spark.operators.webtext import pii_scrub
+
+    d = F.col("doc_id")
+    pages = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 40),
+            F.lit(" contact user"),
+            (d % 89).cast("string"),
+            F.lit("@ex"),
+            (d % 7).cast("string"),
+            F.lit(".org now"),
+            F.when(
+                d % 3 == 0,
+                F.concat(
+                    F.lit(" call +1-555-0"),
+                    F.lpad((d % 1000).cast("string"), 3, "0"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                d % 4 == 0,
+                F.concat(
+                    F.lit(" from "),
+                    ((d % 223) + 1).cast("string"),
+                    F.lit(".44."),
+                    (d % 250).cast("string"),
+                    F.lit(".7"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    out = pii_scrub(pages)
+    return out.select(
+        "doc_id",
+        F.col("n_email").cast("int").alias("n_email"),
+        F.col("n_ipv4").cast("int").alias("n_ipv4"),
+        F.col("n_phone").cast("int").alias("n_phone"),
+        F.md5("scrubbed").alias("scrub_md5"),
+        F.length("scrubbed").cast("int").alias("scrub_len"),
+    )
+
+
+def _q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level exact line dedup (C4 §2.2) under a full-value
+    oracle: every doc gets a shared boilerplate header (+ a footer for
+    doc_id%5==0) around two body lines sliced from its text; the
+    operator keeps only the globally-first occurrence of each distinct
+    line, and DuckDB replays the construction with a
+    row_number-over-(line) window. md5 of the reassembled clean text
+    pins content and line order."""
+    from top2vec_spark.operators.webtext import line_dedup
+
+    d = F.col("doc_id")
+    pages = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.lit("subscribe to our newsletter"),
+            F.substring("text", 1, 60),
+            F.substring("text", 61, 60),
+            F.when(d % 5 == 0, F.lit("copyright example corp")),
+        ).alias("text"),
+    )
+    out = line_dedup(pages)
+    return out.select(
+        "doc_id",
+        "n_lines",
+        "n_kept",
+        F.md5("clean").alias("clean_md5"),
+        F.length("clean").cast("int").alias("clean_len"),
+    )
+
+
 def _q_index_manifest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-rule lineage/metrics manifest, checked against the
     corpus: total postings emitted across bucket partitions must equal
@@ -1503,6 +1583,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": _q_repetition_stats,
         "domain_stats": _q_domain_stats,
         "url_dedup": _q_url_dedup,
+        "pii_scrub": _q_pii_scrub,
+        "line_dedup": _q_line_dedup,
         "index_manifest_stats": _q_index_manifest_stats,
         "corpus_filter": _q_corpus_filter,
         "sessions_by_user_salted": _q_sessions_salted,
@@ -2542,6 +2624,79 @@ canon AS (
 SELECT canon_url, cast(min(doc_id) AS BIGINT) AS keeper,
        cast(count(*) - 1 AS BIGINT) AS n_dupes
 FROM canon GROUP BY canon_url
+""",
+        "pii_scrub": r"""
+WITH pages AS (
+  SELECT doc_id,
+    substr(text, 1, 40) || ' contact user' || cast(doc_id % 89 AS VARCHAR)
+    || '@ex' || cast(doc_id % 7 AS VARCHAR) || '.org now'
+    || (CASE WHEN doc_id % 3 = 0
+        THEN ' call +1-555-0' || lpad(cast(doc_id % 1000 AS VARCHAR), 3, '0')
+        ELSE '' END)
+    || (CASE WHEN doc_id % 4 = 0
+        THEN ' from ' || cast(doc_id % 223 + 1 AS VARCHAR) || '.44.'
+             || cast(doc_id % 250 AS VARCHAR) || '.7'
+        ELSE '' END) AS text
+  FROM documents
+),
+s1 AS (
+  SELECT doc_id,
+    len(regexp_extract_all(text,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+    regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        '<EMAIL>', 'g') AS t
+  FROM pages
+),
+s2 AS (
+  SELECT doc_id, n_email,
+    len(regexp_extract_all(t,
+        '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4,
+    regexp_replace(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')
+        AS t
+  FROM s1
+),
+s3 AS (
+  SELECT doc_id, n_email, n_ipv4,
+    len(regexp_extract_all(t, '\+\d[\d-]{7,14}\d')) AS n_phone,
+    regexp_replace(t, '\+\d[\d-]{7,14}\d', '<PHONE>', 'g') AS scrubbed
+  FROM s2
+)
+SELECT doc_id, cast(n_email AS INT) AS n_email, cast(n_ipv4 AS INT) AS n_ipv4,
+       cast(n_phone AS INT) AS n_phone, md5(scrubbed) AS scrub_md5,
+       cast(length(scrubbed) AS INT) AS scrub_len
+FROM s3
+""",
+        "line_dedup": r"""
+WITH pages AS (
+  SELECT doc_id, concat_ws(chr(10),
+    'subscribe to our newsletter',
+    substr(text, 1, 60),
+    substr(text, 61, 60),
+    CASE WHEN doc_id % 5 = 0 THEN 'copyright example corp' END) AS text
+  FROM documents
+),
+lines AS (
+  SELECT doc_id,
+         unnest(string_split(text, chr(10))) AS line,
+         generate_subscripts(string_split(text, chr(10)), 1) AS pos
+  FROM pages
+),
+marked AS (
+  SELECT doc_id, pos, line,
+    (line = ''
+     OR row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) = 1)
+      AS keep
+  FROM lines
+)
+SELECT doc_id, cast(count(*) AS INT) AS n_lines,
+  cast(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS INT) AS n_kept,
+  md5(coalesce(
+    string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY pos), ''))
+    AS clean_md5,
+  cast(length(coalesce(
+    string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY pos), ''))
+    AS INT) AS clean_len
+FROM marked GROUP BY doc_id
 """,
         "index_manifest_stats": f"""
 WITH {_TOKENS_CTE}

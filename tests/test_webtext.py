@@ -152,3 +152,59 @@ def test_domain_stats(spark):
     assert (a["n_pages"], a["n_langs"], a["max_path_depth"]) == (2, 2, 3)
     assert a["avg_chars"] == pytest.approx(3.0)
     assert rows["b.test"]["n_pages"] == 1
+
+
+def test_pii_scrub(spark):
+    from top2vec_spark.operators.webtext import pii_scrub
+
+    df = spark.createDataFrame(
+        [
+            (0, "mail bob.smith+x@sub.ex.org and boss@ex.io end"),
+            (1, "server at 10.0.255.3 port open"),
+            (2, "call +1-555-0134 or +49-30-12345678 today"),
+            # email host wins over the IPv4 rule (applied first)
+            (3, "root@1.2.3.4 logged in"),
+            (4, "nothing here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in pii_scrub(df).collect()}
+    assert rows[0]["n_email"] == 2
+    assert rows[0]["scrubbed"] == "mail <EMAIL> and <EMAIL> end"
+    assert rows[1]["n_ipv4"] == 1
+    assert rows[1]["scrubbed"] == "server at <IP> port open"
+    assert rows[2]["n_phone"] == 2
+    assert rows[2]["scrubbed"] == "call <PHONE> or <PHONE> today"
+    # '@1.2.3.4' has no alpha TLD, so the email rule skips it and the
+    # local part survives; the IPv4 rule then takes the address.
+    assert rows[3]["n_email"] == 0
+    assert rows[3]["n_ipv4"] == 1
+    assert rows[3]["scrubbed"] == "root@<IP> logged in"
+    assert (
+        rows[4]["n_email"] == rows[4]["n_ipv4"] == rows[4]["n_phone"] == 0
+    )
+    assert rows[4]["scrubbed"] == "nothing here"
+
+
+def test_line_dedup_corpus_level(spark):
+    from top2vec_spark.operators.webtext import line_dedup
+
+    df = spark.createDataFrame(
+        [
+            (0, "header\nalpha beta\nfooter"),
+            (1, "header\ngamma\nfooter"),
+            (2, "header\nalpha beta\n\nunique"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in line_dedup(df).collect()}
+    # doc 0 is the global first occurrence of all its lines
+    assert rows[0]["clean"] == "header\nalpha beta\nfooter"
+    assert (rows[0]["n_lines"], rows[0]["n_kept"]) == (3, 3)
+    # doc 1 keeps only its unique line
+    assert rows[1]["clean"] == "gamma"
+    assert (rows[1]["n_lines"], rows[1]["n_kept"]) == (3, 1)
+    # doc 2: header + 'alpha beta' are dupes; the empty line is
+    # always kept (formatting), 'unique' survives
+    assert rows[2]["clean"] == "\nunique"
+    assert (rows[2]["n_lines"], rows[2]["n_kept"]) == (4, 2)

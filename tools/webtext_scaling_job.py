@@ -1,0 +1,85 @@
+"""One webtext-pipeline scaling run: corpus-quality filtering +
+URL analytics over a pages parquet at local[N]; prints one JSON line.
+Invoked as a subprocess by tools/webtext_scaling.py (own JVM per run).
+
+Stages timed (all pure JVM — no Python UDFs anywhere in this path):
+  quality — corpus_filter (= repetition_stats n-gram explode + hash
+            agg + alpha-ratio join + rule eval), forced by a
+            groupBy(keep) count
+  url     — domain_stats host rollup + url_dedup canonical-URL agg
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, sys.path[0].rsplit("/tools", 1)[0] if "/tools" in sys.path[0] else ".")
+
+from top2vec_spark.operators.webtext import corpus_filter, domain_stats, url_dedup
+from top2vec_spark.session import get_spark
+
+
+def main() -> None:
+    input_path, cpus = sys.argv[1], int(sys.argv[2])
+    spark = get_spark(parallelism=cpus, app_name=f"webtext_scale_{cpus}")
+    # Compact parquet coalesces to a handful of splits under
+    # maxPartitionBytes; repartition so the CPU-heavy explode stage
+    # has cluster-proportional parallelism (what a real job does).
+    pages = (
+        spark.read.parquet(input_path)
+        .select("doc_id", "url", "text", "lang")
+        .repartition(cpus * 4)
+    )
+    n_docs = pages.count()
+    pages.persist()
+    pages.count()  # warm: materialize input + JVM codegen paths
+    # Warm the Python UDF workers too (repetition_stats is an Arrow
+    # kernel; worker fork costs ~5s of wall-clock once per core —
+    # a fixed cost identical at any parallelism that would bias the
+    # N-vs-4N ratio toward 1). Steady-state throughput is the metric.
+    from top2vec_spark.operators.webtext import repetition_stats
+
+    repetition_stats(
+        pages.limit(cpus * 32).repartition(cpus)
+    ).groupBy().count().collect()
+
+    t0 = time.time()
+    # Thresholds tuned to the synthetic corpus's feature distribution
+    # (short Zipf words -> alpha ~0.75) so the keep/drop split is
+    # meaningful; threshold choice does not affect the timed work.
+    kept = (
+        corpus_filter(pages, min_words=25, min_alpha=0.70)
+        .groupBy("keep")
+        .count()
+        .collect()
+    )
+    t_quality = time.time() - t0
+
+    t1 = time.time()
+    n_hosts = domain_stats(pages).count()
+    n_canon = url_dedup(pages).count()
+    t_url = time.time() - t1
+
+    total = t_quality + t_url
+    print(
+        json.dumps(
+            {
+                "cpus": cpus,
+                "n_docs": n_docs,
+                "quality_sec": round(t_quality, 3),
+                "url_sec": round(t_url, 3),
+                "total_sec": round(total, 3),
+                "docs_per_sec": round(n_docs / total, 1),
+                "keep_counts": {str(r["keep"]): r["count"] for r in kept},
+                "n_hosts": n_hosts,
+                "n_canon_urls": n_canon,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -14,11 +14,14 @@ oracle:
   dup_trigram_frac — fraction of 3-gram occurrences that are repeats
                      (total - distinct) / total
 
-Scale notes (100 TB): one generator explode (narrow, no shuffle) into
-a single hash aggregation keyed (doc_id, n, gram) with map-side
-combine, then a (doc_id)-keyed roll-up — both linear, no skew beyond
-the document-length distribution because every key contains doc_id.
-URL parsing is pure codegen'd string expressions at scan speed.
+Scale notes (100 TB): the repetition signals are per-document, so
+they run as a ZERO-SHUFFLE narrow Arrow kernel (one Counter pass per
+doc) — the declarative explode-into-corpus-wide-agg alternative
+shuffles 3x the corpus word count for per-doc keys and measured 0.33
+scaling efficiency 8->32 cores vs ~linear for the kernel
+(BENCH/SCALING_WEBTEXT_r5.md). URL parsing is pure codegen'd string
+expressions at scan speed; line_dedup is the only corpus-global op
+here (hash-keyed agg + join, linear).
 """
 
 from __future__ import annotations
@@ -26,84 +29,102 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-_WS = r"\s+"
 
 
-def _words(text_col: Column) -> Column:
-    """Whitespace word split, empty strings dropped (so '' and
-    all-space texts yield zero words on both engines)."""
-    return F.filter(F.split(F.trim(text_col), _WS), lambda x: x != "")
-
-
-def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def repetition_stats(
+    docs: DataFrame, text_col: str = "text", passthrough: tuple = ()
+) -> DataFrame:
     """Per-document repetition signals over whitespace words.
 
-    Returns (doc_id, n_words long, top_word_frac, uniq_word_frac,
-    top_bigram_frac, dup_trigram_frac — all double in [0,1]). Docs
-    with < 2 (resp. < 3) words report 0.0 for the bigram (trigram)
-    fractions.
+    Returns (doc_id, *passthrough, n_words long, top_word_frac,
+    uniq_word_frac, top_bigram_frac, dup_trigram_frac — all double in
+    [0,1]). Docs with < 2 (resp. < 3) words report 0.0 for the bigram
+    (trigram) fractions; docs with ZERO words emit no row.
+
+    Implementation: a zero-shuffle narrow mapInPandas kernel — one
+    collections.Counter pass per document over words / word-pairs /
+    word-triples (text in, six numbers out). Every statistic here is
+    per-document, so the declarative alternative (explode tagged
+    1/2/3-grams into a corpus-wide hash agg keyed (doc_id, n, gram))
+    pushes ~3x the corpus's word count through an Exchange for
+    nothing: measured at 400k pages it was 4.7x slower at 32 cores
+    and scaled at 0.33 efficiency 8->32 vs ~linear for this kernel
+    (BENCH/SCALING_WEBTEXT_r5.md). At 100 TB that shuffle is the
+    whole job; this pass is embarrassingly parallel.
+
+    Word-split semantics mirror the SQL oracle exactly: trim SPACES
+    only (Spark/DuckDB `trim` default), split on ASCII `\\s+`
+    (re.ASCII == Java-regex default char class), drop empties.
+    Fractions are int/int true division — identical IEEE doubles in
+    Python, Spark SQL, and DuckDB.
     """
-    # Materialize the word array in its own Project: referencing the
-    # raw split expression inside the n-gram lambdas would re-split
-    # the whole text on EVERY element_at (O(n^2) per doc — visible as
-    # a dozen split() copies in the Generate's explain output).
-    base = docs.select("doc_id", _words(F.col(text_col)).alias("__w"))
-    w = F.col("__w")
+    from pyspark.sql import types as T
 
-    def ngrams(arr: Column, n: int) -> Column:
-        # join n consecutive words with single spaces; empty when the
-        # doc has fewer than n words (sequence guard).
-        joined = F.transform(
-            F.sequence(F.lit(0), F.size(arr) - n),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(arr, i + j + 1) for j in range(n)]
-            ),
-        )
-        return F.when(F.size(arr) >= n, joined).otherwise(
-            F.array().cast("array<string>")
-        )
+    in_schema = docs.schema
+    out_schema = T.StructType(
+        [in_schema["doc_id"]]
+        + [in_schema[c] for c in passthrough]
+        + [
+            T.StructField("n_words", T.LongType()),
+            T.StructField("top_word_frac", T.DoubleType()),
+            T.StructField("uniq_word_frac", T.DoubleType()),
+            T.StructField("top_bigram_frac", T.DoubleType()),
+            T.StructField("dup_trigram_frac", T.DoubleType()),
+        ]
+    )
+    cols = (
+        ["doc_id"]
+        + list(passthrough)
+        + [
+            "n_words",
+            "top_word_frac",
+            "uniq_word_frac",
+            "top_bigram_frac",
+            "dup_trigram_frac",
+        ]
+    )
+    base = docs.select("doc_id", *passthrough, text_col)
 
-    def tag(n: int) -> Column:
-        # NB: the lambda must take exactly ONE arg — F.transform binds
-        # a second parameter to the array index, not a closure default.
-        return F.transform(
-            ngrams(w, n),
-            lambda g: F.struct(F.lit(n).alias("n"), g.alias("gram")),
-        )
+    def kernel(pdfs):
+        import re
+        from collections import Counter
 
-    tagged = F.concat(tag(1), tag(2), tag(3))
-    long = base.select("doc_id", F.explode(tagged).alias("g")).select(
-        "doc_id", F.col("g.n").alias("n"), F.col("g.gram").alias("gram")
-    )
-    counts = long.groupBy("doc_id", "n", "gram").agg(
-        F.count(F.lit(1)).alias("c")
-    )
+        import pandas as pd
 
-    def agg_n(n: int, fn, alias: str) -> Column:
-        return fn(F.when(F.col("n") == n, F.col("c"))).alias(alias)
+        ws = re.compile(r"\s+", re.ASCII)
+        for pdf in pdfs:
+            recs = []
+            extras = [pdf[c] for c in passthrough]
+            for i, text in enumerate(pdf[text_col]):
+                words = ws.split((text or "").strip(" "))
+                words = [w for w in words if w]
+                n = len(words)
+                if n == 0:
+                    continue
+                wc = Counter(words)
+                top_w = max(wc.values()) / n
+                uniq = len(wc) / n
+                if n >= 2:
+                    top_b = max(Counter(zip(words, words[1:])).values()) / (
+                        n - 1
+                    )
+                else:
+                    top_b = 0.0
+                if n >= 3:
+                    # words contain no spaces, so tuple identity ==
+                    # space-joined-gram identity
+                    tc = Counter(zip(words, words[1:], words[2:]))
+                    dup_t = (n - 2 - len(tc)) / (n - 2)
+                else:
+                    dup_t = 0.0
+                recs.append(
+                    (pdf["doc_id"].iat[i],)
+                    + tuple(e.iat[i] for e in extras)
+                    + (n, top_w, uniq, top_b, dup_t)
+                )
+            yield pd.DataFrame(recs, columns=cols)
 
-    per_doc = counts.groupBy("doc_id").agg(
-        agg_n(1, F.sum, "w_tot"),
-        agg_n(1, F.max, "w_top"),
-        F.count(F.when(F.col("n") == 1, True)).alias("w_dist"),
-        agg_n(2, F.sum, "b_tot"),
-        agg_n(2, F.max, "b_top"),
-        agg_n(3, F.sum, "t_tot"),
-        F.count(F.when(F.col("n") == 3, True)).alias("t_dist"),
-    )
-    frac = lambda num, den: F.coalesce(  # noqa: E731
-        (num / den).cast("double"), F.lit(0.0)
-    )
-    return per_doc.select(
-        "doc_id",
-        F.coalesce(F.col("w_tot"), F.lit(0)).cast("long").alias("n_words"),
-        frac(F.col("w_top"), F.col("w_tot")).alias("top_word_frac"),
-        frac(F.col("w_dist"), F.col("w_tot")).alias("uniq_word_frac"),
-        frac(F.col("b_top"), F.col("b_tot")).alias("top_bigram_frac"),
-        frac(F.col("t_tot") - F.col("t_dist"), F.col("t_tot")).alias(
-            "dup_trigram_frac"
-        ),
-    )
+    return base.mapInPandas(kernel, out_schema)
 
 
 def corpus_filter(
@@ -122,25 +143,31 @@ def corpus_filter(
     All rules are evaluated on ROUND-6 features so threshold
     comparisons are bit-stable across engines (a raw-double boundary
     case could round differently than it compares). Docs that produce
-    zero words have no repetition row and are dropped by the inner
-    join — at pipeline scale empty docs should be culled by a length
-    predicate before this operator.
+    zero words emit no repetition row and are dropped — at pipeline
+    scale empty docs should be culled by a length predicate before
+    this operator.
+
+    Zero-shuffle end to end: the alpha ratio is computed as a codegen
+    column BEFORE the repetition kernel and carried through it as a
+    passthrough column, so there is no join anywhere in the plan.
     """
-    rep = repetition_stats(docs, text_col)
     t = F.col(text_col)
     alpha = (
         F.length(F.regexp_replace(t, r"[^A-Za-z]", ""))
         / F.greatest(F.length(t), F.lit(1))
     ).cast("double")
-    joined = docs.select("doc_id", F.round(alpha, 6).alias("alpha_r")).join(
-        rep.select(
-            "doc_id",
-            "n_words",
-            F.round("top_word_frac", 6).alias("topw_r"),
-            F.round("uniq_word_frac", 6).alias("uniq_r"),
-            F.round("dup_trigram_frac", 6).alias("trig_r"),
-        ),
+    rep = repetition_stats(
+        docs.withColumn("alpha_r", F.round(alpha, 6)),
+        text_col,
+        passthrough=("alpha_r",),
+    )
+    joined = rep.select(
         "doc_id",
+        "alpha_r",
+        "n_words",
+        F.round("top_word_frac", 6).alias("topw_r"),
+        F.round("uniq_word_frac", 6).alias("uniq_r"),
+        F.round("dup_trigram_frac", 6).alias("trig_r"),
     )
     rules = [
         ("len", F.col("n_words") >= min_words),
@@ -220,3 +247,114 @@ def url_dedup(
             (F.count(F.lit(1)) - 1).cast("long").alias("n_dupes"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing
+# ---------------------------------------------------------------------------
+# Applied in listed order; each stage counts matches on the text AS
+# SCRUBBED SO FAR, then replaces them — so the counts are exactly
+# "what this stage removed" and the pipeline is reproducible by any
+# engine that applies the same regexps in the same order. Patterns
+# stay inside the Java-regex / RE2 common subset (no backrefs, no
+# lookaround) so a DuckDB oracle matches byte-for-byte.
+PII_RULES = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+\d[\d-]{7,14}\d", "<PHONE>"),
+]
+
+
+def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Replace emails, IPv4 addresses, and international phone numbers
+    with typed placeholder tokens. Adds (n_email, n_ipv4, n_phone —
+    int counts of replacements) and `scrubbed` (the cleaned text).
+
+    Email runs first so an address's host part is consumed before the
+    IPv4 rule can see it (user@1.2.3.4). Pure codegen'd string
+    expressions — scan-speed at 100 TB, no shuffle, no Python.
+    """
+    t = F.col(text_col)
+    counts = []
+    for name, pat, repl in PII_RULES:
+        counts.append(
+            F.size(F.regexp_extract_all(t, F.lit(pat), 0)).alias(f"n_{name}")
+        )
+        t = F.regexp_replace(t, pat, repl)
+    return docs.select("*", *counts, t.alias("scrubbed"))
+
+
+def line_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    line_sep: str = "\n",
+) -> DataFrame:
+    """Corpus-LEVEL exact line dedup (the C4 §2.2 rule: keep one
+    occurrence of every distinct line across the whole corpus, drop
+    the rest — kills boilerplate headers/footers/nav chrome shared by
+    millions of pages). The keeper is the lexicographically-first
+    occurrence by (doc_id, pos), so the result is deterministic at
+    any parallelism. Empty lines are passed through unchanged (they
+    carry formatting, not content).
+
+    Returns (id_col, clean string — surviving lines rejoined in
+    original order, n_lines int, n_kept int).
+
+    Scale plan (100 TB): posexplode (narrow) -> ONE hash agg keyed by
+    (xxhash64(line), length(line)) with map-side combine computing the
+    min (doc_id, pos) struct -> shuffle join back on the same key ->
+    per-doc re-assembly agg. Three shuffles, all linear in total line
+    count. The head-line skew (a footer in 50% of docs) is safe in
+    the agg (partial min per task); the join's hot key is one row on
+    the build side, so AQE skew-split handles the probe side.
+
+    Deliberately NOT the cheaper-looking one-shuffle formulation
+    (row_number() over (partition by line order by doc_id, pos)): a
+    window partition is one task, so a boilerplate line shared by 30%
+    of a trillion pages would serialize 30% of the corpus through a
+    single sort — the agg+join costs one more exchange but has no
+    single-task key anywhere. The oracle uses the window form (DuckDB,
+    sf0.01) where skew cannot exist; semantics are identical.
+    """
+    d, p = F.col(id_col), F.col("pos")
+    lines = docs.select(
+        id_col,
+        F.posexplode(F.split(F.col(text_col), line_sep)).alias("pos", "line"),
+    )
+    nonempty = lines.filter(F.col("line") != "")
+    key = [F.xxhash64("line").alias("h"), F.length("line").alias("hl")]
+    firsts = nonempty.groupBy(*key).agg(
+        F.min(F.struct(d.alias("d"), p.alias("p"))).alias("first")
+    )
+    marked = nonempty.join(
+        firsts, (F.xxhash64("line") == F.col("h")) & (F.length("line") == F.col("hl"))
+    ).select(
+        id_col,
+        "pos",
+        "line",
+        ((F.col("first.d") == d) & (F.col("first.p") == p)).alias("keep"),
+    )
+    # re-attach empty lines as always-kept so reassembly preserves them
+    empties = lines.filter(F.col("line") == "").select(
+        id_col, "pos", "line", F.lit(True).alias("keep")
+    )
+    per_doc = marked.unionByName(empties).groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("int").alias("n_lines"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("int").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("keep"),
+                            F.struct(F.col("pos"), F.col("line")),
+                        )
+                    )
+                ),
+                lambda s: s["line"],
+            ),
+            line_sep,
+        ).alias("clean"),
+    )
+    return per_doc
