@@ -98,11 +98,12 @@ local[{HIGH}], separate JVMs, order-alternated reps, best pair; one
 shared machine's memory bandwidth, so a sandbox proxy for N -> 4N
 executors).
 
-Job: `corpus_filter` (Gopher-style repetition stats — 1/2/3-gram
-explode into a (doc_id,n,gram)-keyed hash agg with map-side combine —
-joined with the alpha-ratio rule eval) + `domain_stats` host rollup +
-`url_dedup` canonical-URL agg, over {N_DOCS} synthetic
-Common-Crawl-style pages. Pure JVM path: no Python UDFs anywhere.
+Job: `corpus_filter` (Gopher-style repetition stats as a
+ZERO-SHUFFLE narrow Arrow kernel — one Counter pass per doc — with
+the codegen'd alpha-ratio rule carried through as a passthrough
+column; no exchange anywhere in the plan) + `domain_stats` host
+rollup + `url_dedup` canonical-URL agg, over {N_DOCS} synthetic
+Common-Crawl-style pages. Python workers warmed before timing.
 
 | parallelism | total sec (best of {REPS}) | docs/sec | quality sec | url sec |
 |---|---|---|---|---|
