@@ -1224,6 +1224,70 @@ def _q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_filter(_docs(spark, sf_dir))
 
 
+def _q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full corpus-hygiene pipeline (webtext.clean_corpus: exact
+    dedup -> corpus-level line dedup -> PII scrub -> quality filter)
+    as ONE oracle row. Deterministic construction from `documents`
+    exercises every stage: doc_id%10==7 docs are byte-identical
+    twins of their predecessor (exact_dup), every doc shares a
+    boilerplate header (+footer for %5==0) around two body lines
+    sliced from the text, an email is injected per doc and a phone
+    for %3==0. DuckDB replays all four stages; md5 of the final text
+    pins every byte of the surviving corpus."""
+    from top2vec_spark.operators.webtext import clean_corpus
+
+    src = _docs(spark, sf_dir).select("doc_id", "text")
+    d = F.col("doc_id")
+    b = F.col("bid")
+    pages = (
+        src.select(
+            "doc_id",
+            (d - F.when(d % 10 == 7, 1).otherwise(0)).alias("bid"),
+        )
+        .join(
+            src.select(F.col("doc_id").alias("bid"), F.col("text").alias("btext")),
+            "bid",
+        )
+        .select(
+            "doc_id",
+            F.concat_ws(
+                "\n",
+                F.lit("subscribe to our newsletter"),
+                F.concat(
+                    F.substring("btext", 1, 80),
+                    F.lit(" contact user"),
+                    (b % 89).cast("string"),
+                    F.lit("@ex"),
+                    (b % 7).cast("string"),
+                    F.lit(".org"),
+                ),
+                F.concat(
+                    F.substring("btext", 81, 80),
+                    F.when(
+                        b % 3 == 0,
+                        F.concat(
+                            F.lit(" call +1-555-0"),
+                            F.lpad((b % 1000).cast("string"), 3, "0"),
+                        ),
+                    ).otherwise(F.lit("")),
+                ),
+                F.when(b % 5 == 0, F.lit("copyright example corp")),
+            ).alias("text"),
+        )
+    )
+    out = clean_corpus(pages, min_words=20, min_alpha=0.60, max_top_word=0.25)
+    return out.select(
+        "doc_id",
+        "keep",
+        "reason",
+        F.md5("text_final").alias("final_md5"),
+        F.length("text_final").cast("int").alias("final_len"),
+        "n_pii",
+        "n_lines",
+        "n_kept",
+    )
+
+
 def _q_sessions_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The skew-safe salted sessionization twin answered against the
     SAME oracle as sessions_by_user — proves the three-phase
@@ -1585,6 +1649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup": _q_url_dedup,
         "pii_scrub": _q_pii_scrub,
         "line_dedup": _q_line_dedup,
+        "clean_corpus": _q_clean_corpus,
         "index_manifest_stats": _q_index_manifest_stats,
         "corpus_filter": _q_corpus_filter,
         "sessions_by_user_salted": _q_sessions_salted,
@@ -2697,6 +2762,122 @@ SELECT doc_id, cast(count(*) AS INT) AS n_lines,
     string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY pos), ''))
     AS INT) AS clean_len
 FROM marked GROUP BY doc_id
+""",
+        "clean_corpus": r"""
+WITH src AS (SELECT doc_id, text FROM documents),
+pages AS (
+  SELECT s.doc_id,
+    concat_ws(chr(10),
+      'subscribe to our newsletter',
+      substr(b.text, 1, 80) || ' contact user'
+        || cast(b.doc_id % 89 AS VARCHAR) || '@ex'
+        || cast(b.doc_id % 7 AS VARCHAR) || '.org',
+      substr(b.text, 81, 80)
+        || (CASE WHEN b.doc_id % 3 = 0
+            THEN ' call +1-555-0' || lpad(cast(b.doc_id % 1000 AS VARCHAR), 3, '0')
+            ELSE '' END),
+      CASE WHEN b.doc_id % 5 = 0 THEN 'copyright example corp' END) AS text
+  FROM src s JOIN src b
+    ON b.doc_id = s.doc_id - (CASE WHEN s.doc_id % 10 = 7 THEN 1 ELSE 0 END)
+),
+ex AS (
+  SELECT doc_id, text,
+    row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+  FROM pages
+),
+surv AS (SELECT doc_id, text FROM ex WHERE rn = 1),
+lines AS (
+  SELECT doc_id,
+         unnest(string_split(text, chr(10))) AS line,
+         generate_subscripts(string_split(text, chr(10)), 1) AS pos
+  FROM surv
+),
+lmarked AS (
+  SELECT doc_id, pos, line,
+    (line = ''
+     OR row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) = 1)
+      AS lkeep
+  FROM lines
+),
+ld AS (
+  SELECT doc_id, cast(count(*) AS INT) AS n_lines,
+    cast(sum(CASE WHEN lkeep THEN 1 ELSE 0 END) AS INT) AS n_kept,
+    coalesce(string_agg(CASE WHEN lkeep THEN line END, chr(10) ORDER BY pos),
+             '') AS clean
+  FROM lmarked GROUP BY doc_id
+),
+p1 AS (
+  SELECT doc_id, n_lines, n_kept,
+    len(regexp_extract_all(clean,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+    regexp_replace(clean, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        '<EMAIL>', 'g') AS t
+  FROM ld
+),
+p2 AS (
+  SELECT doc_id, n_lines, n_kept, n_email,
+    len(regexp_extract_all(t,
+        '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4,
+    regexp_replace(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')
+        AS t
+  FROM p1
+),
+p3 AS (
+  SELECT doc_id, n_lines, n_kept, n_email, n_ipv4,
+    len(regexp_extract_all(t, '\+\d[\d-]{7,14}\d')) AS n_phone,
+    regexp_replace(t, '\+\d[\d-]{7,14}\d', '<PHONE>', 'g') AS scrubbed
+  FROM p2
+),
+fw AS (
+  SELECT doc_id, scrubbed,
+    list_filter(regexp_split_to_array(trim(scrubbed), '\s+'), x -> x <> '')
+      AS ws
+  FROM p3
+),
+flists AS (
+  SELECT doc_id, scrubbed, ws AS g1,
+         list_transform(range(1, len(ws) - 1),
+                        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS g3
+  FROM fw
+),
+feats AS (
+  SELECT doc_id,
+    len(g1) AS n_words,
+    round(length(regexp_replace(scrubbed, '[^A-Za-z]', '', 'g')) * 1.0
+          / greatest(length(scrubbed), 1), 6) AS alpha_r,
+    round((SELECT max(c) FROM (SELECT count(*) AS c
+             FROM unnest(g1) AS t(x) GROUP BY x)) * 1.0
+          / greatest(len(g1), 1), 6) AS topw_r,
+    round(len(list_distinct(g1)) * 1.0 / greatest(len(g1), 1), 6) AS uniq_r,
+    round(coalesce((len(g3) - len(list_distinct(g3))) * 1.0
+          / nullif(len(g3), 0), 0.0), 6) AS trig_r
+  FROM flists WHERE len(g1) > 0
+),
+flagged AS (
+  SELECT doc_id,
+    concat_ws(',',
+      CASE WHEN NOT (n_words >= 20) THEN 'len' END,
+      CASE WHEN NOT (alpha_r >= 0.60) THEN 'alpha' END,
+      CASE WHEN NOT (uniq_r >= 0.40) THEN 'uniq' END,
+      CASE WHEN NOT (topw_r <= 0.25) THEN 'top_word' END,
+      CASE WHEN NOT (trig_r <= 0.10) THEN 'dup_trigram' END
+    ) AS fails
+  FROM feats
+)
+SELECT p3.doc_id,
+  coalesce(f.fails = '', FALSE) AS keep,
+  coalesce(f.fails, 'empty') AS reason,
+  md5(p3.scrubbed) AS final_md5,
+  cast(length(p3.scrubbed) AS INT) AS final_len,
+  cast(p3.n_email + p3.n_ipv4 + p3.n_phone AS INT) AS n_pii,
+  p3.n_lines, p3.n_kept
+FROM p3 LEFT JOIN flagged f ON p3.doc_id = f.doc_id
+UNION ALL
+SELECT doc_id, FALSE AS keep, 'exact_dup' AS reason,
+  cast(NULL AS VARCHAR) AS final_md5, cast(NULL AS INT) AS final_len,
+  cast(NULL AS INT) AS n_pii, cast(NULL AS INT) AS n_lines,
+  cast(NULL AS INT) AS n_kept
+FROM ex WHERE rn > 1
 """,
         "index_manifest_stats": f"""
 WITH {_TOKENS_CTE}

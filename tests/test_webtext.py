@@ -208,3 +208,48 @@ def test_line_dedup_corpus_level(spark):
     # always kept (formatting), 'unique' survives
     assert rows[2]["clean"] == "\nunique"
     assert (rows[2]["n_lines"], rows[2]["n_kept"]) == (4, 2)
+
+
+def test_clean_corpus_pipeline(spark):
+    from top2vec_spark.operators.webtext import clean_corpus
+
+    body = (
+        "the quick brown fox jumps over a lazy dog near the bank "
+        "contact bob@ex.org"
+    )
+    df = spark.createDataFrame(
+        [
+            (0, f"header\n{body}\nfooter"),
+            (1, f"header\n{body}\nfooter"),  # exact dup of 0
+            (2, "header\nfooter"),  # every line duped -> empty
+            (
+                3,
+                "header\ncompletely different words appear in this line "
+                "with plenty of variety here today\nfooter",
+            ),
+            (4, " ".join(["x"] * 30)),  # repetition monster
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in clean_corpus(df, min_words=10, min_alpha=0.6).collect()
+    }
+    # doc 1 is byte-identical to doc 0 -> dropped before any other
+    # stage, carries no downstream stats
+    assert (rows[1]["keep"], rows[1]["reason"]) == (False, "exact_dup")
+    assert rows[1]["text_final"] is None and rows[1]["n_lines"] is None
+    # doc 0 survives dedup, gets its email scrubbed, then trips the
+    # top_word rule ('the' 2/16 = 0.125 > 0.12)
+    assert rows[0]["reason"] == "top_word"
+    assert rows[0]["n_pii"] == 1
+    assert "<EMAIL>" in rows[0]["text_final"]
+    assert (rows[0]["n_lines"], rows[0]["n_kept"]) == (3, 3)
+    # doc 2's lines all belong to doc 0 after line dedup -> zero words
+    assert (rows[2]["keep"], rows[2]["reason"]) == (False, "empty")
+    assert rows[2]["n_kept"] == 0
+    # doc 3 keeps its unique body line and passes every rule
+    assert (rows[3]["keep"], rows[3]["reason"]) == (True, "")
+    assert rows[3]["n_kept"] == 1
+    # doc 4 fails multiple rules with labels in rule order
+    assert rows[4]["reason"] == "alpha,uniq,top_word,dup_trigram"

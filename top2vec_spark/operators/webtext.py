@@ -358,3 +358,80 @@ def line_dedup(
         ).alias("clean"),
     )
     return per_doc
+
+
+def clean_corpus(
+    docs: DataFrame, text_col: str = "text", **filter_kwargs
+) -> DataFrame:
+    """End-to-end training-corpus hygiene pipeline, one lazy plan:
+
+      1. whole-document exact dedup (keeper = min doc_id) — FIRST,
+         because it is the cheapest stage and the biggest volume cut
+         at crawl scale, and later stages never see the drops;
+      2. corpus-level line dedup (`line_dedup`) on the survivors;
+      3. PII scrubbing (`pii_scrub`) of the line-deduped text;
+      4. composite quality filter (`corpus_filter`, kwargs forwarded)
+         on the scrubbed text.
+
+    Ordering note: stage 1 MUST precede stage 2 — after corpus-level
+    line dedup a given line survives in exactly one document, so two
+    documents can never again have equal text and a later exact-dedup
+    stage would be dead code (an exact duplicate's lines all belong
+    to its twin, leaving it empty — caught here as 'exact_dup'
+    up-front instead of a confusing 'empty' later).
+
+    Returns one row per input doc:
+      (doc_id, keep boolean, reason string — '' kept / 'exact_dup' /
+       'empty' / comma-joined filter-rule names, text_final string —
+       scrubbed clean text (NULL for exact_dup drops, which never
+       flow through the later stages), n_pii int, n_lines int,
+       n_kept int — NULL for exact_dup drops likewise).
+
+    Scale: stage 1 is one (xxhash64,length)-keyed agg + co-keyed join
+    (same skew-safe shape as line_dedup); stages 3-4 are narrow /
+    zero-shuffle; the doc_id-keyed stitching joins co-partition.
+    """
+    t = F.col(text_col)
+    firsts = docs.groupBy(
+        F.xxhash64(t).alias("h"), F.length(t).alias("l")
+    ).agg(F.min("doc_id").alias("keeper"))
+    marked = docs.join(
+        firsts, (F.xxhash64(t) == F.col("h")) & (F.length(t) == F.col("l"))
+    ).select("doc_id", text_col, (F.col("doc_id") == F.col("keeper")).alias("uniq"))
+    dropped = marked.filter(~F.col("uniq")).select(
+        "doc_id",
+        F.lit(False).alias("keep"),
+        F.lit("exact_dup").alias("reason"),
+        F.lit(None).cast("string").alias("text_final"),
+        F.lit(None).cast("int").alias("n_pii"),
+        F.lit(None).cast("int").alias("n_lines"),
+        F.lit(None).cast("int").alias("n_kept"),
+    )
+    survivors = marked.filter(F.col("uniq")).select("doc_id", text_col)
+
+    ld = line_dedup(survivors, text_col)
+    scr = pii_scrub(
+        ld.select("doc_id", F.col("clean").alias(text_col)), text_col
+    ).select("doc_id", "n_email", "n_ipv4", "n_phone", "scrubbed")
+    cf = corpus_filter(
+        scr.select("doc_id", F.col("scrubbed").alias("text")),
+        "text",
+        **filter_kwargs,
+    )
+    res = (
+        ld.select("doc_id", "n_lines", "n_kept")
+        .join(scr, "doc_id")
+        .join(cf.select("doc_id", "keep", "fails"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("keep", F.lit(False)).alias("keep"),
+            F.coalesce("fails", F.lit("empty")).alias("reason"),
+            F.col("scrubbed").alias("text_final"),
+            (F.col("n_email") + F.col("n_ipv4") + F.col("n_phone"))
+            .cast("int")
+            .alias("n_pii"),
+            "n_lines",
+            "n_kept",
+        )
+    )
+    return res.unionByName(dropped)
