@@ -69,7 +69,7 @@ def main() -> None:
 
     best = {c: min(rs, key=lambda r: r["total_sec"]) for c, rs in runs.items()}
     # sanity: identical answers at both parallelism levels
-    for key in ("keep_counts", "n_hosts", "n_canon_urls"):
+    for key in ("keep_counts", "pipe_keep_counts", "n_hosts", "n_canon_urls"):
         assert best[LOW][key] == best[HIGH][key], (key, best)
     t_low, t_high = best[LOW]["total_sec"], best[HIGH]["total_sec"]
     speedup = t_low / t_high
@@ -85,7 +85,7 @@ def main() -> None:
         f"| stage | local[{LOW}] | local[{HIGH}] | speedup |",
         "|---|---|---|---|",
     ]
-    for st in ("quality_sec", "url_sec", "total_sec"):
+    for st in ("quality_sec", "url_sec", "pipeline_sec", "total_sec"):
         a, b = best[LOW][st], best[HIGH][st]
         stage_lines.append(f"| {st[:-4]} | {a} | {b} | {a / b:.2f}x |")
 
@@ -102,13 +102,15 @@ Job: `corpus_filter` (Gopher-style repetition stats as a
 ZERO-SHUFFLE narrow Arrow kernel — one Counter pass per doc — with
 the codegen'd alpha-ratio rule carried through as a passthrough
 column; no exchange anywhere in the plan) + `domain_stats` host
-rollup + `url_dedup` canonical-URL agg, over {N_DOCS} synthetic
+rollup + `url_dedup` canonical-URL agg + the full `clean_corpus`
+hygiene pipeline (exact dedup -> line dedup -> PII scrub -> quality
+filter: the corpus-global shuffle path), over {N_DOCS} synthetic
 Common-Crawl-style pages. Python workers warmed before timing.
 
-| parallelism | total sec (best of {REPS}) | docs/sec | quality sec | url sec |
-|---|---|---|---|---|
-| local[{LOW}]  | {t_low} | {best[LOW]["docs_per_sec"]} | {best[LOW]["quality_sec"]} | {best[LOW]["url_sec"]} |
-| local[{HIGH}] | {t_high} | {best[HIGH]["docs_per_sec"]} | {best[HIGH]["quality_sec"]} | {best[HIGH]["url_sec"]} |
+| parallelism | total sec (best of {REPS}) | docs/sec | quality sec | url sec | pipeline sec | pipeline docs/sec |
+|---|---|---|---|---|---|---|
+| local[{LOW}]  | {t_low} | {best[LOW]["docs_per_sec"]} | {best[LOW]["quality_sec"]} | {best[LOW]["url_sec"]} | {best[LOW]["pipeline_sec"]} | {best[LOW]["pipeline_docs_per_sec"]} |
+| local[{HIGH}] | {t_high} | {best[HIGH]["docs_per_sec"]} | {best[HIGH]["quality_sec"]} | {best[HIGH]["url_sec"]} | {best[HIGH]["pipeline_sec"]} | {best[HIGH]["pipeline_docs_per_sec"]} |
 
 - speedup {LOW}->{HIGH} cores: **{speedup:.2f}x** (ideal {HIGH // LOW}.0x)
 - scaling efficiency (best pair): **{efficiency:.3f}**

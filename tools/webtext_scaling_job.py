@@ -17,7 +17,12 @@ import time
 
 sys.path.insert(0, sys.path[0].rsplit("/tools", 1)[0] if "/tools" in sys.path[0] else ".")
 
-from top2vec_spark.operators.webtext import corpus_filter, domain_stats, url_dedup
+from top2vec_spark.operators.webtext import (
+    clean_corpus,
+    corpus_filter,
+    domain_stats,
+    url_dedup,
+)
 from top2vec_spark.session import get_spark
 
 
@@ -62,7 +67,19 @@ def main() -> None:
     n_canon = url_dedup(pages).count()
     t_url = time.time() - t1
 
-    total = t_quality + t_url
+    # full 4-stage hygiene pipeline (exact dedup -> line dedup ->
+    # pii scrub -> quality filter) — the corpus-global shuffle path
+    t2 = time.time()
+    pipe = {
+        str(r["keep"]): r["count"]
+        for r in clean_corpus(pages, min_words=25, min_alpha=0.70)
+        .groupBy("keep")
+        .count()
+        .collect()
+    }
+    t_pipe = time.time() - t2
+
+    total = t_quality + t_url + t_pipe
     print(
         json.dumps(
             {
@@ -70,9 +87,12 @@ def main() -> None:
                 "n_docs": n_docs,
                 "quality_sec": round(t_quality, 3),
                 "url_sec": round(t_url, 3),
+                "pipeline_sec": round(t_pipe, 3),
                 "total_sec": round(total, 3),
                 "docs_per_sec": round(n_docs / total, 1),
+                "pipeline_docs_per_sec": round(n_docs / t_pipe, 1),
                 "keep_counts": {str(r["keep"]): r["count"] for r in kept},
+                "pipe_keep_counts": pipe,
                 "n_hosts": n_hosts,
                 "n_canon_urls": n_canon,
             }

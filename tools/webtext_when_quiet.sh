@@ -16,7 +16,9 @@ for i in $(seq 1 8); do
 done
 probe_full=$(PROBE_LOW=2 PROBE_HIGH=8 python tools/cpu_probe.py 2 2>/dev/null | tail -1)
 echo "final probe: $probe_full" >> "$LOG"
-SCALING_LOW=2 SCALING_HIGH=8 SCALING_N_DOCS=${SCALING_N_DOCS:-800000} SCALING_REPS=2 \
+OUT=${SCALING_OUT:-BENCH/SCALING_WEBTEXT_r5.md}
+SCALING_OUT="$OUT" SCALING_LOW=2 SCALING_HIGH=8 \
+  SCALING_N_DOCS=${SCALING_N_DOCS:-800000} SCALING_REPS=2 \
   python tools/webtext_scaling.py >> "$LOG" 2>&1
 {
   echo ""
@@ -30,5 +32,5 @@ SCALING_LOW=2 SCALING_HIGH=8 SCALING_N_DOCS=${SCALING_N_DOCS:-800000} SCALING_RE
   echo '```'
   grep "probe:" "$LOG" || true
   echo '```'
-} >> BENCH/SCALING_WEBTEXT_r5.md
+} >> "$OUT"
 echo DONE >> "$LOG"
