@@ -8,9 +8,14 @@ LOG=/tmp/webtext_gate.log
 : > "$LOG"
 for i in $(seq 1 8); do
   probe=$(PROBE_LOW=2 PROBE_HIGH=8 python tools/cpu_probe.py 1 2>/dev/null | tail -1)
-  eff=$(echo "$probe" | python3 -c "import json,sys; print(json.load(sys.stdin)['best_efficiency'])")
   echo "attempt $i probe: $probe" >> "$LOG"
-  ok=$(python3 -c "print(1 if ${eff:-0} >= 0.65 else 0)")
+  # DOUBLE gate (round-3 lesson): efficiency alone false-opens when a
+  # storm inflates the 2-thread baseline (t_low 56s -> "eff 1.24").
+  # Require plausible scaling AND a quiet absolute baseline.
+  ok=$(echo "$probe" | python3 -c "
+import json, sys
+p = json.load(sys.stdin)
+print(1 if p['best_efficiency'] >= 0.65 and min(p['t_low']) <= 26 else 0)")
   if [ "$ok" = "1" ]; then break; fi
   sleep 420
 done
