@@ -1288,6 +1288,24 @@ def _q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3 appendix-C rule re-expressed):
+    the benchmark set is words 3..14 of every doc_id%25==0 document,
+    so those documents (and any doc sharing the same 8-word run) must
+    flag as contaminated. The corpus side is never shuffled — the
+    benchmark n-gram set is broadcast (webtext.decontaminate)."""
+    from top2vec_spark.operators.webtext import decontaminate
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    words = F.filter(
+        F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != ""
+    )
+    bench = docs.filter(F.col("doc_id") % 25 == 0).select(
+        F.array_join(F.slice(words, 3, 12), " ").alias("text")
+    )
+    return decontaminate(docs, bench, n=8)
+
+
 def _q_sessions_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The skew-safe salted sessionization twin answered against the
     SAME oracle as sessions_by_user — proves the three-phase
@@ -1650,6 +1668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": _q_pii_scrub,
         "line_dedup": _q_line_dedup,
         "clean_corpus": _q_clean_corpus,
+        "decontam": _q_decontam,
         "index_manifest_stats": _q_index_manifest_stats,
         "corpus_filter": _q_corpus_filter,
         "sessions_by_user_salted": _q_sessions_salted,
@@ -2878,6 +2897,36 @@ SELECT doc_id, FALSE AS keep, 'exact_dup' AS reason,
   cast(NULL AS INT) AS n_pii, cast(NULL AS INT) AS n_lines,
   cast(NULL AS INT) AS n_kept
 FROM ex WHERE rn > 1
+""",
+        "decontam": r"""
+WITH w AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS ws
+  FROM documents
+),
+bench AS (
+  SELECT ws[3:14] AS bw FROM w WHERE doc_id % 25 = 0
+),
+bgrams AS (
+  SELECT DISTINCT gram FROM (
+    SELECT unnest(list_transform(range(1, len(bw) - 6),
+      i -> array_to_string(bw[i:i+7], ' '))) AS gram
+    FROM bench WHERE len(bw) >= 8
+  )
+),
+dgrams AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(ws) - 6),
+    i -> array_to_string(ws[i:i+7], ' '))) AS gram
+  FROM w WHERE len(ws) >= 8
+),
+hits AS (
+  SELECT d.doc_id, count(*) AS n_hits
+  FROM dgrams d JOIN bgrams b USING (gram)
+  GROUP BY d.doc_id
+)
+SELECT w.doc_id, cast(coalesce(h.n_hits, 0) AS INT) AS n_hits,
+       coalesce(h.n_hits, 0) > 0 AS contaminated
+FROM w LEFT JOIN hits h ON w.doc_id = h.doc_id
 """,
         "index_manifest_stats": f"""
 WITH {_TOKENS_CTE}

@@ -253,3 +253,23 @@ def test_clean_corpus_pipeline(spark):
     assert rows[3]["n_kept"] == 1
     # doc 4 fails multiple rules with labels in rule order
     assert rows[4]["reason"] == "alpha,uniq,top_word,dup_trigram"
+
+
+def test_decontaminate(spark):
+    from top2vec_spark.operators.webtext import decontaminate
+
+    docs = spark.createDataFrame(
+        [(0, "a b c d e"), (1, "x y z w"), (2, "a b")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [("q q a b c d q",)], "text string"
+    )
+    rows = {
+        r["doc_id"]: r for r in decontaminate(docs, bench, n=3).collect()
+    }
+    # doc 0 shares trigrams 'a b c' and 'b c d' with the benchmark
+    assert (rows[0]["n_hits"], rows[0]["contaminated"]) == (2, True)
+    assert (rows[1]["n_hits"], rows[1]["contaminated"]) == (0, False)
+    # fewer than n words -> clean by construction
+    assert (rows[2]["n_hits"], rows[2]["contaminated"]) == (0, False)

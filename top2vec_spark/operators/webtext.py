@@ -435,3 +435,64 @@ def clean_corpus(
         )
     )
     return res.unionByName(dropped)
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination (the public GPT-3 appendix-C /
+    PaLM-style rule): flag every training document that shares any
+    word n-gram (default 8) with a held-out benchmark/eval set.
+
+    Returns (doc_id, n_hits int — matching n-gram occurrences in the
+    doc, contaminated boolean). Docs with fewer than n words are
+    clean by construction.
+
+    Scale plan (100 TB): the benchmark side is small (eval sets are
+    thousands of rows), so its distinct n-gram set is BROADCAST —
+    the training corpus is never shuffled at all: one narrow
+    generator explode per doc, a broadcast-hash semi-join, and a
+    doc_id-keyed partial count. The corpus-side n-gram array is
+    pre-projected into its own column (Catalyst does not CSE inside
+    Generate: referencing split() in the gram lambda would re-split
+    the text per element).
+    """
+
+    def words_of(col: str) -> Column:
+        return F.filter(
+            F.split(F.trim(F.col(col)), r"\s+"), lambda x: x != ""
+        )
+
+    def ngram_arr(warr: Column) -> Column:
+        joined = F.transform(
+            F.sequence(F.lit(0), F.size(warr) - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(warr, i + j + 1) for j in range(n)]
+            ),
+        )
+        return F.when(F.size(warr) >= n, joined).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    bench_grams = (
+        benchmark.select(words_of(bench_text_col).alias("__w"))
+        .select(F.explode(ngram_arr(F.col("__w"))).alias("gram"))
+        .distinct()
+    )
+    doc_grams = docs.select(
+        "doc_id", words_of(text_col).alias("__w")
+    ).select("doc_id", F.explode(ngram_arr(F.col("__w"))).alias("gram"))
+    hits = (
+        doc_grams.join(F.broadcast(bench_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("int").alias("n_hits"))
+    )
+    return docs.select("doc_id").join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+        (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
+    )
