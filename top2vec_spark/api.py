@@ -532,6 +532,26 @@ class Top2VecSpark:
             )
         )
 
+    def export_doc2vec_corpus(
+        self, path: str, n_files: int = 64
+    ) -> DataFrame:
+        """S2: materialize the tokenized corpus in gensim Doc2Vec
+        ``corpus_file`` format (reference top2vec.py:604-609 writes
+        ``' '.join(tokenizer(doc))`` per line to a temp file and tags
+        each document by its line number). Distributed sink: globally
+        ordered text part-files at ``{path}/corpus`` + a line-number ->
+        doc_id manifest at ``{path}/manifest`` (returned). Training
+        itself (gensim, L1) stays out of scope per the north rule —
+        this is the reference's corpus hand-off boundary, re-expressed
+        as a Spark sink."""
+        from top2vec_spark.sources.doc2vec_corpus import (
+            export_doc2vec_corpus,
+        )
+
+        return export_doc2vec_corpus(
+            self.get_document_tokens(), path, n_files=n_files
+        )
+
     def get_document_token_topic_assignment(
         self, round_digits: int | None = None
     ) -> DataFrame:
