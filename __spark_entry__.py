@@ -773,6 +773,49 @@ def _q_topic_merge_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_hierarchy_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L7/M4/K6 one-step hierarchical topic reduction under a DuckDB
+    oracle (reference top2vec.py:2270-2418): reduce n topics to n-1 —
+    the smallest topic (min size, tie -> smaller id; K6's iterative
+    min-finding rule) merges into its most-cosine-similar other topic
+    (tie -> smaller id) via the size-weighted centroid mean (M4),
+    renormalized. DuckDB replays the same step from the embeddings
+    table: centroids + sizes -> argmin/argmax selection -> weighted
+    mean -> renormalize. Output (label, members, dim, val): surviving
+    topics with their member lists and centroid components; round-4
+    absorbs cross-engine mean/normalize sum-order noise, and the
+    selection margins (distinct synthetic clusters) dwarf 1 ulp —
+    pinned by the value hash itself."""
+    import numpy as np
+
+    from top2vec_spark.operators import topics as T
+    from top2vec_spark.operators.similarity import label_centroids
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = {
+        int(r["label"]): np.array(r["centroid"])
+        for r in label_centroids(emb).collect()
+    }
+    sizes = {
+        int(r["label"]): int(r["n"])
+        for r in emb.groupBy("label").agg(F.count("*").alias("n")).collect()
+    }
+    reduced, hierarchy = T.hierarchical_topic_reduction(
+        cents, sizes, len(cents) - 1
+    )
+    rows = []
+    for label, members in zip(sorted(reduced), hierarchy):
+        mstr = ",".join(str(m) for m in members)
+        for d, x in enumerate(reduced[label]):
+            rows.append((label, mstr, d, float(x)))
+    raw = spark.createDataFrame(
+        rows, "label long, members string, dim long, val double"
+    )
+    # F.round (HALF_UP == half-away-from-zero, like DuckDB), NOT
+    # Python round (half-even)
+    return raw.withColumn("val", F.round("val", 4))
+
+
 def _q_wordcloud_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S6/M5 wordcloud export (reference generate_topic_wordcloud,
     top2vec.py:3188-3236): softmax over topic 0's stored c-TF-IDF
@@ -924,6 +967,51 @@ def _q_doc_token_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "term",
         F.col("topic_id").cast("long").alias("topic_id"),
         "score",
+    )
+
+
+def _q_embed_hook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H2 embedding-model hook under a DuckDB oracle: a deterministic
+    INTEGER-VALUED user callable (dim 4: [len(text), count('a')+1,
+    count('e')+1, 7]) registered via set_embedding_model and executed
+    distributed through embed_documents (reference _embed_documents,
+    top2vec.py:1022-1048: batches of 32 inside mapInPandas, row-wise
+    L2 normalize, float32 storage).
+
+    Integer features make the whole numeric chain bit-identical
+    cross-engine: the squares and their 4-term sum are exact in
+    float64 (< 2^53), IEEE sqrt and divide are correctly rounded, and
+    the float32 cast quantizes identically — the oracle mirrors the
+    cast with CAST(... AS REAL). Exploded to (vec_id, dim, val)
+    because the driver canonicalizer cannot sort array cells
+    (round-4 lesson)."""
+    import numpy as np
+
+    from top2vec_spark.api import Top2VecSpark
+
+    eng = Top2VecSpark(spark, _docs(spark, sf_dir), min_count=0)
+
+    def model(texts):
+        return np.array(
+            [
+                [
+                    float(len(t)),
+                    float(t.count("a") + 1),
+                    float(t.count("e") + 1),
+                    7.0,
+                ]
+                for t in texts
+            ]
+        )
+
+    eng.set_embedding_model(model)
+    out = eng.embed_documents()
+    return out.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "val")
+    ).select(
+        "vec_id",
+        F.col("dim").cast("long").alias("dim"),
+        F.round(F.col("val").cast("double"), 6).alias("val"),
     )
 
 
@@ -1652,6 +1740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_dup_pairs": _q_simhash_dup_pairs,
         "noise_topic_assign": _q_noise_topic_assign,
         "topic_merge_map": _q_topic_merge_map,
+        "hierarchy_step": _q_hierarchy_step,
         "wordcloud_weights": _q_wordcloud_weights,
         "incremental_topic_sizes": _q_incremental_topic_sizes,
         "chunks_custom": _q_chunks_custom,
@@ -1660,6 +1749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_sentencized": _q_vocab_sentencized,
         "doc_tokens": _q_doc_tokens,
         "doc_token_topics": _q_doc_token_topics,
+        "embed_hook": _q_embed_hook,
         "media_features": _q_media_features,
         "docs_topics_top2": _q_docs_topics_top2,
         "repetition_stats": _q_repetition_stats,
@@ -2470,6 +2560,25 @@ SELECT doc_id,
        ), ' ') AS tokens_joined
 FROM documents
 """,
+        "embed_hook": """
+WITH feats AS (
+  SELECT doc_id AS vec_id,
+         [CAST(length(text) AS DOUBLE),
+          CAST(length(text) - length(replace(text, 'a', '')) + 1 AS DOUBLE),
+          CAST(length(text) - length(replace(text, 'e', '')) + 1 AS DOUBLE),
+          CAST(7 AS DOUBLE)] AS v
+  FROM documents
+),
+normed AS (
+  SELECT vec_id, v,
+         sqrt(v[1]*v[1] + v[2]*v[2] + v[3]*v[3] + v[4]*v[4]) AS n
+  FROM feats
+)
+SELECT vec_id,
+       CAST(d.i - 1 AS BIGINT) AS dim,
+       round(CAST(CAST(v[d.i] / n AS REAL) AS DOUBLE), 6) AS val
+FROM normed, (VALUES (1), (2), (3), (4)) d(i)
+""",
         "doc_token_topics": f"""
 WITH {_CENTROIDS_CTE},
 {_TOPIC_CTFIDF_CTE},
@@ -2484,6 +2593,49 @@ SELECT t.doc_id, CAST(t.pos AS BIGINT) AS pos, t.term,
        CAST(b.topic_id AS BIGINT) AS topic_id, b.score
 FROM tokens_pos t JOIN best b USING (term)
 """.replace("{tokens_expr}", duckdb_tokens_sql()),
+        "hierarchy_step": f"""
+WITH {_CENTROIDS_CTE},
+sizes AS (SELECT label, count(*) AS sz FROM embeddings GROUP BY label),
+cd AS (SELECT label, unnest(c) AS v, generate_subscripts(c, 1) AS pos
+       FROM centroids),
+small AS (SELECT label, sz FROM sizes ORDER BY sz ASC, label ASC LIMIT 1),
+tgt AS (
+  SELECT b.label, sum(a.v * b.v) AS sim
+  FROM cd a JOIN cd b USING (pos)
+  WHERE a.label = (SELECT label FROM small) AND b.label != a.label
+  GROUP BY b.label
+  ORDER BY sim DESC, b.label ASC LIMIT 1
+),
+mergedraw AS (
+  SELECT b.pos,
+         (b.v * (SELECT sz FROM sizes WHERE label = (SELECT label FROM tgt))
+          + a.v * (SELECT sz FROM small))
+         / ((SELECT sz FROM sizes WHERE label = (SELECT label FROM tgt))
+            + (SELECT sz FROM small)) AS mv
+  FROM cd a JOIN cd b USING (pos)
+  WHERE a.label = (SELECT label FROM small)
+    AND b.label = (SELECT label FROM tgt)
+),
+mnorm AS (SELECT sqrt(sum(mv * mv)) AS n FROM mergedraw),
+tgtmem AS (
+  SELECT string_agg(CAST(m AS VARCHAR), ',' ORDER BY m) AS s
+  FROM (SELECT label AS m FROM small UNION ALL SELECT label FROM tgt)
+),
+outdims AS (
+  SELECT c.label, c.pos,
+         CASE WHEN c.label = (SELECT label FROM tgt)
+              THEN (SELECT mv FROM mergedraw m WHERE m.pos = c.pos)
+                   / (SELECT n FROM mnorm)
+              ELSE c.v END AS val
+  FROM cd c WHERE c.label != (SELECT label FROM small)
+)
+SELECT label,
+       CASE WHEN label = (SELECT label FROM tgt) THEN (SELECT s FROM tgtmem)
+            ELSE CAST(label AS VARCHAR) END AS members,
+       CAST(pos - 1 AS BIGINT) AS dim,
+       round(val, 4) AS val
+FROM outdims
+""",
         "wordcloud_weights": f"""
 WITH {_CENTROIDS_CTE},
 {_TOPIC_CTFIDF_CTE},
