@@ -1015,6 +1015,31 @@ def _q_embed_hook(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_hashed_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing document vectors (operators/hashing.py — the
+    turnkey model-free embedding) under a DuckDB oracle: tf per
+    (doc, term) -> vocab term_id (row_number over (df DESC, term)) ->
+    integer bucket/sign multiplicative hashes -> per-bucket signed
+    sums -> dense L2-normalized float32 vectors, dim=32. Integer tf
+    weights make the chain bit-identical cross-engine (exact integer
+    bucket sums and squares, correctly-rounded sqrt/divide, CAST AS
+    REAL mirroring the float32 store) — the embed_hook argument.
+    Exploded to (vec_id, dim, val)."""
+    from top2vec_spark.api import Top2VecSpark
+
+    eng = Top2VecSpark(
+        spark, _docs(spark, sf_dir), min_count=0, ascii_fast_path=True
+    )
+    out = eng.hashed_document_vectors(dim=32)
+    return out.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "val")
+    ).select(
+        "vec_id",
+        F.col("dim").cast("long").alias("dim"),
+        F.round(F.col("val").cast("double"), 6).alias("val"),
+    )
+
+
 def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M1 multimodal pipeline under a DuckDB oracle: per doc_id a PPM
     image (4x8, pixel[y,x,c] = (doc_id*7+y*31+x*13+c*97) mod 256) and
@@ -1750,6 +1775,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_tokens": _q_doc_tokens,
         "doc_token_topics": _q_doc_token_topics,
         "embed_hook": _q_embed_hook,
+        "hashed_vectors": _q_hashed_vectors,
         "media_features": _q_media_features,
         "docs_topics_top2": _q_docs_topics_top2,
         "repetition_stats": _q_repetition_stats,
@@ -2578,6 +2604,33 @@ SELECT vec_id,
        CAST(d.i - 1 AS BIGINT) AS dim,
        round(CAST(CAST(v[d.i] / n AS REAL) AS DOUBLE), 6) AS val
 FROM normed, (VALUES (1), (2), (3), (4)) d(i)
+""",
+        "hashed_vectors": f"""
+WITH {_TOKENS_CTE},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tokens GROUP BY doc_id, term),
+vstats AS (SELECT term, count(DISTINCT doc_id) AS df FROM tokens GROUP BY term),
+vnum AS (SELECT term,
+                row_number() OVER (ORDER BY df DESC, term ASC) - 1 AS term_id
+         FROM vstats),
+w AS (
+  SELECT doc_id,
+         (term_id * 2654435761) % 32 AS bucket,
+         CAST((2 * ((term_id * 40503) % 2) - 1) * tf AS DOUBLE) AS wv
+  FROM tf JOIN vnum USING (term)
+),
+sums AS (SELECT doc_id, bucket, sum(wv) AS val FROM w GROUP BY doc_id, bucket),
+dims AS (SELECT CAST(range AS BIGINT) AS i FROM range(32)),
+dense AS (
+  SELECT d.doc_id, dims.i AS dim, coalesce(s.val, 0.0) AS val
+  FROM (SELECT DISTINCT doc_id FROM sums) d
+  CROSS JOIN dims
+  LEFT JOIN sums s ON s.doc_id = d.doc_id AND s.bucket = dims.i
+),
+nrm AS (SELECT doc_id, sqrt(sum(val * val)) AS n FROM dense GROUP BY doc_id)
+SELECT d.doc_id AS vec_id, d.dim,
+       round(CAST(CAST(d.val / n.n AS REAL) AS DOUBLE), 6) AS val
+FROM dense d JOIN nrm n USING (doc_id)
+WHERE n.n > 0
 """,
         "doc_token_topics": f"""
 WITH {_CENTROIDS_CTE},

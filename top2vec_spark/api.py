@@ -532,6 +532,28 @@ class Top2VecSpark:
             )
         )
 
+    def hashed_document_vectors(
+        self, dim: int = 256, use_idf: bool = False
+    ) -> DataFrame:
+        """Turnkey model-free document embeddings via the feature-
+        hashing trick (operators/hashing.py): L2-normalized hashed
+        term-frequency vectors from the engine's own tokens + vocab,
+        entirely JVM-side. Registered as the document-vector table so
+        search_documents_by_vector / embedding near-dup work, and the
+        returned (vec_id, embedding) frame plugs straight into
+        compute_topics — the built-in substitute for the reference's
+        downloaded encoders (top2vec.py:1313-1347, out of scope per
+        the north rule)."""
+        from top2vec_spark.operators.hashing import hashed_doc_vectors
+
+        n_docs = self.globals.n_docs if use_idf else None
+        out = hashed_doc_vectors(
+            self.tokens, self.vocab, dim=dim, use_idf=use_idf,
+            n_docs=n_docs,
+        )
+        self._doc_vectors = out
+        return out
+
     def export_doc2vec_corpus(
         self, path: str, n_files: int = 64
     ) -> DataFrame:
