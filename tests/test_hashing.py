@@ -117,6 +117,20 @@ def test_end_to_end_topics_and_search(spark, tiny_docs):
     assert top[0]["doc_id"] == 5
 
 
+def test_plan_two_small_exchanges_only(eng):
+    """Scale pin: the plan must carry exactly 2 hash Exchanges (the
+    map-side-combined (doc_id, bucket) sum and the per-doc assembly)
+    plus broadcast joins — the raw token stream must never shuffle.
+    A third Exchange means someone reintroduced a tf pre-aggregation
+    or lost the broadcast."""
+    v = eng.hashed_document_vectors(dim=16)
+    plan = v._jdf.queryExecution().executedPlan().toString()
+    n_hash = plan.count("Exchange hashpartitioning")
+    assert n_hash == 2, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
 def test_use_idf_requires_n_docs(eng):
     with pytest.raises(ValueError, match="n_docs"):
         hashed_doc_vectors(
