@@ -123,6 +123,42 @@ def test_local_writer_max_docs_guard(sink_model):
         )
 
 
+def test_global_order_at_20k_docs(spark, tmp_path):
+    """The range-partitioning contract at a size where boundary
+    placement actually matters: 20k synthetic pages across 16 part
+    files — filename-ordered concatenation must equal the doc_id-
+    ordered reference expression line for line, and the manifest's
+    line offsets must map every split correctly."""
+    from pyspark.sql import functions as F
+
+    from top2vec_spark.operators.tokens import assign_doc_ids
+    from top2vec_spark.sources.pages import generate_pages
+
+    docs = (
+        assign_doc_ids(generate_pages(spark, 20_000))
+        .withColumn("text", F.decode("html", "utf-8"))
+        .select("doc_id", "text")
+    )
+    eng = Top2VecSpark(spark, docs, min_count=0, ascii_fast_path=True)
+    path = str(tmp_path / "d2v_20k")
+    manifest = eng.export_doc2vec_corpus(path, n_files=16)
+    lines = read_corpus_lines(path)
+    assert len(lines) == 20_000
+    expected = {
+        r["doc_id"]: r["joined"]
+        for r in eng.get_document_tokens()
+        .select("doc_id", F.array_join("tokens", " ").alias("joined"))
+        .collect()
+    }
+    ordered = [expected[d] for d in sorted(expected)]
+    assert lines == ordered
+    rows = sorted(manifest.collect(), key=lambda r: r["split_id"])
+    assert sum(r["n_lines"] for r in rows) == 20_000
+    # every split's first line is the line at its first_line offset
+    for r in rows:
+        assert lines[r["first_line"]] == expected[r["first_doc_id"]]
+
+
 def test_standalone_sink_on_tokens_df(spark, tmp_path):
     """The sink is usable without the full engine: any (doc_id,
     tokens) frame works, e.g. a custom tokenizer's output."""
