@@ -1015,6 +1015,113 @@ def _q_embed_hook(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ctx_chunk_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3 execution seam + W1 chain under a DuckDB oracle (reference
+    contextual_token_embeddings embedding.py:51-109 ->
+    sliding_window_average embedding.py:112-144, wired at
+    top2vec.py:747-760): a deterministic user token-embedding callable
+    (tokens = regexp [a-z]+ of lower(text); per-token vec =
+    [len, count('a')+1, count('e')+1, 7]) runs distributed through
+    embed_document_tokens, then contextual_document_vectors computes
+    normalized sliding-window chunk vectors (window 8, stride 5, last
+    window right-aligned). DuckDB replays the whole chain from text.
+
+    Exactness: integer token features -> window sums exact in double
+    at any accumulation order, ONE correctly-rounded division per
+    mean (Spark Average and DuckDB avg both divide the exact sum
+    once), and both norms are explicit left-folds over the 4 dims
+    (Spark F.aggregate; the oracle's m0*m0 + m1*m1 + ... left-assoc)
+    — bit-identical before the shared round-6. Exploded to
+    (doc_id, chunk_id, start, dim, val): no array cells (round-4
+    canonicalizer lesson)."""
+    import re
+
+    from top2vec_spark.api import Top2VecSpark
+
+    eng = Top2VecSpark(spark, _docs(spark, sf_dir), min_count=0)
+
+    def model(texts):
+        out = []
+        for t in texts:
+            toks = re.findall(r"[a-z]+", t.lower())
+            out.append(
+                (
+                    toks,
+                    [
+                        [
+                            float(len(tok)),
+                            float(tok.count("a") + 1),
+                            float(tok.count("e") + 1),
+                            7.0,
+                        ]
+                        for tok in toks
+                    ],
+                )
+            )
+        return out
+
+    eng.set_token_embedding_model(model)
+    eng.embed_document_tokens()
+    out = eng.contextual_document_vectors(
+        window_size=8, stride=5, register=False
+    )
+    return out.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.col("start").cast("long").alias("start"),
+        F.posexplode("vec").alias("dim", "val"),
+    ).select(
+        "doc_id",
+        "chunk_id",
+        "start",
+        F.col("dim").cast("long").alias("dim"),
+        F.round(F.col("val"), 6).alias("val"),
+    )
+
+
+def _q_ctx_word_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4 execution seam under a DuckDB oracle (reference
+    average_embeddings(self.vocab), embedding.py:9-48 at
+    top2vec.py:738-740): vocab_word_vectors runs a word-level user
+    token model (ONE token per word = the word itself; vec =
+    [len, count('a')+1, count('e')+1, 7]) distributed over the vocab
+    table, means over its tokens (identity here — integer chain stays
+    exact through numpy), L2-normalizes, float32-stores, and registers
+    the word-vector table. The oracle recomputes the vocab
+    (min_count strict >2, the engine's P1 filter) and every vector
+    from the term string; CAST(.. AS REAL) mirrors the float32 store
+    (the embed_hook argument). Exploded to (term, dim, val)."""
+    from top2vec_spark.api import Top2VecSpark
+
+    eng = Top2VecSpark(spark, _docs(spark, sf_dir), min_count=2)
+
+    def model(texts):
+        return [
+            (
+                [t],
+                [
+                    [
+                        float(len(t)),
+                        float(t.count("a") + 1),
+                        float(t.count("e") + 1),
+                        7.0,
+                    ]
+                ],
+            )
+            for t in texts
+        ]
+
+    eng.set_token_embedding_model(model)
+    out = eng.vocab_word_vectors()
+    return out.select(
+        "term", F.posexplode("vec").alias("dim", "val")
+    ).select(
+        "term",
+        F.col("dim").cast("long").alias("dim"),
+        F.round(F.col("val").cast("double"), 6).alias("val"),
+    )
+
+
 def _q_hashed_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-hashing document vectors (operators/hashing.py — the
     turnkey model-free embedding) under a DuckDB oracle: tf per
@@ -1775,6 +1882,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_tokens": _q_doc_tokens,
         "doc_token_topics": _q_doc_token_topics,
         "embed_hook": _q_embed_hook,
+        "ctx_chunk_vectors": _q_ctx_chunk_vectors,
+        "ctx_word_vectors": _q_ctx_word_vectors,
         "hashed_vectors": _q_hashed_vectors,
         "media_features": _q_media_features,
         "docs_topics_top2": _q_docs_topics_top2,
@@ -2585,6 +2694,65 @@ SELECT doc_id,
          t -> len(t) BETWEEN {MIN_TOKEN_LEN} AND {MAX_TOKEN_LEN} AND NOT starts_with(t, '_')
        ), ' ') AS tokens_joined
 FROM documents
+""",
+        "ctx_chunk_vectors": """
+WITH toks AS (
+  SELECT doc_id, t.tok AS term, t.pos - 1 AS pos
+  FROM (
+    SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS l
+    FROM documents
+  ), LATERAL (SELECT unnest(l) AS tok, generate_subscripts(l, 1) AS pos) t
+),
+dls AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
+bounds AS (
+  SELECT greatest(CAST(ceil((max(n) - 8) / 5.0) AS BIGINT), 0) AS mi FROM dls
+),
+series AS (SELECT unnest(range(0, (SELECT mi + 1 FROM bounds))) AS i),
+rawstarts AS (
+  SELECT DISTINCT doc_id, least(i * 5, greatest(n - 8, 0)) AS start
+  FROM dls CROSS JOIN series
+  WHERE i <= greatest(CAST(ceil((n - 8) / 5.0) AS BIGINT), 0)
+),
+starts AS (
+  SELECT doc_id, start,
+         row_number() OVER (PARTITION BY doc_id ORDER BY start) - 1 AS chunk_id
+  FROM rawstarts
+),
+dims AS (
+  SELECT s.doc_id, s.chunk_id, s.start,
+         avg(CAST(len(t.term) AS DOUBLE)) AS m0,
+         avg(CAST(len(t.term) - len(replace(t.term, 'a', '')) + 1 AS DOUBLE)) AS m1,
+         avg(CAST(len(t.term) - len(replace(t.term, 'e', '')) + 1 AS DOUBLE)) AS m2,
+         avg(CAST(7 AS DOUBLE)) AS m3
+  FROM starts s JOIN toks t
+    ON t.doc_id = s.doc_id AND t.pos >= s.start AND t.pos < s.start + 8
+  GROUP BY s.doc_id, s.chunk_id, s.start
+),
+normed AS (
+  SELECT *, sqrt(m0*m0 + m1*m1 + m2*m2 + m3*m3) AS nrm FROM dims
+)
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(start AS BIGINT) AS start, CAST(d.i - 1 AS BIGINT) AS dim,
+       round([m0/nrm, m1/nrm, m2/nrm, m3/nrm][d.i], 6) AS val
+FROM normed, (VALUES (1), (2), (3), (4)) d(i)
+""",
+        "ctx_word_vectors": f"""
+WITH {_TOKENS_CTE},
+vocab AS (SELECT term FROM tokens GROUP BY term HAVING count(*) > 2),
+feats AS (
+  SELECT term,
+         CAST(len(term) AS DOUBLE) AS m0,
+         CAST(len(term) - len(replace(term, 'a', '')) + 1 AS DOUBLE) AS m1,
+         CAST(len(term) - len(replace(term, 'e', '')) + 1 AS DOUBLE) AS m2,
+         CAST(7 AS DOUBLE) AS m3
+  FROM vocab
+),
+normed AS (
+  SELECT *, sqrt(m0*m0 + m1*m1 + m2*m2 + m3*m3) AS nrm FROM feats
+)
+SELECT term, CAST(d.i - 1 AS BIGINT) AS dim,
+       round(CAST(CAST([m0/nrm, m1/nrm, m2/nrm, m3/nrm][d.i] AS REAL) AS DOUBLE), 6) AS val
+FROM normed, (VALUES (1), (2), (3), (4)) d(i)
 """,
         "embed_hook": """
 WITH feats AS (

@@ -521,3 +521,154 @@ def test_embedding_model_hook(spark, tiny_docs):
     assert 0 < len(rows) <= 3
     scores = [r["score"] for r in rows]
     assert scores == sorted(scores, reverse=True)
+
+
+def _py_window_starts(n, window, stride):
+    """The engine's W1 start rule (windows.py sliding_window_mean):
+    starts = distinct(least(i*stride, max(n-window, 0))) for
+    i in 0..max(ceil((n-window)/stride), 0)."""
+    import math
+
+    upper = max(math.ceil((n - window) / stride), 0)
+    starts = []
+    for i in range(upper + 1):
+        s = min(i * stride, max(n - window, 0))
+        if s not in starts:
+            starts.append(s)
+    return starts
+
+
+def test_token_embedding_hook_contextual_chain(spark, tiny_docs):
+    """L3/L4 execution seam end-to-end (reference
+    contextual_token_embeddings embedding.py:51-109 ->
+    sliding_window_average embedding.py:112-144 at top2vec.py:752-760,
+    average_embeddings embedding.py:9-48 at top2vec.py:738): a user
+    token-embedding callable runs distributed, its ragged output lands
+    as the long (doc_id, pos, term, vec) table, the W1/W2 window
+    operators turn it into normalized chunk vectors, the per-doc chunk
+    mean registers for vector search, and the vocab path registers
+    word vectors."""
+    import numpy as np
+
+    from top2vec_spark.api import Top2VecSpark
+
+    def _fake_token_model(texts):
+        # Deterministic L3 stand-in for a HF tokenizer+encoder: tokens
+        # are the whitespace pieces (lowercased), per-token hidden
+        # state is [len, count('a')+1, count('e')+1, 7] — integer-
+        # valued so float32 storage is exact and replayable from text.
+        # Defined as a closure so cloudpickle ships it by value.
+        out = []
+        for t in texts:
+            toks = t.lower().split()
+            mat = [
+                [float(len(tok)), tok.count("a") + 1.0, tok.count("e") + 1.0, 7.0]
+                for tok in toks
+            ]
+            out.append((toks, mat))
+        return out
+
+    eng = Top2VecSpark(spark, tiny_docs, min_count=0)
+    with pytest.raises(ValueError, match="must be callable"):
+        eng.set_token_embedding_model(42)
+    with pytest.raises(ValueError, match="set_token_embedding_model first"):
+        eng.embed_document_tokens()
+    with pytest.raises(ValueError, match="embed_document_tokens first"):
+        eng.contextual_document_vectors()
+    eng.set_token_embedding_model(_fake_token_model)
+    with pytest.raises(ValueError, match="embed_document_tokens first"):
+        eng.contextual_document_vectors()
+
+    # --- L3: long token-vector table matches a pure-python replay
+    long_rows = eng.embed_document_tokens(batch_size=2).collect()
+    expect = {}
+    for r in tiny_docs.collect():
+        toks, mat = _fake_token_model([r["text"]])[0]
+        for pos, (tok, vec) in enumerate(zip(toks, mat)):
+            expect[(r["doc_id"], pos)] = (tok, vec)
+    assert len(long_rows) == len(expect)
+    for r in long_rows:
+        tok, vec = expect[(r["doc_id"], r["pos"])]
+        assert r["term"] == tok
+        assert list(r["vec"]) == pytest.approx(vec)
+
+    # --- W1 chain: chunk vectors replay (window 3, stride 2)
+    window, stride = 3, 2
+    chunks = eng.contextual_document_vectors(
+        window_size=window, stride=stride
+    ).collect()
+    by_doc = {}
+    for (did, _), (tok, vec) in sorted(expect.items()):
+        by_doc.setdefault(did, []).append(vec)
+    exp_chunks = {}
+    for did, vecs in by_doc.items():
+        for wid, start in enumerate(_py_window_starts(len(vecs), window, stride)):
+            win = vecs[start : start + window]
+            m = np.mean(np.asarray(win, dtype=np.float64), axis=0)
+            m = m / np.linalg.norm(m)
+            exp_chunks[(did, wid)] = (start, m)
+    assert len(chunks) == len(exp_chunks)
+    for r in chunks:
+        start, m = exp_chunks[(r["doc_id"], r["chunk_id"])]
+        assert r["start"] == start
+        assert list(r["vec"]) == pytest.approx(list(m), abs=1e-6)
+
+    # --- registered per-doc mean powers vector search (vec_id == doc_id)
+    reg = {r["vec_id"]: list(r["embedding"]) for r in eng._doc_vectors.collect()}
+    for did, vecs in by_doc.items():
+        cm = np.mean(
+            np.vstack(
+                [m for (d, _), (_, m) in sorted(exp_chunks.items()) if d == did]
+            ),
+            axis=0,
+        )
+        cm = cm / np.linalg.norm(cm)
+        assert reg[did] == pytest.approx(list(cm), abs=1e-6), did
+    res = eng.search_documents_by_vector(reg[0], 3, return_documents=False)
+    rows = res.collect()
+    assert rows and rows[0]["doc_id"] == 0  # exact self-match ranks first
+
+    # --- W2 smoothing composes in front of W1 (embedding.py:147-171)
+    sm = eng.contextual_document_vectors(
+        window_size=window, stride=stride, smoothing_window=1, register=False
+    ).collect()
+    exp_sm = {}
+    for did, vecs in by_doc.items():
+        a = np.asarray(vecs, dtype=np.float64)
+        a = a / np.linalg.norm(a, axis=1, keepdims=True)
+        sm_vecs = np.vstack(
+            [
+                a[max(0, i - 1) : min(len(a), i + 2)].mean(axis=0)
+                for i in range(len(a))
+            ]
+        )
+        for wid, start in enumerate(
+            _py_window_starts(len(vecs), window, stride)
+        ):
+            m = sm_vecs[start : start + window].mean(axis=0)
+            exp_sm[(did, wid)] = (start, m / np.linalg.norm(m))
+    assert len(sm) == len(exp_sm)
+    for r in sm:
+        start, m = exp_sm[(r["doc_id"], r["chunk_id"])]
+        assert r["start"] == start
+        assert list(r["vec"]) == pytest.approx(list(m), abs=1e-6)
+
+    # --- L4: vocab word vectors (single-token words -> own normalized vec)
+    with pytest.raises(ValueError, match="set_token_embedding_model first"):
+        eng2 = Top2VecSpark(spark, tiny_docs, min_count=0)
+        eng2.vocab_word_vectors()
+    wv = {r["term"]: list(r["vec"]) for r in eng.vocab_word_vectors().collect()}
+    vocab_terms = [r["term"] for r in eng.vocab.collect()]
+    assert sorted(wv) == sorted(vocab_terms)
+    for term, vec in wv.items():
+        raw = _fake_token_model([term])[0][1]
+        m = np.mean(np.asarray(raw, dtype=np.float64), axis=0)
+        m = m / np.linalg.norm(m)
+        assert vec == pytest.approx(list(m), abs=1e-6), term
+    # registered as the word-vector table -> search_words_by_vector
+    # works; the fake model maps many 3-letter words to IDENTICAL
+    # vectors, so assert on the exact-match score, not membership
+    res = eng.search_words_by_vector(wv[vocab_terms[0]], 3)
+    rows = res.collect()
+    assert len(rows) == 3
+    assert rows[0]["score"] == pytest.approx(1.0, abs=1e-6)

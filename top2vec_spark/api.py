@@ -871,6 +871,210 @@ class Top2VecSpark:
         v = np.asarray(self.embed([query])[0], dtype=np.float64)
         return (v / max(float(np.linalg.norm(v)), 1e-12)).tolist()
 
+    def set_token_embedding_model(self, token_embedding_model) -> None:
+        """L3 execution seam — the reference fuses HF tokenizer +
+        encoder inside contextual_token_embeddings (embedding.py:51-109);
+        here the user registers ONE callable
+        ``list[str] -> list[(tokens: list[str], vectors: (n_i, dim))]``
+        returning, per input text, the model's own token strings and
+        the per-token hidden-state matrix. Training/fetching the model
+        stays out of scope (BASELINE.json north rule); the *execution*
+        is distributed — the callable runs inside mapInPandas on the
+        executors. Like set_embedding_model (H2), the callable is NOT
+        serialized with the model; re-set it after load."""
+        if not callable(token_embedding_model):
+            raise ValueError("token_embedding_model must be callable.")
+        self.token_embed = token_embedding_model
+
+    def embed_document_tokens(self, batch_size: int = 32) -> DataFrame:
+        """Distributed re-expression of reference
+        contextual_token_embeddings (embedding.py:51-109; DataLoader
+        batch_size=32 at top2vec.py:747-751): each Arrow partition is
+        sliced into ``batch_size``-doc model calls inside mapInPandas;
+        the ragged per-doc (tokens, matrix) outputs are exploded to a
+        long ``(doc_id, pos, term, vec)`` table — the pre-joined form
+        of the reference's (document_token_embeddings, document_tokens,
+        document_labels) ragged triple (embedding.py:95-109;
+        ``document_labels`` IS the doc_id column, J4). Registers the
+        table so contextual_document_vectors / smoothing build on it."""
+        import numpy as np
+        import pandas as pd
+
+        if not hasattr(self, "token_embed"):
+            raise ValueError(
+                "no token embedding model — set_token_embedding_model first"
+            )
+        model, bs = self.token_embed, int(batch_size)
+
+        def batches(pdfs):
+            for pdf in pdfs:
+                ids = pdf["doc_id"].tolist()
+                texts = pdf["text"].fillna("").tolist()
+                col_doc: list = []
+                col_pos: list = []
+                col_term: list = []
+                col_vec: list = []
+                for i in range(0, len(texts), bs):
+                    out = model(texts[i : i + bs])
+                    for j, (toks, mat) in enumerate(out):
+                        m = np.atleast_2d(np.asarray(mat, dtype=np.float32))
+                        if len(toks) != m.shape[0]:
+                            raise ValueError(
+                                "token embedding model returned "
+                                f"{len(toks)} tokens but {m.shape[0]} vectors"
+                            )
+                        did = ids[i + j]
+                        col_doc.extend([did] * len(toks))
+                        col_pos.extend(range(len(toks)))
+                        col_term.extend(str(t) for t in toks)
+                        col_vec.extend(r.tolist() for r in m)
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pd.Series(col_doc, dtype="int64"),
+                        "pos": pd.Series(col_pos, dtype="int32"),
+                        "term": pd.Series(col_term, dtype="object"),
+                        "vec": pd.Series(col_vec, dtype="object"),
+                    }
+                )
+
+        out = self.docs.select("doc_id", "text").mapInPandas(
+            batches, "doc_id long, pos int, term string, vec array<float>"
+        )
+        self._token_vectors = out
+        return out
+
+    def contextual_document_vectors(
+        self,
+        window_size: int = 50,
+        stride: int = 40,
+        smoothing_window: int | None = None,
+        register: bool = True,
+    ) -> DataFrame:
+        """Reference contextual chain (top2vec.py:752-760):
+        sliding_window_average over the per-token vectors (window 50,
+        stride 40, last window right-aligned; embedding.py:112-144)
+        gives the chunk vectors that ARE the contextual
+        document_vectors, L2-normalized (embedding.py:142). Optional
+        adjacent smoothing first (smooth_document_token_embeddings,
+        embedding.py:147-171 via c_top2vec_smoothing_window,
+        top2vec.py:1604). Returns (doc_id, chunk_id, start, vec).
+
+        Documented delta: the reference keeps the STACKED chunk
+        vectors plus a per-chunk doc label; the engine's by-vector
+        corpus is one vector per doc_id, so when ``register=True`` the
+        per-doc MEAN of its chunk vectors (the A2 aggregation,
+        SURVEY §2.4) is L2-normalized and registered as the document
+        vector table (vec_id == doc_id) for search/compute_topics."""
+        from top2vec_spark.operators.windows import (
+            sliding_window_mean,
+            smooth_adjacent,
+        )
+
+        if not hasattr(self, "_token_vectors"):
+            raise ValueError(
+                "no token vectors — embed_document_tokens first"
+            )
+        tok = self._token_vectors.select("doc_id", "pos", "vec")
+        if smoothing_window is not None:
+            tok = smooth_adjacent(tok, w=int(smoothing_window), normalize=True)
+        chunks = sliding_window_mean(
+            tok, window=int(window_size), stride=int(stride)
+        )
+        nrm = F.sqrt(
+            F.aggregate(
+                F.transform("vec", lambda x: x * x),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+        )
+        out = chunks.select(
+            "doc_id",
+            F.col("window_id").alias("chunk_id"),
+            "start",
+            F.transform("vec", lambda x: x / nrm).alias("vec"),
+        )
+        if register:
+            flat = out.select("doc_id", F.posexplode("vec").alias("dim", "v"))
+            means = flat.groupBy("doc_id", "dim").agg(F.avg("v").alias("m"))
+            doc_vecs = (
+                means.groupBy("doc_id")
+                .agg(
+                    F.array_sort(
+                        F.collect_list(F.struct("dim", "m"))
+                    ).alias("pm")
+                )
+                .select(
+                    F.col("doc_id").alias("vec_id"),
+                    F.transform("pm", lambda x: x["m"]).alias("raw"),
+                )
+            )
+            dn = F.sqrt(
+                F.aggregate(
+                    F.transform("raw", lambda x: x * x),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                )
+            )
+            self._doc_vectors = doc_vecs.select(
+                "vec_id",
+                F.transform("raw", lambda x: (x / dn).cast("float")).alias(
+                    "embedding"
+                ),
+            )
+        return out
+
+    def vocab_word_vectors(
+        self, batch_size: int = 32, register: bool = True
+    ) -> DataFrame:
+        """L4 execution seam — reference average_embeddings(self.vocab)
+        (embedding.py:9-48, called at top2vec.py:738-740): embed each
+        VOCAB WORD with the registered token model, mean over its
+        token vectors, L2-normalize, and register as the word-vector
+        table for search_words_by_vector. Runs distributed over the
+        vocab table (mapInPandas, ``batch_size``-word model calls).
+
+        Documented delta (SURVEY Appendix A): the reference means
+        last_hidden_state over ALL model_max_length positions
+        INCLUDING padding (embedding.py:43); the engine means over the
+        word's real tokens only."""
+        import numpy as np
+        import pandas as pd
+
+        if not hasattr(self, "token_embed"):
+            raise ValueError(
+                "no token embedding model — set_token_embedding_model first"
+            )
+        model, bs = self.token_embed, int(batch_size)
+
+        def batches(pdfs):
+            for pdf in pdfs:
+                words = pdf["term"].tolist()
+                col_term: list = []
+                col_vec: list = []
+                for i in range(0, len(words), bs):
+                    out = model(words[i : i + bs])
+                    for j, (_toks, mat) in enumerate(out):
+                        m = np.atleast_2d(np.asarray(mat, dtype=np.float64))
+                        v = m.mean(axis=0)
+                        v = v / max(float(np.linalg.norm(v)), 1e-12)
+                        col_term.append(words[i + j])
+                        col_vec.append(v.astype(np.float32).tolist())
+                yield pd.DataFrame(
+                    {
+                        "term": pd.Series(col_term, dtype="object"),
+                        "vec": pd.Series(col_vec, dtype="object"),
+                    }
+                )
+
+        out = self.vocab.select("term").mapInPandas(
+            batches, "term string, vec array<float>"
+        )
+        if register:
+            self.set_word_vectors(
+                out.select("term", F.col("vec").alias("embedding"))
+            )
+        return out
+
     def search_documents_by_vector(
         self, vector: Sequence[float], num_docs: int, return_documents: bool = True
     ) -> DataFrame:
