@@ -672,3 +672,35 @@ def test_token_embedding_hook_contextual_chain(spark, tiny_docs):
     rows = res.collect()
     assert len(rows) == 3
     assert rows[0]["score"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_token_model_single_execution(spark, tiny_docs, tmp_path):
+    """The contextual chain references the token-vector table on BOTH
+    sides of the window-starts join; without the persist+materialize
+    in embed_document_tokens the user model would run once per branch
+    (measured 2x inference — AQE does not stage-reuse the two
+    MapInPandas instances). Pin: the model embeds each document
+    EXACTLY once across the embed call and two downstream consumers."""
+    from top2vec_spark.api import Top2VecSpark
+
+    log = str(tmp_path / "calls.log")
+
+    def counting_model(texts):
+        with open(log, "a") as f:
+            f.write(f"{len(texts)}\n")
+        return [
+            (t.split(), [[float(len(x)), 1.0] for x in t.split()])
+            for t in texts
+        ]
+
+    eng = Top2VecSpark(spark, tiny_docs, min_count=0)
+    eng.set_token_embedding_model(counting_model)
+    tok = eng.embed_document_tokens()
+    n_docs = tiny_docs.count()
+    assert sum(int(l) for l in open(log)) == n_docs
+    eng.contextual_document_vectors(window_size=3, stride=2, register=False).count()
+    eng.contextual_document_vectors(
+        window_size=3, stride=2, smoothing_window=1, register=False
+    ).count()
+    assert sum(int(l) for l in open(log)) == n_docs  # still exactly once
+    tok.unpersist()

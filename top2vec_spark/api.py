@@ -886,7 +886,9 @@ class Top2VecSpark:
             raise ValueError("token_embedding_model must be callable.")
         self.token_embed = token_embedding_model
 
-    def embed_document_tokens(self, batch_size: int = 32) -> DataFrame:
+    def embed_document_tokens(
+        self, batch_size: int = 32, materialize: bool = True
+    ) -> DataFrame:
         """Distributed re-expression of reference
         contextual_token_embeddings (embedding.py:51-109; DataLoader
         batch_size=32 at top2vec.py:747-751): each Arrow partition is
@@ -896,7 +898,19 @@ class Top2VecSpark:
         of the reference's (document_token_embeddings, document_tokens,
         document_labels) ragged triple (embedding.py:95-109;
         ``document_labels`` IS the doc_id column, J4). Registers the
-        table so contextual_document_vectors / smoothing build on it."""
+        table so contextual_document_vectors / smoothing build on it.
+
+        The result is persisted (MEMORY_AND_DISK — spills, never OOMs)
+        and by default materialized with one eager pass, so the user's
+        model executes EXACTLY ONCE per document: the downstream
+        window chain references this table on both sides of a join
+        (per-doc window starts + the token rows), and without the
+        persist each branch would re-run the model — measured 2x
+        inference on an unpersisted plan (AQE does not stage-reuse the
+        two MapInPandas instances; their expression IDs differ).
+        ``materialize=False`` skips the eager pass (lazy persist) for
+        callers that will only ever scan the table once. The previous
+        registration, if any, is unpersisted."""
         import numpy as np
         import pandas as pd
 
@@ -937,9 +951,16 @@ class Top2VecSpark:
                     }
                 )
 
+        from pyspark import StorageLevel
+
         out = self.docs.select("doc_id", "text").mapInPandas(
             batches, "doc_id long, pos int, term string, vec array<float>"
-        )
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        if materialize:
+            out.count()  # single model pass populates the cache
+        prev = getattr(self, "_token_vectors", None)
+        if prev is not None:
+            prev.unpersist()
         self._token_vectors = out
         return out
 
