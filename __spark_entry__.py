@@ -1383,6 +1383,54 @@ def _q_bm25_delete_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bm25_compact_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction under the FULL oracle (plans/build.compact_index):
+    build on the whole corpus, tombstone the brute ranking's top-3
+    docs (same stable victim rule as bm25_delete_wand), COMPACT —
+    folding tombstones into a fresh single-epoch base with statistics
+    RECOMPUTED over the survivors (stats_fresh back True; deletes
+    finally leave df/dl/avgdl/N, unlike the mark-deleted state the
+    reference serves forever, top2vec.py:2063-2122) — then WAND
+    top-10. DuckDB replays both passes from text: full-corpus ranking
+    -> victim set -> fresh BM25 over the surviving corpus only."""
+    import hashlib
+
+    from top2vec_spark.operators.wand import wand_topk
+    from top2vec_spark.plans.build import IndexBuilder
+
+    docs = _docs(spark, sf_dir)
+    tokens = tokenize_docs(docs, ascii_fast_path=True).cache()
+    vocab = build_vocab(tokens)
+    ds = build_doc_stats(tokens)
+    g = compute_globals(ds)
+    w = term_weights(spark, vocab, ["table", "spark"], [])
+    victims = [
+        int(r["doc_id"])
+        for r in bm25_scores(tokens, ds, g, w)
+        .select("doc_id", F.round("score", 4).alias("s"))
+        .orderBy(F.col("s").desc(), F.col("doc_id").asc())
+        .limit(3)
+        .collect()
+    ]
+    tag = hashlib.sha1(f"cmp:{sf_dir}".encode()).hexdigest()[:10]
+    index = IndexBuilder(
+        spark,
+        f"/tmp/t2v_entry_cmp_{tag}",
+        docs_per_shard=256,
+        n_buckets=16,
+        input_fingerprint=_input_fingerprint(docs),
+    ).build(tokens, vocab, ds, resume=False)
+    index = index.delete_documents(victims).compact()
+    assert index.stats_fresh and index.tombstones == frozenset()
+    wq = term_weights(spark, index.vocab, ["table", "spark"], [])
+    res = wand_topk(spark, index, wq, index.globs, 10)
+    return (
+        res.select("doc_id", F.round("score", 4).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+
+
 def _q_docs_by_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K4+P5 through the full api path: search_documents_by_documents
     (reference top2vec.py:3081-3180) — query = DISTINCT terms of docs
@@ -1842,6 +1890,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_wand_many3": _q_bm25_wand_many,
         "bm25_append_wand": _q_bm25_append_wand,
         "bm25_delete_wand": _q_bm25_delete_wand,
+        "bm25_compact_wand": _q_bm25_compact_wand,
         "docs_by_docs_top10": _q_docs_by_docs,
         "pages_ingest_wand": _q_pages_ingest_wand,
         "bm25_phrase_top10": _q_bm25_phrase,
@@ -1934,6 +1983,55 @@ SELECT n_docs, round(avgdl, 6) AS avgdl FROM globals
         "bm25_delete_wand": _bm25_oracle_sql(
             ["table", "spark"], [], 10, skip_ranks=3
         ),
+        "bm25_compact_wand": f"""
+WITH {_STATS_CTES},
+q(term, sign) AS (VALUES ('table', 1.0), ('spark', 1.0)),
+tfq AS (
+  SELECT doc_id, term, count(*) AS tf FROM tokens
+  WHERE term IN (SELECT term FROM q) GROUP BY doc_id, term
+),
+fullscored AS (
+  SELECT tfq.doc_id,
+         sum(q.sign
+             * ln(1.0 + (globals.n_docs - vocab.df + 0.5) / (vocab.df + 0.5))
+             * (tfq.tf * ({BM25_K1} + 1.0))
+             / (tfq.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * doc_stats.dl / globals.avgdl))
+         ) AS score
+  FROM tfq
+  JOIN q USING (term) JOIN vocab USING (term) JOIN doc_stats USING (doc_id)
+  CROSS JOIN globals
+  GROUP BY tfq.doc_id
+),
+victims AS (
+  SELECT doc_id FROM fullscored
+  ORDER BY round(score, 4) DESC, doc_id ASC LIMIT 3
+),
+stoks AS (
+  SELECT * FROM tokens
+  WHERE doc_id NOT IN (SELECT doc_id FROM victims)
+),
+sds AS (SELECT doc_id, count(*) AS dl FROM stoks GROUP BY doc_id),
+sglob AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM sds),
+svocab AS (SELECT term, count(DISTINCT doc_id) AS df FROM stoks GROUP BY term),
+stf AS (
+  SELECT doc_id, term, count(*) AS tf FROM stoks
+  WHERE term IN (SELECT term FROM q) GROUP BY doc_id, term
+),
+sscored AS (
+  SELECT stf.doc_id,
+         sum(q.sign
+             * ln(1.0 + (sglob.n_docs - svocab.df + 0.5) / (svocab.df + 0.5))
+             * (stf.tf * ({BM25_K1} + 1.0))
+             / (stf.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * sds.dl / sglob.avgdl))
+         ) AS score
+  FROM stf
+  JOIN q USING (term) JOIN svocab USING (term) JOIN sds USING (doc_id)
+  CROSS JOIN sglob
+  GROUP BY stf.doc_id
+)
+SELECT doc_id, round(score, 4) AS score
+FROM sscored ORDER BY round(score, 4) DESC, doc_id ASC LIMIT 10
+""",
         "docs_by_docs_top10": _bm25_oracle_sql(
             [], [], 10, exclude=(3, 7), q_from_doc_ids=(3, 7)
         ),

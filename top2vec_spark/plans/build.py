@@ -302,6 +302,13 @@ class PostingsIndex:
             del self._tombstones
         return self
 
+    def compact(self, min_count: int = 0, cfg=None) -> "PostingsIndex":
+        """Fold every applied append epoch and all tombstones into a
+        fresh base index — see ``compact_index`` below."""
+        return compact_index(
+            self.spark, self.path, min_count=min_count, cfg=cfg
+        )
+
     # -- incremental append (U1, reference add_documents
     # top2vec.py:1960-2061) ------------------------------------------------
     def next_doc_id(self) -> int:
@@ -676,6 +683,19 @@ class IndexBuilder:
             lambda: pack_tokens(tokens), min_count=min_count, resume=resume
         )
 
+    def build_from_packed_tf(
+        self, packed: DataFrame, min_count: int = 0, resume: bool = True
+    ) -> PostingsIndex:
+        """Build from an ALREADY-TOKENIZED packed tf table
+        (doc_id, terms, tfs, dl) — the compaction path
+        (``compact_index`` below) and any caller with a pre-tokenized
+        corpus. Skips the text scan entirely; everything downstream
+        (vocab numbering, doc_stats, globals, postings encode,
+        manifest) is identical to a text build."""
+        return self._build_from_packed(
+            lambda: packed, min_count=min_count, resume=resume
+        )
+
     def _build_from_packed(
         self, make_packed, min_count: int, resume: bool
     ) -> PostingsIndex:
@@ -851,3 +871,118 @@ class IndexBuilder:
             )
         )
         manifest.write.mode("overwrite").parquet(f"{p}/manifest")
+
+
+def compact_index(
+    spark: SparkSession, path: str, min_count: int = 0, cfg=None
+) -> PostingsIndex:
+    """Compaction: fold every applied append epoch AND all tombstones
+    into a fresh single-epoch base index, WITHOUT re-reading or
+    re-tokenizing raw text.
+
+    Why it exists (10^12-doc scale): each streaming append adds a
+    (bucket, epoch=ep_*) postings partition and each delete only masks
+    doc_ids at query time, so a long-lived index accumulates thousands
+    of small epoch dirs per bucket (more files listed + opened per
+    query) and ever-growing tombstone side-reads, while corpus
+    statistics stay frozen at pre-delete values (stats_fresh=False
+    weakens WAND's pruning bounds to the stat-independent form). The
+    only remedy used to be a full rebuild — whose dominant cost at web
+    scale is the raw-text scan + tokenize (BENCH/SCALING_WEBTEXT_r5.md).
+    Compaction skips exactly that cost: its input is the stored packed
+    tf lineage (base {path}/tf + every applied {path}/tf_appends/<ep>,
+    PostingsIndex.packed_tf) minus tombstoned docs (left_anti join —
+    AQE broadcasts the tombstone side while it is small), and it runs
+    the SAME build stages (vocab renumbered df-desc over survivors,
+    doc_stats, exact globals, postings encode, manifest). Hence the
+    invariant pinned by tests/test_compact.py: the compacted index is
+    byte-identical in postings and rank/score-identical in queries to
+    a FRESH build over the surviving documents, with stats_fresh back
+    to True — deletes finally leave the statistics, which the
+    reference only achieves by retraining (top2vec.py:2104-2110 keeps
+    serving pre-delete stats forever).
+
+    Crash safety: the new index is built by a stage-resumable
+    IndexBuilder at '{path}.__compact__' (a killed compaction resumes
+    stage-by-stage — the input fingerprint folds the source build_id,
+    applied epochs, and a tombstone aggregate, so a source index that
+    changed since invalidates the half-built temp), then a
+    _COMPACT_COMPLETE marker is published atomically, then the swap:
+    rename live aside -> rename temp in -> delete old. A crash at any
+    point is recovered by calling compact_index again: marker present
+    + source unchanged finishes the swap; marker present + source
+    CHANGED (an append landed after the interrupted attempt) discards
+    the stale temp and compacts fresh; mid-swap (live dir missing)
+    completes the rename. Queries are briefly unserveable during the
+    two renames — compaction is an offline maintenance op, like a
+    Lucene forceMerge."""
+    import shutil
+
+    tmp, old = f"{path}.__compact__", f"{path}.__precompact__"
+    marker = f"{tmp}/_COMPACT_COMPLETE.json"
+
+    def _src_state() -> dict:
+        with open(f"{path}/globals.json") as f:
+            gj = json.load(f)
+        tpath = f"{path}/tombstones"
+        tomb_fp = [0, 0]
+        if os.path.isdir(tpath):
+            row = (
+                spark.read.parquet(tpath)
+                .agg(F.count(F.lit(1)), F.sum("doc_id"))
+                .collect()[0]
+            )
+            tomb_fp = [int(row[0] or 0), int(row[1] or 0)]
+        return {
+            "build_id": gj.get("build_id", ""),
+            "appends": gj.get("appends", []),
+            "tombstones": tomb_fp,
+            "min_count": min_count,
+        }
+
+    def _swap() -> PostingsIndex:
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.exists(path):
+            os.rename(path, old)
+        os.rename(tmp, path)
+        shutil.rmtree(old, ignore_errors=True)
+        return PostingsIndex.load(spark, path)
+
+    if os.path.exists(marker):
+        with open(marker) as f:
+            done_state = json.load(f)
+        if not os.path.exists(f"{path}/globals.json"):
+            # crashed between the two swap renames: the live dir (or
+            # its __precompact__ alias) holds the pre-compact index,
+            # the temp holds the complete compacted one — finish
+            return _swap()
+        if done_state.get("source") == _src_state():
+            return _swap()  # crashed after build, before swap
+        # the live index changed since that attempt — stale temp
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    if not os.path.exists(f"{path}/globals.json"):
+        raise ValueError(f"no index to compact at {path}")
+    src = PostingsIndex.load(spark, path)
+    with open(f"{path}/globals.json") as f:
+        gj = json.load(f)
+    cfg = cfg or BM25Config(k1=gj.get("k1", 1.2), b=gj.get("b", 0.75))
+    state = _src_state()
+
+    surviving = src.packed_tf.select("doc_id", "terms", "tfs", "dl")
+    if state["tombstones"][0]:
+        tomb = spark.read.parquet(src.tombstones_path).select("doc_id")
+        surviving = surviving.join(tomb, "doc_id", "left_anti")
+
+    builder = IndexBuilder(
+        spark,
+        tmp,
+        cfg=cfg,
+        docs_per_shard=src.docs_per_shard,
+        n_buckets=src.n_buckets,
+        block_size=gj.get("block_size", POSTING_BLOCK_SIZE),
+        input_fingerprint=json.dumps(state, sort_keys=True),
+    )
+    builder.build_from_packed_tf(surviving, min_count=min_count, resume=True)
+    _atomic_json(marker, {"source": state, "completed_at": time.time()})
+    return _swap()
