@@ -204,3 +204,41 @@ def test_compact_crash_recovery(spark, tmp_path):
     cidx3 = compact_index(spark, path)
     assert cidx3.globs.n_docs == n_surv - 2  # includes the late delete
     assert cidx3.tombstones == frozenset()
+
+
+def test_api_compact_hook(spark, tmp_path):
+    """Facade path: engine.compact_index() after deletes serves
+    queries identical to a fresh engine over the survivors, under the
+    engine's own min_count."""
+    from top2vec_spark.api import Top2VecSpark
+
+    docs = _mk_docs(spark, 150, seed=44)
+    eng = Top2VecSpark(spark, docs, min_count=0)
+    with pytest.raises(ValueError, match="build_index first"):
+        eng.compact_index()
+    eng.build_index(str(tmp_path / "api_idx"), resume=False,
+                    docs_per_shard=DPS, n_buckets=NB)
+    victims = [
+        r["doc_id"]
+        for r in eng.search_documents_by_keywords(
+            ["wa"], 2, return_documents=False
+        ).collect()
+    ]
+    eng._index.delete_documents(victims)
+    eng.compact_index()
+    assert eng._index.stats_fresh and eng._index.tombstones == frozenset()
+
+    survivors = docs.filter(~F.col("doc_id").isin(victims))
+    ref = Top2VecSpark(spark, survivors, min_count=0)
+    ref.build_index(str(tmp_path / "ref_idx"), resume=False,
+                    docs_per_shard=DPS, n_buckets=NB)
+    got = eng.search_documents_by_keywords(
+        ["wa", "wb"], 10, return_documents=False
+    ).collect()
+    exp = ref.search_documents_by_keywords(
+        ["wa", "wb"], 10, return_documents=False
+    ).collect()
+    assert [r["doc_id"] for r in got] == [r["doc_id"] for r in exp]
+    for a, b in zip(got, exp):
+        assert a["score"] == pytest.approx(b["score"], abs=1e-9)
+    assert not set(r["doc_id"] for r in got) & set(victims)

@@ -80,10 +80,24 @@ class Top2VecSpark:
         self.ascii_fast_path = ascii_fast_path
         self.tokenizer = tokenizer
         self.ngram_vocab = ngram_vocab
+        self._phrase_min_count = phrase_min_count
+        self._phrase_threshold = phrase_threshold
+        self._index = None  # set by build_index() (postings/WAND path)
+        self._derive_corpus_tables()
+
+    def _derive_corpus_tables(self) -> None:
+        """(Re)compute the engine-level corpus derivations
+        (tokens -> optional phrase augmentation -> vocab/doc_stats,
+        globals reset to lazy) from the CURRENT ``self.docs``. Shared
+        by __init__ and compact_index — after a compaction the
+        surviving corpus is the new ground truth and every engine
+        table must agree with the index's recomputed statistics."""
         self.tokens = tokenize_docs(
-            docs, ascii_fast_path=ascii_fast_path, tokenizer=tokenizer
+            self.docs,
+            ascii_fast_path=self.ascii_fast_path,
+            tokenizer=self.tokenizer,
         )
-        if ngram_vocab:
+        if self.ngram_vocab:
             from top2vec_spark.operators.phrases import (
                 find_phrases,
                 tokens_with_phrases,
@@ -91,14 +105,13 @@ class Top2VecSpark:
 
             self.phrases = find_phrases(
                 self.tokens,
-                min_count=phrase_min_count,
-                threshold=phrase_threshold,
+                min_count=self._phrase_min_count,
+                threshold=self._phrase_threshold,
             ).cache()
             self.tokens = tokens_with_phrases(self.tokens, self.phrases)
-        self.vocab = build_vocab(self.tokens, min_count=min_count)
+        self.vocab = build_vocab(self.tokens, min_count=self.min_count)
         self.doc_stats = build_doc_stats(self.tokens)
         self._globals: CorpusGlobals | None = None
-        self._index = None  # set by build_index() (postings/WAND path)
 
     @classmethod
     def from_pages(
@@ -159,6 +172,43 @@ class Top2VecSpark:
         )
         if hasattr(self, "_vocab_map"):
             del self._vocab_map  # re-derive from the built index vocab
+        return self._index
+
+    def compact_index(self):
+        """Maintenance hook: fold every streamed/appended epoch and
+        all tombstones into a fresh single-epoch base
+        (plans/build.compact_index — rebuild-equivalent, but from the
+        stored packed tf, never re-reading raw text) under THIS
+        engine's min_count. After the compaction, the surviving corpus
+        is the new ground truth: ``self.docs`` drops any doc_id the
+        index had tombstoned (left_anti against the distributed
+        tombstone table — correct even for deletes registered on the
+        raw index rather than through api.delete_documents), and every
+        engine-level derivation (tokens, vocab, doc_stats, globals,
+        driver vocab map) is re-derived so the brute fallback, the
+        WAND path (which passes ``self.globals``), and validation all
+        agree with the index's recomputed survivor statistics."""
+        import os
+
+        if getattr(self, "_index", None) is None:
+            raise ValueError("no index — build_index first")
+        tpath = self._index.tombstones_path
+        if os.path.isdir(tpath):
+            # eager localCheckpoint: the compaction swap DELETES the
+            # tombstone files, so the filtered-docs plan must not keep
+            # a lazy scan of them (tiny table — ids only)
+            tomb = (
+                self.spark.read.parquet(tpath)
+                .select("doc_id")
+                .localCheckpoint()
+            )
+            self.docs = self.docs.join(tomb, "doc_id", "left_anti")
+        self._index = self._index.compact(
+            min_count=self.min_count, cfg=self.cfg
+        )
+        self._derive_corpus_tables()
+        if hasattr(self, "_vocab_map"):
+            del self._vocab_map
         return self._index
 
     # -- queries ------------------------------------------------------------
