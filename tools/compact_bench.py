@@ -125,9 +125,11 @@ def main() -> None:
     t0 = time.time()
     cidx = idx.compact()
     t["compact_sec"] = round(time.time() - t0, 2)
+    t["compact_stages"] = stage_breakdown(f"{work}/idx", t0)
     t["p50_compacted_sec"] = round(p50_queries(spark, cidx), 4)
     print(
-        f"compact: {t['compact_sec']}s, p50 after {t['p50_compacted_sec']}s"
+        f"compact: {t['compact_sec']}s {t['compact_stages']}, "
+        f"p50 after {t['p50_compacted_sec']}s"
     )
 
     # full rebuild oracle: re-tokenize the surviving docs
@@ -139,7 +141,11 @@ def main() -> None:
         spark, f"{work}/fresh", docs_per_shard=DPS, n_buckets=8
     ).build_from_docs(surv_docs, resume=False)
     t["full_rebuild_sec"] = round(time.time() - t0, 2)
-    print(f"full rebuild over survivors: {t['full_rebuild_sec']}s")
+    t["rebuild_stages"] = stage_breakdown(f"{work}/fresh", t0)
+    print(
+        f"full rebuild over survivors: {t['full_rebuild_sec']}s "
+        f"{t['rebuild_stages']}"
+    )
 
     assert fresh.globs == cidx.globs, (fresh.globs, cidx.globs)
     t["globals_match"] = True
@@ -150,6 +156,26 @@ def main() -> None:
     t["cpus"] = CPUS
     print(json.dumps(t))
     shutil.rmtree(work, ignore_errors=True)
+
+
+def stage_breakdown(idx_path: str, start_ts: float) -> dict:
+    """Per-stage wall seconds from the builder's marker timestamps
+    (each stage writes completed_at after its table lands): stage N's
+    duration = its completed_at minus the previous stage's (the first
+    stage diffs against the build start)."""
+    import glob
+
+    marks = []
+    for m in glob.glob(f"{idx_path}/_stages/*.json"):
+        with open(m) as f:
+            j = json.load(f)
+        marks.append((j["completed_at"], j["stage"]))
+    marks.sort()
+    out, prev = {}, start_ts
+    for ts, stage in marks:
+        out[stage] = round(ts - prev, 2)
+        prev = ts
+    return out
 
 
 def docs_with_appended_ids(spark, docs, base_n, app_n, n_appends, dps, victims):
