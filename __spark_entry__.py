@@ -358,6 +358,30 @@ def _q_ivf_full_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_hnsw_full_ef(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2 true-graph path under the oracle: the from-scratch sharded
+    HNSW (operators/hnsw.py; reference hnswlib serving, top2vec.py:
+    1710-1825) searched with ef = shard size is provably exhaustive
+    (layer-0 backbone edge => connected base layer), so its top-10 must
+    equal the brute-force cosine oracle exactly — pinning the graph
+    build, blob (de)serialization, per-shard search, and the global
+    shard merge. Recall at practical ef is pytest- and bench-pinned."""
+    from top2vec_spark.operators.hnsw import hnsw_build, hnsw_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 7).first()["embedding"]]
+    index = hnsw_build(emb, n_shards=4, M=8, ef_construction=64)
+    # over-fetch unrounded, then round and re-limit (same discipline as
+    # ivf_full_probe_top10: the k boundary is decided on ROUNDED values
+    # like the oracle)
+    res = hnsw_topk(index, qvec, 20, ef=None)
+    return (
+        res.select("vec_id", F.round("score", 6).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+
+
 def _q_centroids_by_pos(spark: SparkSession, sf_dir: str) -> DataFrame:
     from top2vec_spark.operators.similarity import label_centroids
 
@@ -1906,6 +1930,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_top10": _q_cosine_top10,
         "emb_near_dup": _q_emb_near_dup,
         "ivf_full_probe_top10": _q_ivf_full_probe,
+        "hnsw_full_ef_top10": _q_hnsw_full_ef,
         "centroids_by_pos": _q_centroids_by_pos,
         "assign_nearest": _q_assign_nearest,
         "assign_top3": _q_assign_top3,
@@ -2262,6 +2287,15 @@ FROM embeddings, q
 ORDER BY score DESC, vec_id ASC LIMIT 10
 """,
         "ivf_full_probe_top10": """
+WITH q AS (SELECT embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id = 7)
+SELECT vec_id,
+       round(list_dot_product(embedding::DOUBLE[], q.e)
+             / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                * sqrt(list_dot_product(q.e, q.e))), 6) AS score
+FROM embeddings, q
+ORDER BY score DESC, vec_id ASC LIMIT 10
+""",
+        "hnsw_full_ef_top10": """
 WITH q AS (SELECT embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id = 7)
 SELECT vec_id,
        round(list_dot_product(embedding::DOUBLE[], q.e)

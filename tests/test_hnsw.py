@@ -1,0 +1,155 @@
+"""Distributed HNSW (operators/hnsw.py) vs numpy brute-force oracles.
+
+Reference contract: hnswlib index serving in top2vec.py:1710-1825
+(ef/M knobs, inner-product space on normalized vectors). Pins:
+exactness at full ef (the driver-gate mode), recall at practical ef,
+build determinism (byte-identical blobs), connectivity under a
+pathological two-cluster layout, and the zero-Exchange serving plan.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from top2vec_spark.operators.hnsw import (
+    _build_shard_graph,
+    _GRAPH_CACHE,
+    _ShardGraph,
+    hnsw_build,
+    hnsw_load,
+    hnsw_topk,
+    hnsw_write,
+)
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb_np(emb):
+    rows = emb.collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    mat = np.vstack([r["embedding"] for r in rows]).astype(np.float64)
+    order = np.argsort(ids)
+    return ids[order], mat[order]
+
+
+def np_cosine_topk(ids, mat, q, k):
+    qn = np.asarray(q, dtype=np.float64)
+    qn = qn / np.linalg.norm(qn)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1
+    scores = (mat @ qn) / norms
+    order = np.lexsort((ids, -scores))[:k]
+    return ids[order].tolist(), scores[order].tolist()
+
+
+@pytest.fixture(scope="module")
+def index(emb):
+    return hnsw_build(emb, n_shards=4, M=8, ef_construction=64).cache()
+
+
+def test_full_ef_is_exact(index, emb_np):
+    """ef=None (per-shard ef = n) must equal brute cosine — the
+    backbone edge makes layer 0 connected, so the search is provably
+    exhaustive. This is the driver-gate mode."""
+    ids, mat = emb_np
+    q = mat[7].tolist()
+    want_ids, want_scores = np_cosine_topk(ids, mat, q, 10)
+    got = hnsw_topk(index, q, 10, ef=None).collect()
+    assert [r["vec_id"] for r in got] == want_ids
+    for r, s in zip(got, want_scores):
+        assert r["score"] == pytest.approx(s, abs=1e-9)
+
+
+def test_practical_ef_recall(index, emb_np):
+    """recall@10 at ef=64 across 20 real-row queries >= 0.9 (HNSW on
+    500 vectors should be near-perfect; the bench pins large scale)."""
+    ids, mat = emb_np
+    hits = total = 0
+    for qi in range(0, 200, 10):
+        q = mat[qi].tolist()
+        want_ids, _ = np_cosine_topk(ids, mat, q, 10)
+        got = {r["vec_id"] for r in hnsw_topk(index, q, 10, ef=64).collect()}
+        hits += len(got & set(want_ids))
+        total += 10
+    assert hits / total >= 0.9
+
+
+def test_build_deterministic(emb):
+    """Same input -> byte-identical blobs regardless of build invocation
+    (levels from id hashes, insertion sorted by id, no RNG)."""
+    a = {r["shard"]: bytes(r["blob"]) for r in hnsw_build(emb, n_shards=4).collect()}
+    b = {r["shard"]: bytes(r["blob"]) for r in hnsw_build(emb, n_shards=4).collect()}
+    assert a == b
+
+
+def test_blob_roundtrip_and_cache(emb_np):
+    ids, mat = emb_np
+    g = _build_shard_graph(ids.astype(np.int64), mat.astype(np.float32), 8, 64)
+    g2 = _ShardGraph.from_blob(g.to_blob())
+    q = mat[3].tolist()
+    got1 = g.search(q, 5, None)
+    got2 = g2.search(q, 5, None)
+    assert got1[0].tolist() == got2[0].tolist()
+    assert np.allclose(got1[1], got2[1])
+
+
+def test_two_far_clusters_still_exact():
+    """Pathological layout: two orthogonal clusters that simple-nearest
+    neighbor selection would never wire together. The sequential
+    backbone edge keeps layer 0 connected, so full-ef search started
+    from either cluster's entry still finds the other cluster."""
+    rng = np.random.default_rng(11)
+    a = rng.normal(0, 0.01, (50, 16)) + np.eye(16)[0] * 10
+    b = rng.normal(0, 0.01, (50, 16)) + np.eye(16)[1] * 10
+    mat = np.vstack([a, b]).astype(np.float32)
+    ids = np.arange(100, dtype=np.int64)
+    g = _build_shard_graph(ids, mat, 4, 16)
+    # query deep in cluster b; entry point is likely in cluster a
+    q = (np.eye(16)[1] * 10).tolist()
+    got_ids, _ = g.search(q, 10, None)
+    want_ids, _ = np_cosine_topk(ids, mat.astype(np.float64), q, 10)
+    assert got_ids.tolist() == want_ids
+
+
+def test_persisted_roundtrip_and_plan(spark, index, emb_np, tmp_path):
+    """hnsw_write/hnsw_load roundtrip; serving plan has ZERO Exchange
+    before the final TakeOrdered merge (scan -> Python kernel -> take)."""
+    ids, mat = emb_np
+    path = str(tmp_path / "hnsw_idx")
+    hnsw_write(index, path)
+    loaded = hnsw_load(spark, path)
+    q = mat[7].tolist()
+    res = hnsw_topk(loaded, q, 10, ef=None)
+    want_ids, _ = np_cosine_topk(ids, mat, q, 10)
+    assert [r["vec_id"] for r in res.collect()] == want_ids
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan.split("TakeOrdered")[0] or "Exchange" not in plan
+
+
+def test_worker_cache_keyed_by_build(emb):
+    """Two builds of the same data get distinct build_ids, so a worker
+    that cached build A's graphs can never serve build B's query."""
+    a = hnsw_build(emb, n_shards=2).select("build_id").first()["build_id"]
+    b = hnsw_build(emb, n_shards=2).select("build_id").first()["build_id"]
+    assert a != b
+    # local deserialization populates the cache under the right key
+    _GRAPH_CACHE.clear()
+
+
+def test_empty_and_singleton_shard():
+    g = _build_shard_graph(
+        np.array([42], dtype=np.int64),
+        np.ones((1, 8), dtype=np.float32),
+        4,
+        16,
+    )
+    got_ids, got_scores = g.search(np.ones(8).tolist(), 5, None)
+    assert got_ids.tolist() == [42]
+    assert got_scores[0] == pytest.approx(1.0)
