@@ -143,6 +143,27 @@ def test_worker_cache_keyed_by_build(emb):
     _GRAPH_CACHE.clear()
 
 
+def test_topk_many_matches_per_query(index, emb_np):
+    """hnsw_topk_many must be rank/score-identical to per-query
+    hnsw_topk at the same ef — the batched contract (same pin as
+    wand_topk_many vs wand_topk)."""
+    from top2vec_spark.operators.hnsw import hnsw_topk_many
+
+    ids, mat = emb_np
+    queries = {f"q{qi}": mat[qi].tolist() for qi in (3, 47, 101)}
+    batched = hnsw_topk_many(index, queries, 10, ef=64).collect()
+    by_q: dict[str, list] = {}
+    for r in batched:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert sorted(by_q) == sorted(queries)
+    for qid, q in queries.items():
+        single = hnsw_topk(index, q, 10, ef=64).collect()
+        got = by_q[qid]
+        assert [r["vec_id"] for r in got] == [r["vec_id"] for r in single]
+        for g, s in zip(got, single):
+            assert g["score"] == pytest.approx(s["score"], abs=1e-12)
+
+
 def test_empty_and_singleton_shard():
     g = _build_shard_graph(
         np.array([42], dtype=np.int64),

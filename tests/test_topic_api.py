@@ -117,6 +117,58 @@ def test_vector_entry_points(spark, engine):
     assert words[0]["term"] == f"w{assigned}"
 
 
+def test_use_index_vector_search(spark, engine):
+    """Reference index_document_vectors / index_word_vectors +
+    use_index=True serving (top2vec.py:1710-1788, 2627-2643): guard
+    message parity before indexing, exactness at exhaustive ef, and
+    the word-id mapping join."""
+    import pytest as _pt
+
+    engine._document_index = None
+    engine._word_index = None
+    with _pt.raises(ImportError, match="no document index"):
+        engine.search_documents_by_vector([0.0] * 64, 5, use_index=True)
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 7).first()["embedding"]]
+    brute = engine.search_documents_by_vector(
+        qvec, 5, return_documents=False
+    ).collect()
+
+    engine.index_document_vectors(ef_construction=64, M=8, n_shards=2)
+    # ef >= corpus size -> provably exhaustive -> equals brute exactly
+    idx = engine.search_documents_by_vector(
+        qvec, 5, return_documents=False, use_index=True, ef=1000
+    ).collect()
+    assert [r["doc_id"] for r in idx] == [r["doc_id"] for r in brute]
+    for a, b in zip(idx, brute):
+        assert a["score"] == _pt.approx(b["score"], abs=1e-9)
+    # reference ef=None default (set_ef(num_docs)) still returns k docs
+    dflt = engine.search_documents_by_vector(
+        qvec, 5, return_documents=False, use_index=True
+    ).collect()
+    assert len(dflt) == 5 and dflt[0]["doc_id"] == 7
+
+    # word side: vectors from topic centroids, mapping joined back
+    wv = engine.spark.createDataFrame(
+        [(f"w{r['label']}", [float(x) for x in r["centroid"]])
+         for r in engine.topic_centroids.collect()],
+        "term string, embedding array<double>",
+    )
+    engine.set_word_vectors(wv)
+    with _pt.raises(ImportError, match="no word index"):
+        engine.search_words_by_vector(qvec, 3, use_index=True)
+    engine.index_word_vectors(ef_construction=64, M=8, n_shards=1)
+    brute_w = engine.search_words_by_vector(qvec, 3).collect()
+    idx_w = engine.search_words_by_vector(
+        qvec, 3, use_index=True, ef=1000
+    ).collect()
+    assert [r["term"] for r in idx_w] == [r["term"] for r in brute_w]
+    # blob storage quantizes float64 inputs to float32 -> ~1e-7 score drift
+    for a, b in zip(idx_w, brute_w):
+        assert a["score"] == _pt.approx(b["score"], abs=1e-6)
+
+
 def test_reduced_mirror_and_hierarchy(engine):
     n0 = engine.get_num_topics()
     reduced, hierarchy = engine.hierarchical_topic_reduction(4)

@@ -31,6 +31,7 @@ from top2vec_spark.operators.hnsw import (
     hnsw_build,
     hnsw_serving,
     hnsw_topk,
+    hnsw_topk_many,
     hnsw_write,
 )
 from top2vec_spark.operators.similarity import cosine_topk
@@ -132,11 +133,24 @@ def main():
             lats.append(time.time() - t0)
             got = [r["vec_id"] for r in rows]
             recs.append(len(set(got) & set(exact[i])) / K)
+        # batched serving: ALL queries in ONE job (the wand_topk_many twin)
+        qdict = {f"q{i}": q.tolist() for i, q in enumerate(qs)}
+        t0 = time.time()
+        brows = hnsw_topk_many(index, qdict, K, ef=ef).collect()
+        t_batch = time.time() - t0
+        bgot: dict[int, set] = {}
+        for r in brows:
+            bgot.setdefault(int(r["query_id"][1:]), set()).add(r["vec_id"])
+        brecall = sum(
+            len(bgot.get(i, set()) & set(exact[i])) / K for i in range(len(qs))
+        ) / len(qs)
         results[ef] = {
             "recall_at_10": round(sum(recs) / len(recs), 4),
             "p50_sec": round(statistics.median(lats), 4),
             "mean_sec": round(sum(lats) / len(lats), 4),
             "qps": round(1.0 / statistics.median(lats), 2),
+            "batched_per_query_sec": round(t_batch / len(qs), 4),
+            "batched_recall_at_10": round(brecall, 4),
         }
         print(f"ef={ef:4d}: {results[ef]}", flush=True)
 

@@ -851,6 +851,101 @@ class Top2VecSpark:
         search_words_by_vector."""
         self._word_vectors = word_vectors
 
+    # -- ANN indexing (reference top2vec.py:1710-1825, hnswlib) --------------
+    def index_document_vectors(
+        self, ef_construction: int = 200, M: int = 64, n_shards: int = 8
+    ) -> None:
+        """Reference index_document_vectors (top2vec.py:1710-1750):
+        build the ANN serving index over the registered document
+        vectors so vector searches can pass ``use_index=True``. Here
+        the index is the distributed sharded HNSW (operators/hnsw.py)
+        instead of one in-process hnswlib graph: ``n_shards`` graphs
+        built in parallel, the blob table pinned one-task-per-shard
+        and persisted so every indexed query runs all shard searches
+        in parallel with hot worker graph caches. Unlike hnswlib there
+        is no index_id->doc_id indirection (top2vec.py:1739-1745):
+        vec_id IS doc_id by construction."""
+        from top2vec_spark.operators.hnsw import hnsw_build
+
+        if not hasattr(self, "_doc_vectors"):
+            raise ValueError(
+                "no document vectors — compute_topics or "
+                "set_document_vectors first"
+            )
+        idx = hnsw_build(
+            self._doc_vectors,
+            n_shards=n_shards,
+            M=M,
+            ef_construction=ef_construction,
+        )
+        idx = idx.repartition(max(n_shards, 1), "shard").persist()
+        idx.count()
+        old = getattr(self, "_document_index", None)
+        if old is not None:
+            old.unpersist()
+        self._document_index = idx
+
+    def index_word_vectors(
+        self, ef_construction: int = 200, M: int = 64, n_shards: int = 4
+    ) -> None:
+        """Reference index_word_vectors (top2vec.py:1752-1788). Word
+        vectors are keyed by term string; HNSW needs int64 ids, so a
+        (word_id, term) mapping is materialized alongside the index
+        (monotonically_increasing_id — unique without a shuffle; ids
+        are index-build-local, never exposed) and joined back after
+        the top-k, exactly the reference's index_id2word indirection
+        (top2vec.py:1781-1787) made distributed."""
+        from top2vec_spark.operators.hnsw import hnsw_build
+
+        if not hasattr(self, "_word_vectors"):
+            raise ValueError("no word vectors — set_word_vectors first")
+        base = (
+            self._word_vectors.select(
+                F.monotonically_increasing_id().alias("word_id"),
+                "term",
+                "embedding",
+            )
+            .persist()
+        )
+        base.count()
+        idx = hnsw_build(
+            base,
+            n_shards=n_shards,
+            M=M,
+            ef_construction=ef_construction,
+            id_col="word_id",
+        )
+        idx = idx.repartition(max(n_shards, 1), "shard").persist()
+        idx.count()
+        old = getattr(self, "_word_index", None)
+        if old is not None:
+            old.unpersist()
+        oldm = getattr(self, "_word_index_terms", None)
+        if oldm is not None:
+            oldm.unpersist()
+        self._word_index = idx
+        self._word_index_terms = base.select("word_id", "term")
+
+    def _check_document_index_status(self) -> None:
+        """Message parity: reference _check_document_index_status
+        (top2vec.py:1292-1295)."""
+        if getattr(self, "_document_index", None) is None:
+            raise ImportError(
+                "There is no document index.\n\n"
+                "Call index_document_vectors method before setting "
+                "use_index=True."
+            )
+
+    def _check_word_index_status(self) -> None:
+        """Message parity: reference _check_word_index_status
+        (top2vec.py:1297-1300)."""
+        if getattr(self, "_word_index", None) is None:
+            raise ImportError(
+                "There is no word index.\n\n"
+                "Call index_word_vectors method before setting "
+                "use_index=True."
+            )
+
     def set_embedding_model(self, embedding_model) -> None:
         """H2 hook — reference set_embedding_model
         (top2vec.py:1827-1843): register a user callable
@@ -1147,12 +1242,23 @@ class Top2VecSpark:
         return out
 
     def search_documents_by_vector(
-        self, vector: Sequence[float], num_docs: int, return_documents: bool = True
+        self,
+        vector: Sequence[float],
+        num_docs: int,
+        return_documents: bool = True,
+        use_index: bool = False,
+        ef: int | None = None,
     ) -> DataFrame:
         """Reference search_documents_by_vector (top2vec.py:2574-2650):
-        exact cosine top-k over the registered document embeddings
-        (operators/similarity.cosine_topk — per-partition matmul +
-        TakeOrderedAndProject)."""
+        cosine top-k over the registered document embeddings.
+        ``use_index=False``: exact (operators/similarity.cosine_topk —
+        per-partition matmul + TakeOrderedAndProject).
+        ``use_index=True``: the sharded HNSW built by
+        index_document_vectors; ``ef=None`` mirrors the reference's
+        ``set_ef(num_docs)`` default (top2vec.py:2630-2633). NOTE: on
+        the keyword entry points ``use_index`` toggles the WAND
+        inverted-index path instead — same name, the engine's lexical
+        analogue."""
         from top2vec_spark.operators.similarity import cosine_topk
 
         if not hasattr(self, "_doc_vectors"):
@@ -1162,22 +1268,51 @@ class Top2VecSpark:
             )
         self._validate_vector(vector, self._vector_dim(self._doc_vectors))
         self._validate_num_docs(num_docs)
-        res = cosine_topk(self._doc_vectors, vector, num_docs).select(
-            F.col("vec_id").alias("doc_id"), "score"
-        )
+        if use_index:
+            from top2vec_spark.operators.hnsw import hnsw_topk
+
+            self._check_document_index_status()
+            eff = int(ef) if ef is not None else int(num_docs)
+            res = hnsw_topk(
+                self._document_index, vector, num_docs, ef=eff
+            ).select(F.col("vec_id").alias("doc_id"), "score")
+        else:
+            res = cosine_topk(self._doc_vectors, vector, num_docs).select(
+                F.col("vec_id").alias("doc_id"), "score"
+            )
         return self._project(res, return_documents)
 
     def search_words_by_vector(
-        self, vector: Sequence[float], num_words: int
+        self,
+        vector: Sequence[float],
+        num_words: int,
+        use_index: bool = False,
+        ef: int | None = None,
     ) -> DataFrame:
         """Reference search_words_by_vector (top2vec.py:2652-2713):
-        cosine top-k over a registered (term, embedding) table."""
+        cosine top-k over a registered (term, embedding) table;
+        ``use_index=True`` serves from the index_word_vectors HNSW
+        with the (word_id -> term) mapping joined back (broadcast of
+        the <= k result rows — the mapping table stays distributed)."""
         from top2vec_spark.operators.similarity import cosine_topk_sql
 
         if not hasattr(self, "_word_vectors"):
             raise ValueError("no word vectors — set_word_vectors first")
         self._validate_vector(vector, self._vector_dim(self._word_vectors))
         self._validate_num(num_words, "num_words")
+        if use_index:
+            from top2vec_spark.operators.hnsw import hnsw_topk
+
+            self._check_word_index_status()
+            eff = int(ef) if ef is not None else int(num_words)
+            res = hnsw_topk(
+                self._word_index, vector, num_words, ef=eff
+            ).withColumnRenamed("vec_id", "word_id")
+            return (
+                self._word_index_terms.join(F.broadcast(res), "word_id")
+                .select("term", "score")
+                .orderBy(F.col("score").desc(), F.col("term").asc())
+            )
         return cosine_topk_sql(
             self._word_vectors, vector, num_words, id_col="term"
         ).select(F.col("vec_id").alias("term"), "score")

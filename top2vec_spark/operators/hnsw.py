@@ -416,3 +416,57 @@ def hnsw_topk(
 
     out = index.mapInPandas(search_batches, "vec_id long, score double")
     return out.orderBy(F.col("score").desc(), F.col("vec_id").asc()).limit(k)
+
+
+def hnsw_topk_many(
+    index: DataFrame,
+    queries: dict,
+    k: int,
+    ef: int | None = 100,
+) -> DataFrame:
+    """Batched top-k: MANY queries answered in ONE Spark job — the
+    graph-index twin of wand_topk_many (operators/wand.py:576), same
+    motivation: a warm single query pays one full job schedule
+    (~0.3-1 s) regardless of kernel cost, so serving/offline-eval
+    workloads batch. Each shard task deserializes its graph ONCE
+    (worker-cached) and searches every query over it; the final
+    per-query top-k is one window over <= k * shards * |Q| tiny rows.
+
+    ``queries``: query_id -> vector. Returns (query_id, vec_id, score),
+    <= k rows per query, rank/score-identical to per-query hnsw_topk
+    (pytest-pinned in tests/test_hnsw.py)."""
+    from pyspark.sql import Window as W
+
+    qitems = [(str(qid), [float(x) for x in vec]) for qid, vec in queries.items()]
+
+    def search_batches(pdfs):
+        for pdf in pdfs:
+            frames = []
+            for _, row in pdf.iterrows():
+                key = (row["build_id"], int(row["shard"]))
+                graph = _GRAPH_CACHE.get(key)
+                if graph is None:
+                    graph = _ShardGraph.from_blob(bytes(row["blob"]))
+                    _GRAPH_CACHE[key] = graph
+                for qid, q in qitems:
+                    ids, scores = graph.search(q, k, ef)
+                    frames.append(
+                        pd.DataFrame(
+                            {"query_id": qid, "vec_id": ids, "score": scores}
+                        )
+                    )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    out = index.mapInPandas(
+        search_batches, "query_id string, vec_id long, score double"
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("vec_id").asc()
+    )
+    return (
+        out.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+        .orderBy("query_id", F.col("score").desc(), F.col("vec_id").asc())
+    )
