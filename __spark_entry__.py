@@ -382,6 +382,40 @@ def _q_hnsw_full_ef(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_hnsw_many_full_ef(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched graph serving under the oracle: hnsw_topk_many
+    (operators/hnsw.py — many queries answered in ONE job, the
+    wand_topk_many twin; reference serving loop over hnswlib
+    knn_query, top2vec.py:2627-2640) at ef=None (per-shard exhaustive)
+    must equal per-query brute cosine for EVERY query — pinning the
+    shared-graph kernel, the per-query window merge, and the
+    query_id plumbing. Top-5 per query on rounded scores (over-fetch
+    unrounded k=10, round, re-rank — the ivf/hnsw row discipline)."""
+    from pyspark.sql import Window as W
+
+    from top2vec_spark.operators.hnsw import hnsw_build, hnsw_topk_many
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qrows = {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id").isin(3, 7, 11)).collect()
+    }
+    index = hnsw_build(emb, n_shards=4, M=8, ef_construction=64)
+    res = hnsw_topk_many(
+        index, {f"q{i}": v for i, v in sorted(qrows.items())}, 10, ef=None
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("vec_id").asc()
+    )
+    return (
+        res.select("query_id", "vec_id", F.round("score", 6).alias("score"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 5)
+        .drop("_rn")
+        .orderBy("query_id", F.col("score").desc(), F.col("vec_id").asc())
+    )
+
+
 def _q_centroids_by_pos(spark: SparkSession, sf_dir: str) -> DataFrame:
     from top2vec_spark.operators.similarity import label_centroids
 
@@ -1931,6 +1965,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_near_dup": _q_emb_near_dup,
         "ivf_full_probe_top10": _q_ivf_full_probe,
         "hnsw_full_ef_top10": _q_hnsw_full_ef,
+        "hnsw_many_full_ef": _q_hnsw_many_full_ef,
         "centroids_by_pos": _q_centroids_by_pos,
         "assign_nearest": _q_assign_nearest,
         "assign_top3": _q_assign_top3,
@@ -2303,6 +2338,28 @@ SELECT vec_id,
                 * sqrt(list_dot_product(q.e, q.e))), 6) AS score
 FROM embeddings, q
 ORDER BY score DESC, vec_id ASC LIMIT 10
+""",
+        "hnsw_many_full_ef": """
+WITH qs AS (
+  SELECT 'q' || vec_id AS query_id, embedding::DOUBLE[] AS e
+  FROM embeddings WHERE vec_id IN (3, 7, 11)
+),
+scored AS (
+  SELECT qs.query_id, em.vec_id,
+         round(list_dot_product(em.embedding::DOUBLE[], qs.e)
+               / (sqrt(list_dot_product(em.embedding::DOUBLE[], em.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(qs.e, qs.e))), 6) AS score
+  FROM embeddings em, qs
+),
+rnk AS (
+  SELECT query_id, vec_id, score,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY score DESC, vec_id ASC
+         ) AS rn
+  FROM scored
+)
+SELECT query_id, vec_id, score FROM rnk WHERE rn <= 5
+ORDER BY query_id, score DESC, vec_id ASC
 """,
         "emb_near_dup": """
 WITH n AS (
