@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from top2vec_spark.operators.hnsw import (
     _build_shard_graph,
@@ -162,6 +163,36 @@ def test_topk_many_matches_per_query(index, emb_np):
         assert [r["vec_id"] for r in got] == [r["vec_id"] for r in single]
         for g, s in zip(got, single):
             assert g["score"] == pytest.approx(s["score"], abs=1e-12)
+
+
+def test_append_epoch_and_tombstone_exclude(spark, emb, emb_np):
+    """hnsw_append (epoch shards over only the new vectors) + exclude
+    (mark_deleted parity): full-ef search over the appended index
+    equals brute over the UNION; excluding ids removes exactly them
+    while the survivors stay exact."""
+    from top2vec_spark.operators.hnsw import hnsw_append
+
+    ids, mat = emb_np
+    old = emb.filter(F.col("vec_id") < 250)
+    new = emb.filter(F.col("vec_id") >= 250)
+    index = hnsw_build(old, n_shards=2, M=8, ef_construction=64)
+    appended = hnsw_append(index, new, n_shards=2, M=8, ef_construction=64)
+    # epoch shard ids must not collide
+    shards = [r["shard"] for r in appended.select("shard").collect()]
+    assert len(shards) == len(set(shards)) == 4
+    q = mat[7].tolist()
+    want_ids, want_scores = np_cosine_topk(ids, mat, q, 10)
+    got = hnsw_topk(appended, q, 10, ef=None).collect()
+    assert [r["vec_id"] for r in got] == want_ids
+    # a result id from EACH side of the split proves the union serves
+    assert any(v < 250 for v in want_ids) or any(v >= 250 for v in want_ids)
+    # tombstone the top-2: they vanish, the rest is brute over survivors
+    dead = want_ids[:2]
+    keep_mask = ~np.isin(ids, dead)
+    want2, _ = np_cosine_topk(ids[keep_mask], mat[keep_mask], q, 10)
+    got2 = hnsw_topk(appended, q, 10, ef=None, exclude=dead).collect()
+    assert [r["vec_id"] for r in got2] == want2
+    assert not set(dead) & {r["vec_id"] for r in got2}
 
 
 def test_empty_and_singleton_shard():

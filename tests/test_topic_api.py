@@ -169,6 +169,57 @@ def test_use_index_vector_search(spark, engine):
         assert a["score"] == _pt.approx(b["score"], abs=1e-6)
 
 
+def test_index_lifecycle_add_delete(spark):
+    """Reference parity for the indexed-model lifecycle: deletes mark
+    tombstones in the ANN index (hnswlib mark_deleted,
+    top2vec.py:2104-2110) and adds append an epoch (add_items,
+    top2vec.py:2040-2058) — searches see both immediately, no
+    rebuild. The brute vector path must also drop deleted docs
+    (np.delete parity, top2vec.py:2091)."""
+    from top2vec_spark import Top2VecSpark
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    eng = Top2VecSpark(spark, docs, ascii_fast_path=True)
+    eng.compute_topics(emb)
+    eng.index_document_vectors(ef_construction=64, M=8, n_shards=2)
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 7).first()["embedding"]]
+    base = eng.search_documents_by_vector(
+        qvec, 5, return_documents=False, use_index=True, ef=1000
+    ).collect()
+    assert base[0]["doc_id"] == 7
+
+    # delete the top hit: tombstoned out of the index AND the brute path
+    eng2 = eng.delete_documents([7])
+    got = eng2.search_documents_by_vector(
+        qvec, 5, return_documents=False, use_index=True, ef=1000
+    ).collect()
+    assert all(r["doc_id"] != 7 for r in got)
+    assert [r["doc_id"] for r in got] == [r["doc_id"] for r in base[1:]] + [
+        got[-1]["doc_id"]
+    ]
+    brute = eng2.search_documents_by_vector(
+        qvec, 5, return_documents=False
+    ).collect()
+    assert [r["doc_id"] for r in brute] == [r["doc_id"] for r in got]
+
+    # add a doc whose embedding IS the query: epoch-appended, found first
+    new_docs = spark.createDataFrame(
+        [(100000, "a fresh appended document", "en", "t", 25)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    new_emb = spark.createDataFrame(
+        [(100000, qvec)], "vec_id long, embedding array<float>"
+    )
+    eng3 = eng2.add_documents(new_docs, new_embeddings=new_emb)
+    got3 = eng3.search_documents_by_vector(
+        qvec, 5, return_documents=False, use_index=True, ef=1000
+    ).collect()
+    assert got3[0]["doc_id"] == 100000
+    assert got3[0]["score"] == pytest.approx(1.0, abs=1e-6)
+    assert all(r["doc_id"] != 7 for r in got3)  # tombstones carried
+
+
 def test_reduced_mirror_and_hierarchy(engine):
     n0 = engine.get_num_topics()
     reduced, hierarchy = engine.hierarchical_topic_reduction(4)

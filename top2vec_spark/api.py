@@ -884,6 +884,7 @@ class Top2VecSpark:
         if old is not None:
             old.unpersist()
         self._document_index = idx
+        self._doc_index_tombstones: frozenset = frozenset()
 
     def index_word_vectors(
         self, ef_construction: int = 200, M: int = 64, n_shards: int = 4
@@ -1274,7 +1275,11 @@ class Top2VecSpark:
             self._check_document_index_status()
             eff = int(ef) if ef is not None else int(num_docs)
             res = hnsw_topk(
-                self._document_index, vector, num_docs, ef=eff
+                self._document_index,
+                vector,
+                num_docs,
+                ef=eff,
+                exclude=sorted(getattr(self, "_doc_index_tombstones", ())),
             ).select(F.col("vec_id").alias("doc_id"), "score")
         else:
             res = cosine_topk(self._doc_vectors, vector, num_docs).select(
@@ -1641,6 +1646,30 @@ class Top2VecSpark:
                 emb, allowMissingColumns=True
             )
             out._doc_vectors = out._topic_embeddings
+        # ANN index lifecycle (reference add_documents extends the
+        # hnswlib document index via add_items, top2vec.py:2040-2058):
+        # with new embeddings, append an epoch of fresh shard graphs —
+        # no existing graph rebuilt; without them the old index cannot
+        # cover the new docs, so it is NOT carried (re-index after
+        # registering vectors), mirroring the reference's invariant
+        # that indexed models always embed added docs.
+        if (
+            getattr(self, "_document_index", None) is not None
+            and new_embeddings is not None
+        ):
+            from top2vec_spark.operators.hnsw import hnsw_append
+
+            emb_new = new_embeddings
+            if id_shift:
+                emb_new = emb_new.withColumn(
+                    "vec_id", (F.col("vec_id") + F.lit(id_shift)).cast("long")
+                )
+            appended = hnsw_append(self._document_index, emb_new).persist()
+            appended.count()
+            out._document_index = appended
+            out._doc_index_tombstones = getattr(
+                self, "_doc_index_tombstones", frozenset()
+            )
         return out
 
     def delete_documents(self, doc_ids: Sequence[int]) -> "Top2VecSpark":
@@ -1670,6 +1699,22 @@ class Top2VecSpark:
                         ~F.col("doc_id").isin(list(doc_ids))
                     )
                 self._invalidate_topic_caches()
+            # brute vector path must also stop returning deleted docs
+            # (reference np.delete's document_vectors, top2vec.py:2091)
+            if hasattr(self, "_topic_embeddings"):
+                self._topic_embeddings = self._topic_embeddings.filter(
+                    ~F.col("vec_id").isin(list(doc_ids))
+                )
+            if hasattr(self, "_doc_vectors"):
+                self._doc_vectors = self._doc_vectors.filter(
+                    ~F.col("vec_id").isin(list(doc_ids))
+                )
+            # ANN index: tombstone, not rebuild (hnswlib mark_deleted
+            # parity, top2vec.py:2104-2110)
+            if getattr(self, "_document_index", None) is not None:
+                self._doc_index_tombstones = getattr(
+                    self, "_doc_index_tombstones", frozenset()
+                ) | frozenset(int(d) for d in doc_ids)
             return self
         remaining = self.docs.filter(~F.col("doc_id").isin(list(doc_ids)))
         out = Top2VecSpark(
@@ -1703,6 +1748,15 @@ class Top2VecSpark:
                     ~F.col("vec_id").isin(list(doc_ids))
                 )
                 out._doc_vectors = out._topic_embeddings
+        if not hasattr(out, "_doc_vectors") and hasattr(self, "_doc_vectors"):
+            out._doc_vectors = self._doc_vectors.filter(
+                ~F.col("vec_id").isin(list(doc_ids))
+            )
+        if getattr(self, "_document_index", None) is not None:
+            out._document_index = self._document_index
+            out._doc_index_tombstones = getattr(
+                self, "_doc_index_tombstones", frozenset()
+            ) | frozenset(int(d) for d in doc_ids)
         return out
 
     # -- helpers ------------------------------------------------------------

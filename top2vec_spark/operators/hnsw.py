@@ -162,19 +162,35 @@ class _ShardGraph:
         sims = np.fromiter((s for s, _ in result), dtype=np.float64, count=len(result))
         return nodes, sims
 
-    def search(self, query: Sequence[float], k: int, ef: int | None):
+    def search(
+        self,
+        query: Sequence[float],
+        k: int,
+        ef: int | None,
+        exclude: frozenset = frozenset(),
+    ):
         """Top-k (vec_ids, float64 cosine scores vs raw vectors).
-        ef=None -> ef = n (the provably exhaustive mode)."""
+        ef=None -> ef = n (the provably exhaustive mode). ``exclude``
+        is the tombstone set (hnswlib mark_deleted parity, reference
+        top2vec.py:2104-2110): excluded ids are dropped AFTER the
+        layer search, before the top-k cut — at full ef this stays
+        exact over the survivors; at practical ef the candidate pool
+        is widened by |exclude| so tombstones cannot starve k."""
         n = self.unit.shape[0]
         if n == 0:
             return np.empty(0, np.int64), np.empty(0, np.float64)
         q = np.asarray(query, dtype=np.float32)
         qn = q / (np.linalg.norm(q) or 1.0)
-        eff = n if ef is None else max(int(ef), k)
+        eff = n if ef is None else max(int(ef) + len(exclude), k + len(exclude))
         ep = self.entry
         for level in range(int(self.levels.max()), 0, -1):
             ep = self._greedy(qn, ep, level)
         nodes, _ = self._search_layer(qn, ep, eff, 0)
+        if exclude:
+            keep = ~np.isin(self.vec_ids[nodes], np.fromiter(exclude, dtype=np.int64))
+            nodes = nodes[keep]
+            if nodes.size == 0:
+                return np.empty(0, np.int64), np.empty(0, np.float64)
         # final scores in float64 from RAW vectors — cosine_topk arithmetic
         q64 = np.asarray(query, dtype=np.float64)
         q64n = q64 / (np.linalg.norm(q64) or 1.0)
@@ -356,6 +372,34 @@ def hnsw_build(
     return sharded.groupBy("shard").applyInPandas(build_one, _BLOB_SCHEMA)
 
 
+def hnsw_append(
+    index: DataFrame,
+    new_embeddings: DataFrame,
+    n_shards: int = 2,
+    M: int = 8,
+    ef_construction: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Append an epoch: build fresh shard graphs for ONLY the new
+    vectors (shard ids offset past the existing max so epochs never
+    collide) and union the blob tables — the ANN twin of the postings
+    append (plans/build.py append_documents; reference add_documents
+    updating the hnswlib index via add_items, top2vec.py:2040-2058).
+    No existing graph is touched or re-read; the serving merge is
+    shard-agnostic, so queries see old + new immediately."""
+    base = int(index.agg(F.max("shard")).collect()[0][0]) + 1
+    fresh = hnsw_build(
+        new_embeddings,
+        n_shards=n_shards,
+        M=M,
+        ef_construction=ef_construction,
+        id_col=id_col,
+        vec_col=vec_col,
+    ).withColumn("shard", (F.col("shard") + F.lit(base)).cast("int"))
+    return index.unionByName(fresh)
+
+
 def hnsw_write(index: DataFrame, path: str) -> None:
     """Persist the blob table (one small file per shard graph)."""
     index.write.mode("overwrite").parquet(path)
@@ -386,12 +430,16 @@ def hnsw_topk(
     query: Sequence[float],
     k: int,
     ef: int | None = 100,
+    exclude: Sequence[int] = (),
 ) -> DataFrame:
     """Top-k over the sharded index. ``ef=None`` -> per-shard ef = n,
     the provably exhaustive (exact) mode used by the driver-gate row.
+    ``exclude``: tombstoned vec_ids (mark_deleted parity), dropped
+    inside each shard kernel before its top-k cut.
     Plan: blob scan -> mapInPandas kernel -> TakeOrderedAndProject;
     zero Exchange before the final merge."""
     q = [float(x) for x in query]
+    excl = frozenset(int(x) for x in exclude)
 
     def search_batches(pdfs):
         for pdf in pdfs:
@@ -403,7 +451,7 @@ def hnsw_topk(
                 if graph is None:
                     graph = _ShardGraph.from_blob(bytes(row["blob"]))
                     _GRAPH_CACHE[key] = graph
-                ids, scores = graph.search(q, k, ef)
+                ids, scores = graph.search(q, k, ef, exclude=excl)
                 out_ids.append(ids)
                 out_scores.append(scores)
             if out_ids:
@@ -423,6 +471,7 @@ def hnsw_topk_many(
     queries: dict,
     k: int,
     ef: int | None = 100,
+    exclude: Sequence[int] = (),
 ) -> DataFrame:
     """Batched top-k: MANY queries answered in ONE Spark job — the
     graph-index twin of wand_topk_many (operators/wand.py:576), same
@@ -438,6 +487,7 @@ def hnsw_topk_many(
     from pyspark.sql import Window as W
 
     qitems = [(str(qid), [float(x) for x in vec]) for qid, vec in queries.items()]
+    excl = frozenset(int(x) for x in exclude)
 
     def search_batches(pdfs):
         for pdf in pdfs:
@@ -449,7 +499,7 @@ def hnsw_topk_many(
                     graph = _ShardGraph.from_blob(bytes(row["blob"]))
                     _GRAPH_CACHE[key] = graph
                 for qid, q in qitems:
-                    ids, scores = graph.search(q, k, ef)
+                    ids, scores = graph.search(q, k, ef, exclude=excl)
                     frames.append(
                         pd.DataFrame(
                             {"query_id": qid, "vec_id": ids, "score": scores}
