@@ -165,6 +165,30 @@ def test_topk_many_matches_per_query(index, emb_np):
             assert g["score"] == pytest.approx(s["score"], abs=1e-12)
 
 
+def test_topk_many_plan_no_exchange_below_kernel(index, emb_np):
+    """Batched serving plan: the shard kernel consumes the blob scan
+    directly — every Exchange sits ABOVE it (the per-query window
+    merge + final sort of tiny rows), never between scan and kernel."""
+    from top2vec_spark.operators.hnsw import hnsw_topk_many
+
+    _, mat = emb_np
+    res = hnsw_topk_many(index, {"a": mat[0].tolist()}, 5, ef=8)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    # segment between the serving kernel and its input scan; the text
+    # inside InMemoryRelation below the scan is the CACHED build plan
+    # (its groupBy Exchange already ran), not serving-time work
+    import re
+
+    below_kernel = plan.split("MapInPandas")[-1]
+    scan = re.search(r"InMemoryTableScan|FileScan|Scan parquet", below_kernel)
+    assert scan is not None
+    assert "Exchange" not in below_kernel[: scan.start()]
+    # and the merge above the kernel pushes a partial top-k below the
+    # query_id shuffle (WindowGroupLimit Partial), so only <= k rows
+    # per query per partition cross the wire
+    assert "WindowGroupLimit" in plan
+
+
 def test_append_epoch_and_tombstone_exclude(spark, emb, emb_np):
     """hnsw_append (epoch shards over only the new vectors) + exclude
     (mark_deleted parity): full-ef search over the appended index

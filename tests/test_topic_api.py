@@ -220,6 +220,47 @@ def test_index_lifecycle_add_delete(spark):
     assert all(r["doc_id"] != 7 for r in got3)  # tombstones carried
 
 
+def test_ann_index_save_load_roundtrip(spark, tmp_path):
+    """Reference save/load serializes + rehydrates the hnswlib indexes
+    (top2vec.py:894-943, 945-1012): after save_ann_indexes ->
+    load_ann_indexes into a FRESH engine, indexed searches (including
+    tombstones and the word-id mapping) return identical results."""
+    from top2vec_spark import Top2VecSpark
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    eng = Top2VecSpark(spark, docs, ascii_fast_path=True)
+    eng.set_document_vectors(emb.select("vec_id", "embedding"))
+    eng.index_document_vectors(ef_construction=64, M=8, n_shards=2)
+    eng._doc_index_tombstones = frozenset({7})
+    wv = spark.createDataFrame(
+        [("alpha", [1.0, 0.0]), ("beta", [0.8, 0.6]), ("gamma", [0.0, 1.0])],
+        "term string, embedding array<float>",
+    )
+    eng.set_word_vectors(wv)
+    eng.index_word_vectors(ef_construction=32, M=4, n_shards=1)
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 7).first()["embedding"]]
+    want_docs = eng.search_documents_by_vector(
+        qvec, 5, return_documents=False, use_index=True, ef=1000
+    ).collect()
+    want_words = eng.search_words_by_vector([1.0, 0.1], 2, use_index=True, ef=10).collect()
+
+    eng.save_ann_indexes(str(tmp_path / "ann"))
+    fresh = Top2VecSpark(spark, docs, ascii_fast_path=True)
+    fresh.set_document_vectors(emb.select("vec_id", "embedding"))
+    fresh.set_word_vectors(wv)
+    fresh.load_ann_indexes(str(tmp_path / "ann"))
+    got_docs = fresh.search_documents_by_vector(
+        qvec, 5, return_documents=False, use_index=True, ef=1000
+    ).collect()
+    got_words = fresh.search_words_by_vector([1.0, 0.1], 2, use_index=True, ef=10).collect()
+    assert [r["doc_id"] for r in got_docs] == [r["doc_id"] for r in want_docs]
+    assert all(r["doc_id"] != 7 for r in got_docs)  # tombstones restored
+    assert [(r["term"], round(r["score"], 9)) for r in got_words] == [
+        (r["term"], round(r["score"], 9)) for r in want_words
+    ]
+
+
 def test_reduced_mirror_and_hierarchy(engine):
     n0 = engine.get_num_topics()
     reduced, hierarchy = engine.hierarchical_topic_reduction(4)

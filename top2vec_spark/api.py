@@ -927,6 +927,58 @@ class Top2VecSpark:
         self._word_index = idx
         self._word_index_terms = base.select("word_id", "term")
 
+    def save_ann_indexes(self, path: str) -> None:
+        """Reference model save serializes the hnswlib indexes
+        alongside the model (top2vec.py:894-943). Engine state is
+        index-as-tables, so the ANN indexes persist the same way: the
+        document-index blob table plus its tombstone set, and the
+        word-index blob table plus its (word_id, term) mapping, all as
+        parquet under ``path``. No-op for an index that was never
+        built."""
+        from top2vec_spark.operators.hnsw import hnsw_write
+
+        if getattr(self, "_document_index", None) is not None:
+            hnsw_write(self._document_index, f"{path}/document_index")
+            tomb = sorted(getattr(self, "_doc_index_tombstones", ()))
+            self.spark.createDataFrame(
+                [(int(t),) for t in tomb], "doc_id long"
+            ).write.mode("overwrite").parquet(
+                f"{path}/document_index_tombstones"
+            )
+        if getattr(self, "_word_index", None) is not None:
+            hnsw_write(self._word_index, f"{path}/word_index")
+            self._word_index_terms.write.mode("overwrite").parquet(
+                f"{path}/word_index_terms"
+            )
+
+    def load_ann_indexes(self, path: str) -> None:
+        """Reference model load rehydrates serialized hnswlib indexes
+        (top2vec.py:945-1012). Loads whichever indexes ``path`` holds
+        and pins them for serving (one task per shard graph, persisted
+        — hnsw_serving), restoring tombstones and the word-id
+        mapping."""
+        import os
+
+        from top2vec_spark.operators.hnsw import hnsw_serving
+
+        if os.path.isdir(f"{path}/document_index"):
+            self._document_index = hnsw_serving(
+                self.spark, f"{path}/document_index"
+            )
+            tpath = f"{path}/document_index_tombstones"
+            self._doc_index_tombstones = (
+                frozenset(
+                    int(r["doc_id"])
+                    for r in self.spark.read.parquet(tpath).collect()
+                )
+                if os.path.isdir(tpath)
+                else frozenset()
+            )
+        if os.path.isdir(f"{path}/word_index"):
+            self._word_index = hnsw_serving(self.spark, f"{path}/word_index")
+            terms = self.spark.read.parquet(f"{path}/word_index_terms")
+            self._word_index_terms = terms.persist()
+
     def _check_document_index_status(self) -> None:
         """Message parity: reference _check_document_index_status
         (top2vec.py:1292-1295)."""
