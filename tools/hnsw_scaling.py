@@ -63,11 +63,19 @@ emb = (
 )
 emb.count()  # materialize input OUTSIDE the timed section
 t0 = time.time()
-idx = hnsw_build(emb, n_shards=SHARDS, M=16, ef_construction=100)
+idx = hnsw_build(emb, n_shards=SHARDS, M=16, ef_construction=100).persist()
 n_blobs = idx.count()  # forces every shard graph build
 dt = time.time() - t0
+# kernel-second accounting: sum of per-shard build_ms is the operator's
+# actual work, invariant to parallelism — utilization = kernel / (wall *
+# cores) separates operator scaling from host contention
+from pyspark.sql import functions as F
+kern = idx.agg(F.sum("build_ms").alias("ms"), F.max("build_ms").alias("mx")).collect()[0]
 print(json.dumps({"cpus": CPUS, "build_sec": round(dt, 2),
-                  "vecs_per_sec": round(N / dt, 1), "n_blobs": n_blobs}))
+                  "vecs_per_sec": round(N / dt, 1), "n_blobs": n_blobs,
+                  "kernel_sec_total": round(kern["ms"] / 1000.0, 2),
+                  "kernel_sec_max_shard": round(kern["mx"] / 1000.0, 2),
+                  "utilization": round(kern["ms"] / 1000.0 / (dt * CPUS), 3)}))
 spark.stop()
 """
 

@@ -54,7 +54,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-_BLOB_SCHEMA = "shard int, n long, build_id string, blob binary"
+_BLOB_SCHEMA = "shard int, n long, build_id string, build_ms double, blob binary"
 
 # Python workers are reused across queries within a SparkContext; a
 # deserialized graph is cached per (build_id, shard) so only the first
@@ -352,14 +352,22 @@ def hnsw_build(
     build_id = uuid.uuid4().hex
 
     def build_one(pdf: pd.DataFrame) -> pd.DataFrame:
+        import time
+
+        t0 = time.perf_counter()
         ids = pdf[id_col].to_numpy(dtype=np.int64)
         raw = np.vstack(pdf[vec_col].to_numpy()).astype(np.float32)
         graph = _build_shard_graph(ids, raw, M, ef_construction)
+        # per-shard kernel time: lets studies separate operator work
+        # (sum of build_ms, parallelism-invariant) from wall-clock
+        # effects (scheduling, waves, host contention)
+        ms = (time.perf_counter() - t0) * 1000.0
         return pd.DataFrame(
             {
                 "shard": [int(pdf["shard"].iloc[0])],
                 "n": [int(ids.shape[0])],
                 "build_id": [build_id],
+                "build_ms": [float(ms)],
                 "blob": [graph.to_blob()],
             }
         )
