@@ -148,6 +148,12 @@ def test_use_index_vector_search(spark, engine):
         qvec, 5, return_documents=False, use_index=True
     ).collect()
     assert len(dflt) == 5 and dflt[0]["doc_id"] == 7
+    # batched facade twin: identical ranking in one job
+    batched = engine.search_documents_by_vectors_batch(
+        {"a": qvec}, 5, ef=1000
+    ).collect()
+    assert [r["doc_id"] for r in batched] == [r["doc_id"] for r in idx]
+    assert all(r["query_id"] == "a" for r in batched)
 
     # word side: vectors from topic centroids, mapping joined back
     wv = engine.spark.createDataFrame(

@@ -313,6 +313,39 @@ class Top2VecSpark:
             self.spark, self._index, resolved, self.globals, num_docs, cfg=self.cfg
         )
 
+    def search_documents_by_vectors_batch(
+        self, queries: dict, num_docs: int, ef: int | None = None
+    ) -> DataFrame:
+        """Batched vector serving (beyond the reference): ``queries``
+        maps query_id -> vector; ALL queries are answered in ONE Spark
+        job over the ANN index (operators/hnsw.hnsw_topk_many — each
+        shard graph deserialized once, one scan, one tiny final
+        window), the vector twin of search_documents_by_keywords_batch.
+        Returns (query_id, doc_id, score), each query rank/score-
+        identical to the per-query use_index path. Requires
+        index_document_vectors. ``ef=None`` -> num_docs, like the
+        per-query default."""
+        from top2vec_spark.operators.hnsw import hnsw_topk_many
+
+        self._check_document_index_status()
+        if not hasattr(self, "_doc_vectors"):
+            raise ValueError(
+                "no document vectors — compute_topics or "
+                "set_document_vectors first"
+            )
+        dim = self._vector_dim(self._doc_vectors)
+        for v in queries.values():
+            self._validate_vector(v, dim)
+        self._validate_num_docs(num_docs)
+        eff = int(ef) if ef is not None else int(num_docs)
+        return hnsw_topk_many(
+            self._document_index,
+            queries,
+            num_docs,
+            ef=eff,
+            exclude=sorted(getattr(self, "_doc_index_tombstones", ())),
+        ).withColumnRenamed("vec_id", "doc_id")
+
     def query_documents(
         self, query: str, num_docs: int, return_documents: bool = True
     ) -> DataFrame:
