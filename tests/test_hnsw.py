@@ -219,6 +219,32 @@ def test_append_epoch_and_tombstone_exclude(spark, emb, emb_np):
     assert not set(dead) & {r["vec_id"] for r in got2}
 
 
+def test_graph_cache_lru_bounded(emb_np):
+    """The per-worker graph cache must not grow past its cap across
+    many rebuilds (a long-lived serving worker otherwise accumulates
+    every build's graphs); re-access refreshes recency."""
+    from top2vec_spark.operators import hnsw as H
+
+    ids, mat = emb_np
+    g = _build_shard_graph(
+        ids[:20].astype(np.int64), mat[:20].astype(np.float32), 4, 16
+    )
+    blob = g.to_blob()
+    H._GRAPH_CACHE.clear()
+    for i in range(H._GRAPH_CACHE_CAP + 10):
+        H._cache_get((f"build{i}", 0), blob)
+    assert len(H._GRAPH_CACHE) == H._GRAPH_CACHE_CAP
+    # oldest evicted, newest present
+    assert (f"build{H._GRAPH_CACHE_CAP + 9}", 0) in H._GRAPH_CACHE
+    assert ("build0", 0) not in H._GRAPH_CACHE
+    # re-access moves an entry to the back so it survives the next insert
+    victim = next(iter(H._GRAPH_CACHE))
+    H._cache_get(victim, blob)
+    H._cache_get(("fresh", 0), blob)
+    assert victim in H._GRAPH_CACHE
+    H._GRAPH_CACHE.clear()
+
+
 def test_empty_and_singleton_shard():
     g = _build_shard_graph(
         np.array([42], dtype=np.int64),

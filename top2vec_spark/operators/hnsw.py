@@ -59,7 +59,24 @@ _BLOB_SCHEMA = "shard int, n long, build_id string, build_ms double, blob binary
 # Python workers are reused across queries within a SparkContext; a
 # deserialized graph is cached per (build_id, shard) so only the first
 # query on a worker pays the parse cost (same lifecycle as wand._DL_CACHE).
+# Bounded: a long-lived serving worker that sees many rebuilds would
+# otherwise accumulate every build's graphs — LRU-evict past the cap.
 _GRAPH_CACHE: dict[tuple[str, int], "_ShardGraph"] = {}
+_GRAPH_CACHE_CAP = 64
+
+
+def _cache_get(key: tuple[str, int], blob) -> "_ShardGraph":
+    g = _GRAPH_CACHE.get(key)
+    if g is None:
+        g = _ShardGraph.from_blob(bytes(blob))
+        while len(_GRAPH_CACHE) >= _GRAPH_CACHE_CAP:
+            _GRAPH_CACHE.pop(next(iter(_GRAPH_CACHE)))
+        _GRAPH_CACHE[key] = g
+    else:
+        # refresh recency (dict preserves insertion order)
+        _GRAPH_CACHE.pop(key)
+        _GRAPH_CACHE[key] = g
+    return g
 
 
 def _splitmix64(x: np.ndarray) -> np.ndarray:
@@ -454,11 +471,9 @@ def hnsw_topk(
             out_ids: list[np.ndarray] = []
             out_scores: list[np.ndarray] = []
             for _, row in pdf.iterrows():
-                key = (row["build_id"], int(row["shard"]))
-                graph = _GRAPH_CACHE.get(key)
-                if graph is None:
-                    graph = _ShardGraph.from_blob(bytes(row["blob"]))
-                    _GRAPH_CACHE[key] = graph
+                graph = _cache_get(
+                    (row["build_id"], int(row["shard"])), row["blob"]
+                )
                 ids, scores = graph.search(q, k, ef, exclude=excl)
                 out_ids.append(ids)
                 out_scores.append(scores)
@@ -501,11 +516,9 @@ def hnsw_topk_many(
         for pdf in pdfs:
             frames = []
             for _, row in pdf.iterrows():
-                key = (row["build_id"], int(row["shard"]))
-                graph = _GRAPH_CACHE.get(key)
-                if graph is None:
-                    graph = _ShardGraph.from_blob(bytes(row["blob"]))
-                    _GRAPH_CACHE[key] = graph
+                graph = _cache_get(
+                    (row["build_id"], int(row["shard"])), row["blob"]
+                )
                 for qid, q in qitems:
                     ids, scores = graph.search(q, k, ef, exclude=excl)
                     frames.append(
