@@ -245,6 +245,41 @@ def test_graph_cache_lru_bounded(emb_np):
     H._GRAPH_CACHE.clear()
 
 
+def test_full_ef_exactness_property():
+    """Property: for ANY vector set (adversarial geometries included —
+    duplicates, zeros, near-collinear), full-ef search over one shard
+    graph equals brute cosine. The backbone edge guarantees layer-0
+    connectivity, so this must hold regardless of cluster structure."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        st.integers(min_value=2, max_value=60),  # n vectors
+        st.integers(min_value=0, max_value=2**31 - 1),  # seed
+        st.sampled_from([2, 4, 8]),  # M
+    )
+    def check(n, seed, M):
+        rng = np.random.default_rng(seed)
+        # mix of cluster structure, duplicates, and a zero vector
+        mat = rng.normal(size=(n, 8)).astype(np.float32)
+        mat[: n // 3] = mat[0]  # duplicates
+        if n > 4:
+            mat[4] = 0.0
+        ids = np.arange(n, dtype=np.int64) * 3 + 1
+        g = _build_shard_graph(ids, mat, M, 16)
+        q = rng.normal(size=8).tolist()
+        k = min(10, n)
+        got_ids, got_scores = g.search(q, k, None)
+        want_ids, want_scores = np_cosine_topk(
+            ids, mat.astype(np.float64), q, k
+        )
+        assert got_ids.tolist() == want_ids
+        np.testing.assert_allclose(got_scores, want_scores, atol=1e-9)
+
+    check()
+
+
 def test_empty_and_singleton_shard():
     g = _build_shard_graph(
         np.array([42], dtype=np.int64),

@@ -203,6 +203,14 @@ class _ShardGraph:
         for level in range(int(self.levels.max()), 0, -1):
             ep = self._greedy(qn, ep, level)
         nodes, _ = self._search_layer(qn, ep, eff, 0)
+        # canonical gather order (ascending vec_id == storage order):
+        # BLAS rounding can differ by ONE ULP depending on a row's
+        # position in the gathered matrix, which flips tie-break order
+        # between exact-duplicate vectors vs the brute oracle (found by
+        # the hypothesis exactness property). Sorting makes the score
+        # bits a pure function of the candidate SET, and in the
+        # exhaustive case identical to the oracle's full-matrix pass.
+        nodes = np.sort(nodes)
         if exclude:
             keep = ~np.isin(self.vec_ids[nodes], np.fromiter(exclude, dtype=np.int64))
             nodes = nodes[keep]
