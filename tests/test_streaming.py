@@ -262,6 +262,61 @@ def _skewed_session_events(spark):
     )
 
 
+def test_sessionizer_equivalence_property(spark):
+    """Property: salted ≡ plain sessionization for ANY event stream —
+    offsets quantized to 600 s multiples so exact-gap boundaries
+    (ts diff == gap_seconds, the > vs >= edge) and duplicate
+    timestamps occur constantly, with chunk widths deliberately
+    unaligned to the gap."""
+    import datetime as dt
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from top2vec_spark.operators.sessions import (
+        sessionize_batch,
+        sessionize_batch_salted,
+    )
+
+    base = dt.datetime(2026, 1, 1)
+
+    def canon(df):
+        return sorted(
+            (r["user_id"], r["session_id"], r["session_start"],
+             r["session_end"], r["n_events"], round(r["total_value"], 6))
+            for r in df.collect()
+        )
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=3),   # user
+                st.integers(min_value=0, max_value=33),  # offset * 600 s
+            ),
+            min_size=1,
+            max_size=40,
+        ),
+        st.sampled_from([600, 1800]),        # gap == a possible diff
+        st.sampled_from([1901, 3701]),       # chunk > gap, unaligned
+    )
+    def check(evts, gap, chunk):
+        rows = [
+            (i, base + dt.timedelta(seconds=off * 600), u, "e", float(i % 7))
+            for i, (u, off) in enumerate(evts)
+        ]
+        ev = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double",
+        )
+        assert canon(
+            sessionize_batch_salted(ev, gap_seconds=gap, chunk_seconds=chunk)
+        ) == canon(sessionize_batch(ev, gap_seconds=gap))
+
+    check()
+
+
 def test_salted_sessionization_matches_unsalted_on_skew(spark):
     """sessionize_batch_salted ≡ sessionize_batch on the skewed fixture
     (one user ~30% of events), including session_id numbering — and the
