@@ -416,6 +416,36 @@ def _q_hnsw_many_full_ef(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval under the oracle: reciprocal-rank fusion
+    (operators/fusion.py; Cormack 2009, c=60) of the brute BM25 top-20
+    (ranked on round-4 scores — the proven-parity ordering of
+    `bm25_top10`) and the exact cosine top-20 (round-6, the
+    `cosine_top10` ordering). Rank-based fusion makes the fused score
+    a sum of at most two exact rationals — float addition of two terms
+    is commutative, so the value is bit-identical cross-engine
+    wherever the input RANKINGS agree. No reference analogue
+    (Top2Vec searches are single-path, top2vec.py:2421-2495); engine
+    addition for the training-data-pipeline brief."""
+    from top2vec_spark.operators.fusion import rrf_fuse
+    from top2vec_spark.operators.similarity import cosine_topk_sql
+
+    lex = _bm25_query(["table", "spark"], [], 20)(spark, sf_dir)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = [
+        float(x) for x in emb.filter(F.col("vec_id") == 7).first()["embedding"]
+    ]
+    vec = cosine_topk_sql(emb, qvec, 20, round_digits=6).select(
+        F.col("vec_id").alias("doc_id"), "score"
+    )
+    fused = rrf_fuse({"lexical": lex, "vector": vec}, 10)
+    return fused.select(
+        "doc_id",
+        F.round("rrf_score", 6).alias("score"),
+        F.col("n_lists").cast("long").alias("n_lists"),
+    ).orderBy(F.col("score").desc(), F.col("doc_id").asc())
+
+
 def _q_centroids_by_pos(spark: SparkSession, sf_dir: str) -> DataFrame:
     from top2vec_spark.operators.similarity import label_centroids
 
@@ -1966,6 +1996,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_full_probe_top10": _q_ivf_full_probe,
         "hnsw_full_ef_top10": _q_hnsw_full_ef,
         "hnsw_many_full_ef": _q_hnsw_many_full_ef,
+        "hybrid_rrf_top10": _q_hybrid_rrf,
         "centroids_by_pos": _q_centroids_by_pos,
         "assign_nearest": _q_assign_nearest,
         "assign_top3": _q_assign_top3,
@@ -2338,6 +2369,51 @@ SELECT vec_id,
                 * sqrt(list_dot_product(q.e, q.e))), 6) AS score
 FROM embeddings, q
 ORDER BY score DESC, vec_id ASC LIMIT 10
+""",
+        "hybrid_rrf_top10": f"""
+WITH {_STATS_CTES},
+q(term, sign) AS (VALUES ('table', 1.0), ('spark', 1.0)),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tokens
+  WHERE term IN (SELECT term FROM q) GROUP BY doc_id, term
+),
+scored AS (
+  SELECT tf.doc_id,
+         sum(q.sign
+             * ln(1.0 + (globals.n_docs - vocab.df + 0.5) / (vocab.df + 0.5))
+             * (tf.tf * ({BM25_K1} + 1.0))
+             / (tf.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * doc_stats.dl / globals.avgdl))
+         ) AS score
+  FROM tf
+  JOIN q USING (term) JOIN vocab USING (term) JOIN doc_stats USING (doc_id)
+  CROSS JOIN globals
+  GROUP BY tf.doc_id
+),
+lex AS (
+  SELECT doc_id, r FROM (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY round(score, 4) DESC, doc_id ASC) AS r
+    FROM scored
+  ) WHERE r <= 20
+),
+qv AS (SELECT embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id = 7),
+cos AS (
+  SELECT doc_id, r FROM (
+    SELECT vec_id AS doc_id,
+           row_number() OVER (
+             ORDER BY round(list_dot_product(embedding::DOUBLE[], qv.e)
+               / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(qv.e, qv.e))), 6) DESC,
+             vec_id ASC
+           ) AS r
+    FROM embeddings, qv
+  ) WHERE r <= 20
+)
+SELECT doc_id, round(sum(1.0 / (60 + r)), 6) AS score,
+       count(*) AS n_lists
+FROM (SELECT * FROM lex UNION ALL SELECT * FROM cos)
+GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC LIMIT 10
 """,
         "hnsw_many_full_ef": """
 WITH qs AS (

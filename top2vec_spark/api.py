@@ -346,6 +346,45 @@ class Top2VecSpark:
             exclude=sorted(getattr(self, "_doc_index_tombstones", ())),
         ).withColumnRenamed("vec_id", "doc_id")
 
+    def hybrid_search_documents(
+        self,
+        keywords: Sequence[str],
+        vector: Sequence[float],
+        num_docs: int,
+        keywords_neg: Sequence[str] = (),
+        return_documents: bool = True,
+        rrf_c: int = 60,
+        ef: int | None = None,
+    ) -> DataFrame:
+        """Engine addition (the reference picks ONE path per search,
+        top2vec.py:2421-2495): reciprocal-rank fusion of the lexical
+        top-num_docs (WAND when the postings index is built, brute
+        BM25 otherwise) with the vector top-num_docs (the ANN index
+        when index_document_vectors was called, exact cosine
+        otherwise). Rank-based, so the two incomparable score scales
+        never mix (operators/fusion.py). Returns (doc_id, rrf_score,
+        n_lists) + documents when requested."""
+        from top2vec_spark.operators.fusion import rrf_fuse
+
+        self._validate_list_arg(keywords, "keywords", "strings")
+        self._validate_list_arg(keywords_neg, "keywords_neg", "strings")
+        self._validate_num_docs(num_docs)
+        self._validate_keywords(
+            [k.lower() for k in keywords] + [k.lower() for k in keywords_neg]
+        )
+        lex = self._topk(list(keywords), list(keywords_neg), num_docs)
+        vec = self.search_documents_by_vector(
+            vector,
+            num_docs,
+            return_documents=False,
+            use_index=getattr(self, "_document_index", None) is not None,
+            ef=ef,
+        ).select("doc_id", "score")
+        fused = rrf_fuse(
+            {"lexical": lex, "vector": vec}, num_docs, rrf_c=rrf_c
+        )
+        return self._project(fused, return_documents)
+
     def query_documents(
         self, query: str, num_docs: int, return_documents: bool = True
     ) -> DataFrame:
