@@ -446,6 +446,122 @@ def _q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy(F.col("score").desc(), F.col("doc_id").asc())
 
 
+def _q_pca_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA moment pass under the oracle (operators/pca.py
+    covariance_table — the distributed stage of the engine's UMAP
+    substitute, reference top2vec.py:1541-1551): population covariance
+    of the embedding columns, upper triangle, via ONE mapInPandas
+    moments pass. DuckDB replays sum(x_i*x_j)/n - mean_i*mean_j with
+    the same one-division-per-mean arithmetic; round-6 both sides
+    absorbs summation-order ULPs."""
+    from top2vec_spark.operators.pca import covariance_table
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # + 0.0 folds IEEE -0.0 to +0.0 (repr-visible to the driver's hash)
+    return covariance_table(emb).select(
+        F.col("i").cast("long").alias("i"),
+        F.col("j").cast("long").alias("j"),
+        (F.round("cov", 6) + F.lit(0.0)).alias("cov"),
+    )
+
+
+def _q_hdbscan_core_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HDBSCAN stage 1+2 under the oracle (operators/hdbscan.py
+    knn_graph + core_distances; sklearn/hdbscan convention — core
+    distance = distance to the min_samples-th NN counting self, i.e.
+    kNN rank min_samples-1, ties by (dist, dst)). The Spark kernel
+    computes d^2 = |q|^2 + |x|^2 - 2 q.x; the DuckDB side mirrors the
+    same formula via list_dot_product so both engines share the
+    cancellation behavior; round-4 absorbs BLAS-vs-left-fold ULPs."""
+    from top2vec_spark.operators.hdbscan import core_distances, knn_graph
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    knn = knn_graph(emb, k=16)
+    return core_distances(knn, min_samples=5).select(
+        "vec_id", F.round("core_dist", 4).alias("core_dist")
+    )
+
+
+def _q_hdbscan_mutual_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HDBSCAN stages 1-3 under the oracle (operators/hdbscan.py
+    mutual_reachability; Campello 2013 d_mreach = max(core_a, core_b,
+    d(a,b)) on the symmetrized k=16 kNN graph, min_samples=5).
+    Stages 4-5 (Boruvka MST -> condense -> EOM) have no SQL
+    re-expression and stay pinned by tests/test_hdbscan.py's exactness
+    properties against an independent quadratic implementation."""
+    from top2vec_spark.operators.hdbscan import (
+        core_distances,
+        knn_graph,
+        mutual_reachability,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    knn = knn_graph(emb, k=16)
+    core = core_distances(knn, min_samples=5)
+    return mutual_reachability(knn, core).select(
+        "src", "dst", F.round("w", 4).alias("w")
+    )
+
+
+def _q_discover_topic_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's FULL density-discovery chain
+    (top2vec.py:1480-1590) end-to-end: distributed PCA (UMAP
+    substitute) -> distributed HDBSCAN (kNN mutual-reachability ->
+    Boruvka MST -> EOM) -> original-dim topic centroids -> duplicate
+    merge -> nearest-topic assignment -> size-renumbered topic sizes.
+
+    The driver's embeddings table is deliberately isotropic (no dense
+    regions — HDBSCAN correctly answers all-noise there), so this row
+    PLANTS a clustering instead (the media_features precedent:
+    synthesize inputs deterministically from doc_id): cluster c(doc) =
+    0 for doc_id%10 in 0-4, 1 for 5-7, 2 for 8-9; embedding = 5*e_c +
+    deterministic sub-0.1 noise from splitmix-style arithmetic on
+    (doc_id, dim). The planted clusters are orthogonal and tight, so
+    the chain must recover the partition EXACTLY — the DuckDB oracle
+    is the planted truth (counts per cluster, size-desc renumbering),
+    making the whole non-SQL pipeline answerable: any lost doc, split,
+    merge, or mis-assignment changes the sizes. MST/EOM internals are
+    additionally pinned by tests/test_hdbscan.py's exactness
+    properties against an independent quadratic implementation."""
+    import numpy as np
+    import pandas as pd
+
+    from top2vec_spark.api import Top2VecSpark
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    dim = 16
+
+    def synth(pdfs):
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            ids = pdf["doc_id"].to_numpy().astype(np.int64)
+            m = ids % 10
+            c = np.where(m <= 4, 0, np.where(m <= 7, 1, 2))
+            base = np.zeros((len(ids), dim))
+            base[np.arange(len(ids)), c] = 5.0
+            # deterministic pseudo-noise in [-0.1, 0.1): pure integer
+            # arithmetic on (doc_id, dim index) — reproducible anywhere
+            i = np.arange(dim, dtype=np.int64)
+            h = (ids[:, None] * 2654435761 + i[None, :] * 40503) % 1000
+            base += (h / 1000.0) * 0.2 - 0.1
+            yield pd.DataFrame(
+                {"vec_id": ids, "embedding": list(map(list, base))}
+            )
+
+    emb = docs.select("doc_id").mapInPandas(
+        synth, "vec_id long, embedding array<double>"
+    )
+    eng = Top2VecSpark(spark, docs, ascii_fast_path=True)
+    eng.discover_topics(emb)
+    return eng.get_topic_sizes().select(
+        F.col("topic_id").cast("long").alias("topic_id"),
+        F.col("topic_size").cast("long").alias("topic_size"),
+    )
+
+
 def _q_centroids_by_pos(spark: SparkSession, sf_dir: str) -> DataFrame:
     from top2vec_spark.operators.similarity import label_centroids
 
@@ -1997,6 +2113,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hnsw_full_ef_top10": _q_hnsw_full_ef,
         "hnsw_many_full_ef": _q_hnsw_many_full_ef,
         "hybrid_rrf_top10": _q_hybrid_rrf,
+        "pca_covariance": _q_pca_covariance,
+        "hdbscan_core_dist": _q_hdbscan_core_dist,
+        "hdbscan_mutual_reach": _q_hdbscan_mutual_reach,
+        "discover_topic_sizes": _q_discover_topic_sizes,
         "centroids_by_pos": _q_centroids_by_pos,
         "assign_nearest": _q_assign_nearest,
         "assign_top3": _q_assign_top3,
@@ -2414,6 +2534,75 @@ SELECT doc_id, round(sum(1.0 / (60 + r)), 6) AS score,
 FROM (SELECT * FROM lex UNION ALL SELECT * FROM cos)
 GROUP BY doc_id
 ORDER BY score DESC, doc_id ASC LIMIT 10
+""",
+        "pca_covariance": """
+WITH ex AS (
+  SELECT vec_id,
+         generate_subscripts(embedding, 1) - 1 AS idx,
+         unnest(embedding::DOUBLE[]) AS x
+  FROM embeddings
+)
+SELECT a.idx AS i, b.idx AS j,
+       round(sum(a.x * b.x) / count(*)
+             - (sum(a.x) / count(*)) * (sum(b.x) / count(*)), 6) + 0.0 AS cov
+FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.idx <= b.idx
+GROUP BY a.idx, b.idx
+""",
+        "hdbscan_core_dist": """
+WITH d AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         sqrt(greatest(
+             list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])
+           + list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])
+           - 2 * list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]),
+           0)) AS dist
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+),
+r AS (
+  SELECT src, dst, dist,
+         row_number() OVER (PARTITION BY src ORDER BY dist, dst) AS rk
+  FROM d
+)
+SELECT src AS vec_id, round(dist, 4) AS core_dist FROM r WHERE rk = 4
+""",
+        "hdbscan_mutual_reach": """
+WITH d AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         sqrt(greatest(
+             list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])
+           + list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])
+           - 2 * list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]),
+           0)) AS dist
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+),
+r AS (
+  SELECT src, dst, dist,
+         row_number() OVER (PARTITION BY src ORDER BY dist, dst) AS rk
+  FROM d
+),
+knn AS (SELECT src, dst, dist FROM r WHERE rk <= 16),
+core AS (SELECT src AS vec_id, dist AS core_dist FROM r WHERE rk = 4),
+e AS (
+  SELECT least(src, dst) AS a, greatest(src, dst) AS b, min(dist) AS dist
+  FROM knn GROUP BY 1, 2
+)
+SELECT e.a AS src, e.b AS dst,
+       round(greatest(e.dist, ca.core_dist, cb.core_dist), 4) AS w
+FROM e
+JOIN core ca ON ca.vec_id = e.a
+JOIN core cb ON cb.vec_id = e.b
+""",
+        "discover_topic_sizes": """
+WITH planted AS (
+  SELECT CASE WHEN doc_id % 10 <= 4 THEN 0
+              WHEN doc_id % 10 <= 7 THEN 1
+              ELSE 2 END AS c
+  FROM documents
+),
+sizes AS (SELECT c, count(*) AS topic_size FROM planted GROUP BY c)
+SELECT row_number() OVER (ORDER BY topic_size DESC) - 1 AS topic_id,
+       topic_size
+FROM sizes
 """,
         "hnsw_many_full_ef": """
 WITH qs AS (

@@ -611,6 +611,113 @@ class Top2VecSpark:
         self._invalidate_reduced_mirror()
         return self.doc_topic
 
+    def discover_topics(
+        self,
+        embeddings: DataFrame | None = None,
+        umap_args: dict | None = None,
+        hdbscan_args: dict | None = None,
+        topic_merge_delta: float = 0.1,
+    ) -> DataFrame:
+        """Density-based topic discovery — the reference's
+        ``compute_topics`` chain (top2vec.py:1480-1590) end-to-end:
+
+        1. dimensionality reduction of the document vectors
+           (reference: UMAP to ``n_components`` dims,
+           top2vec.py:1541-1551). UMAP's SGD layout has no faithful
+           distributed re-expression; the engine substitutes one-pass
+           distributed PCA (operators/pca.py — documented semantics
+           delta, SURVEY.md §7.6). Only ``n_components`` from
+           ``umap_args`` is honored; ``n_neighbors``/``metric`` are
+           UMAP-specific and ignored.
+        2. HDBSCAN over the REDUCED vectors (top2vec.py:1556-1566) —
+           the true distributed algorithm (operators/hdbscan.py: kNN
+           mutual-reachability -> Boruvka MST -> EOM), accepting the
+           reference's ``hdbscan_args`` keys. ``metric`` must be
+           ``'euclidean'`` and ``cluster_selection_method`` ``'eom'``
+           (the reference defaults; others unimplemented).
+           Engine extensions: ``min_samples``, ``k`` (kNN width),
+           ``knn`` (prebuilt edge table, e.g. knn_graph_ivf output,
+           to pick the bucketed scale path).
+        3. topic vectors from the ORIGINAL-dimension vectors per
+           cluster, noise (-1) excluded (top2vec.py:1056-1062), then
+           duplicate-topic merge at cosine distance
+           ``topic_merge_delta`` (top2vec.py:1573-1576) and
+           nearest-topic assignment of every document — all via
+           :meth:`compute_topics` / :meth:`merge_duplicate_topics`.
+
+        Returns the final (doc_id, topic_id, score) table."""
+        from top2vec_spark.operators.hdbscan import hdbscan_labels
+        from top2vec_spark.operators.pca import fit_pca, transform_pca
+
+        if embeddings is None:
+            embeddings = getattr(self, "_doc_vectors", None)
+        if embeddings is None:
+            raise ValueError(
+                "discover_topics: no document vectors — pass an "
+                "embeddings table or call set_document_vectors / "
+                "embed_documents first"
+            )
+        if umap_args is None:
+            # reference defaults, top2vec.py:1541-1544
+            umap_args = {"n_neighbors": 15, "n_components": 5, "metric": "cosine"}
+        if hdbscan_args is None:
+            # reference defaults, top2vec.py:1556-1559
+            hdbscan_args = {
+                "min_cluster_size": 15,
+                "metric": "euclidean",
+                "cluster_selection_method": "eom",
+            }
+        metric = hdbscan_args.get("metric", "euclidean")
+        if metric != "euclidean":
+            raise ValueError(
+                f"discover_topics: hdbscan metric {metric!r} not "
+                "implemented (only 'euclidean', the reference default)"
+            )
+        method = hdbscan_args.get("cluster_selection_method", "eom")
+        if method != "eom":
+            raise ValueError(
+                f"discover_topics: cluster_selection_method {method!r} "
+                "not implemented (only 'eom', the reference default)"
+            )
+        emb = embeddings.select("vec_id", "embedding")
+        n_components = int(umap_args.get("n_components", 5))
+        self._reduction_model = fit_pca(emb, n_components)
+        # the reduced table is consumed twice inside hdbscan_labels
+        # (kNN build + point-id collect) — persist the mapInPandas
+        # output so the projection kernel runs once
+        reduced = transform_pca(emb, self._reduction_model).persist()
+        try:
+            labels = hdbscan_labels(
+                reduced,
+                min_cluster_size=int(hdbscan_args.get("min_cluster_size", 15)),
+                min_samples=hdbscan_args.get("min_samples"),
+                k=hdbscan_args.get("k"),
+                knn=hdbscan_args.get("knn"),
+            )
+            n_clusters = (
+                labels.filter(F.col("label") != -1)
+                .select("label")
+                .distinct()
+                .count()
+            )
+            if n_clusters == 0:
+                raise ValueError(
+                    "discover_topics: HDBSCAN found no dense clusters "
+                    "(all points noise) — lower min_cluster_size or "
+                    "provide more documents"
+                )
+            self._cluster_labels = labels
+            labeled = emb.join(labels, "vec_id")
+            self.compute_topics(labeled)
+        finally:
+            reduced.unpersist()
+        # reference dbscan eps=topic_merge_delta on cosine DISTANCE
+        # (top2vec.py:1064-1070) == merge at cosine similarity
+        # > 1 - topic_merge_delta; both sides chain transitively
+        if topic_merge_delta > 0 and n_clusters > 1:
+            self.merge_duplicate_topics(threshold=1.0 - topic_merge_delta)
+        return self.doc_topic
+
     def get_topic_sizes(self, reduced: bool = False) -> DataFrame:
         from top2vec_spark.operators import topics as T
 
