@@ -394,3 +394,32 @@ def test_small_input_guard(spark):
     assert {r["label"] for r in got.collect()} == {-1}
     with pytest.raises(ValueError):
         hdbscan_labels(_df(spark, x), min_cluster_size=1)
+
+
+def test_boruvka_hybrid_tail_bit_identical_to_distributed(spark):
+    """The driver-finish tail (_boruvka_rounds_local) must produce a
+    bit-identical forest to the pure-distributed rounds, including
+    under heavy weight ties — same struct-min per component, same
+    (w, src, dst) acceptance order, same union-find."""
+    for seed in range(3):
+        r = np.random.default_rng(seed + 40)
+        n = 120
+        edges = {}
+        for i in range(1, n):
+            edges[(int(r.integers(0, i)), i)] = float(r.integers(1, 4))
+        for _ in range(400):
+            a, b = (int(v) for v in r.integers(0, n, size=2))
+            if a != b:
+                k = (min(a, b), max(a, b))
+                edges[k] = min(edges.get(k, np.inf), float(r.integers(1, 4)))
+        edf = spark.createDataFrame(
+            [(a, b, w) for (a, b), w in sorted(edges.items())],
+            "src long, dst long, w double",
+        ).persist()
+        pure = boruvka_mst(edf, driver_edge_cap=0)
+        hybrid_now = boruvka_mst(edf)  # cap >> edges: local from round 1
+        # cap between: a few distributed rounds, then the local tail
+        hybrid_mid = boruvka_mst(edf, driver_edge_cap=len(edges) // 3)
+        np.testing.assert_array_equal(pure, hybrid_now)
+        np.testing.assert_array_equal(pure, hybrid_mid)
+        edf.unpersist()

@@ -302,7 +302,73 @@ def mutual_reachability(knn: DataFrame, core: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 # 4. distributed Boruvka MST
 # ---------------------------------------------------------------------------
-def boruvka_mst(edges: DataFrame, max_rounds: int = 64) -> np.ndarray:
+def _boruvka_rounds_local(
+    src: np.ndarray,
+    dst: np.ndarray,
+    w: np.ndarray,
+    find,
+    parent: dict,
+    accepted: set,
+    mst: list,
+    max_rounds: int,
+) -> None:
+    """Numpy emulation of the distributed Boruvka round with EXACTLY
+    the same semantics — per-component min over the struct order
+    (w, src, dst, other_comp), then driver acceptance in (w, src, dst)
+    order through the SAME union-find — so finishing locally yields a
+    bit-identical forest to continuing distributed (pinned by test).
+    Mutates parent/accepted/mst in place."""
+    for _ in range(max_rounds):
+        uniq = np.unique(np.concatenate([src, dst]))
+        if not uniq.shape[0]:
+            return
+        roots = np.fromiter(
+            (find(int(v)) for v in uniq), dtype=np.int64, count=uniq.shape[0]
+        )
+        csrc = roots[np.searchsorted(uniq, src)]
+        cdst = roots[np.searchsorted(uniq, dst)]
+        cross = csrc != cdst
+        if not cross.any():
+            return
+        src, dst, w = src[cross], dst[cross], w[cross]
+        csrc, cdst = csrc[cross], cdst[cross]
+        # both directions, like the distributed union of (csrc, cdst)
+        c = np.concatenate([csrc, cdst])
+        ww = np.concatenate([w, w])
+        ss = np.concatenate([src, src])
+        dd = np.concatenate([dst, dst])
+        oc = np.concatenate([cdst, csrc])
+        # group by c, min struct (w, src, dst, oc) per group
+        order = np.lexsort((oc, dd, ss, ww, c))
+        c_sorted = c[order]
+        first = np.ones(c_sorted.shape[0], dtype=bool)
+        first[1:] = c_sorted[1:] != c_sorted[:-1]
+        sel = order[first]
+        mins = sorted(
+            zip(
+                ww[sel].tolist(),
+                ss[sel].tolist(),
+                dd[sel].tolist(),
+                c[sel].tolist(),
+                oc[sel].tolist(),
+            )
+        )
+        for wv, sv, dv, cv, ocv in mins:
+            ra, rb = find(int(cv)), find(int(ocv))
+            if ra == rb:
+                continue
+            key = (int(sv), int(dv))
+            if key not in accepted:
+                accepted.add(key)
+                mst.append((key[0], key[1], float(wv)))
+            parent[max(ra, rb)] = min(ra, rb)
+
+
+def boruvka_mst(
+    edges: DataFrame,
+    max_rounds: int = 64,
+    driver_edge_cap: int = 500_000,
+) -> np.ndarray:
     """Minimum spanning forest of an undirected weighted edge
     DataFrame (src, dst, w) via distributed Boruvka.
 
@@ -314,6 +380,16 @@ def boruvka_mst(edges: DataFrame, max_rounds: int = 64) -> np.ndarray:
     round -> O(log n) rounds. Edge ties are safe: the cut property
     holds for ANY minimal crossing edge and the union-find acceptance
     can never close a cycle.
+
+    Hybrid tail finish: the surviving crossing-edge set shrinks
+    geometrically while every distributed round still costs a fixed
+    ~3 Spark jobs — the classic iterative-algorithm tail. Once the
+    live edge count fits under ``driver_edge_cap`` (rows of 24 bytes;
+    the same O(n) driver bound the condense stage already accepts),
+    the remaining rounds run as a numpy emulation with identical
+    round semantics (:func:`_boruvka_rounds_local`), producing a
+    bit-identical forest (pinned by test against cap=0). Set
+    ``driver_edge_cap=0`` to force the pure-distributed path.
 
     Returns the forest as a (m, 3) float ndarray [src, dst, w] — the
     driver-side bound is the n-1 MST edges (documented in the module
@@ -338,7 +414,21 @@ def boruvka_mst(edges: DataFrame, max_rounds: int = 64) -> np.ndarray:
     mst: list[tuple[int, int, float]] = []
     accepted: set[tuple[int, int]] = set()
     live = edges
+    live_count = edges.count()
     for _ in range(max_rounds):
+        if driver_edge_cap and live_count <= driver_edge_cap:
+            pdf = live.select("src", "dst", "w").toPandas()
+            _boruvka_rounds_local(
+                pdf["src"].to_numpy(np.int64),
+                pdf["dst"].to_numpy(np.int64),
+                pdf["w"].to_numpy(np.float64),
+                find,
+                parent,
+                accepted,
+                mst,
+                max_rounds,
+            )
+            break
         cs = comp.select(F.col("vec_id").alias("src"), F.col("comp").alias("csrc"))
         cd = comp.select(F.col("vec_id").alias("dst"), F.col("comp").alias("cdst"))
         e = (
@@ -387,7 +477,7 @@ def boruvka_mst(edges: DataFrame, max_rounds: int = 64) -> np.ndarray:
         # edges intra-component under the OLD map stay intra under the
         # new (components only merge) — e is a safe, shrinking carry
         nxt = e.select("src", "dst", "w").persist()
-        nxt.count()
+        live_count = nxt.count()
         live.unpersist()
         e.unpersist()
         live = nxt
