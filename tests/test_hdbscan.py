@@ -423,3 +423,26 @@ def test_boruvka_hybrid_tail_bit_identical_to_distributed(spark):
         np.testing.assert_array_equal(pure, hybrid_now)
         np.testing.assert_array_equal(pure, hybrid_mid)
         edf.unpersist()
+
+
+def test_knn_ivf_merge_is_one_exchange(spark):
+    """The global top-k merge after the per-cell cogroup must cost ONE
+    Exchange (repartition by src serves both the (src, dst) dedup and
+    the ranking window) — 3 Exchange nodes total: the two cogroup
+    sides plus the merge."""
+    import contextlib
+    import io
+    import re
+
+    rng = np.random.default_rng(3)
+    rows = [
+        (int(i), (np.eye(8)[i % 4] * 5 + rng.normal(scale=0.1, size=8)).tolist())
+        for i in range(400)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    knn = knn_graph_ivf(emb, 8, n_cells=8, n_probe=4)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        knn.explain("formatted")
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", buf.getvalue(), re.M))
+    assert n_exchanges == 3

@@ -247,14 +247,25 @@ def knn_graph_ivf(
         local_topk, "src long, dst long, dist double"
     )
     # global merge: the same (src, dst) may surface from several
-    # probed cells — distinct first, then rank by (dist, dst)
+    # probed cells — distinct, then rank by (dist, dst). Repartition
+    # by src FIRST: HashPartitioning(src) satisfies both the (src,
+    # dst) dedup's clustered distribution (subset rule) and the
+    # window's partitionBy(src), so the whole merge is ONE Exchange
+    # instead of two back-to-back shuffles of the candidate set
+    # (plan pinned in tests/test_hdbscan.py).
     from pyspark.sql import Window as W
 
-    merged = local.dropDuplicates(["src", "dst"]).withColumn(
-        "rank",
-        F.row_number().over(
-            W.partitionBy("src").orderBy(F.col("dist").asc(), F.col("dst").asc())
-        ),
+    merged = (
+        local.repartition("src")
+        .dropDuplicates(["src", "dst"])
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                W.partitionBy("src").orderBy(
+                    F.col("dist").asc(), F.col("dst").asc()
+                )
+            ),
+        )
     )
     return merged.filter(F.col("rank") <= kk)
 
