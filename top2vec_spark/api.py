@@ -557,11 +557,12 @@ class Top2VecSpark:
         LABEL-FREE default: when the table has no ``label`` column,
         cluster labels are derived from IVF spherical k-means cells
         (operators/similarity.ivf_build) with ``n_topics`` cells
-        (heuristic default min(64, max(2, n/50)) when unset) — the
-        engine's documented substitute for the reference's UMAP+HDBSCAN
-        discovery (top2vec.py:1541-1567; SURVEY.md §7.6 flags the
-        semantics change), so ``compute_topics(embeddings)`` works
-        end-to-end on a bare (vec_id, embedding) table."""
+        (heuristic default min(64, max(2, n/50)) when unset) — a fast
+        fixed-k alternative, so ``compute_topics(embeddings)`` works
+        end-to-end on a bare (vec_id, embedding) table. For the
+        reference's actual density-discovery chain (PCA reduction +
+        true distributed HDBSCAN, top2vec.py:1541-1567) use
+        :meth:`discover_topics`."""
         from top2vec_spark.operators.similarity import (
             assign_nearest,
             label_centroids,
@@ -1157,6 +1158,191 @@ class Top2VecSpark:
             self._word_index = hnsw_serving(self.spark, f"{path}/word_index")
             terms = self.spark.read.parquet(f"{path}/word_index_terms")
             self._word_index_terms = terms.persist()
+
+    def save(self, path: str) -> None:
+        """S3 — the reference's FULL-model save (Top2Vec.save,
+        top2vec.py:894-943) re-expressed as tables + manifest: where
+        the reference joblib-dumps the object after serializing its
+        hnswlib indexes to bytes, the engine's state already IS
+        tables, so save writes them as parquet under ``path``:
+
+        - ``docs`` (the corpus — every derivation recomputes from it)
+        - topic layer: ``doc_topic``, ``topic_centroids``,
+          ``topic_embeddings`` (+ ``doc_vectors`` only when set to a
+          different table)
+        - reduced mirror: ``doc_topic_reduced``,
+          ``centroids_reduced``; the hierarchy rides in the manifest
+        - ``word_vectors`` when set
+        - ANN indexes via :meth:`save_ann_indexes` under ``ann/``
+        - the lexical WAND index by PATH REFERENCE in the manifest
+          (its tables already live at their own ``index_path``)
+
+        Deterministically-derived state (tokens, vocab, doc_stats,
+        tf, c-TF-IDF, topic words) is recomputed on load, not stored
+        twice. Reference parity on callables: the reference nulls the
+        un-picklable embed functions before dumping and the user
+        re-attaches after load (top2vec.py:899-918) — same contract
+        here for ``tokenizer`` / ``embedding_model`` /
+        ``token_embedding_model`` hooks; a custom tokenizer is
+        REQUIRED again at :meth:`load` (recorded in the manifest)
+        because every derivation depends on it."""
+        import json as _json
+        import os
+
+        os.makedirs(path, exist_ok=True)
+        mani: dict = {
+            "version": 1,
+            "min_count": self.min_count,
+            "k1": self.cfg.k1,
+            "b": self.cfg.b,
+            "keep_documents": self.keep_documents,
+            "ascii_fast_path": self.ascii_fast_path,
+            "ngram_vocab": self.ngram_vocab,
+            "phrase_min_count": self._phrase_min_count,
+            "phrase_threshold": self._phrase_threshold,
+            "requires_tokenizer": self.tokenizer is not None,
+            "index_path": self._index.path
+            if getattr(self, "_index", None) is not None
+            else None,
+        }
+        self.docs.write.mode("overwrite").parquet(f"{path}/docs")
+        if hasattr(self, "doc_topic"):
+            self.doc_topic.write.mode("overwrite").parquet(
+                f"{path}/doc_topic"
+            )
+            self.topic_centroids.write.mode("overwrite").parquet(
+                f"{path}/topic_centroids"
+            )
+            self._topic_embeddings.write.mode("overwrite").parquet(
+                f"{path}/topic_embeddings"
+            )
+            mani["has_topics"] = True
+        dv = getattr(self, "_doc_vectors", None)
+        if dv is not None and dv is not getattr(self, "_topic_embeddings", None):
+            dv.write.mode("overwrite").parquet(f"{path}/doc_vectors")
+            mani["has_doc_vectors"] = True
+        if getattr(self, "_word_vectors", None) is not None:
+            self._word_vectors.write.mode("overwrite").parquet(
+                f"{path}/word_vectors"
+            )
+            mani["has_word_vectors"] = True
+        if hasattr(self, "doc_topic_reduced"):
+            self.doc_topic_reduced.write.mode("overwrite").parquet(
+                f"{path}/doc_topic_reduced"
+            )
+            self.spark.createDataFrame(
+                [
+                    (int(t), [float(x) for x in v])
+                    for t, v in sorted(self._centroids_reduced.items())
+                ],
+                "topic_id long, centroid array<double>",
+            ).write.mode("overwrite").parquet(f"{path}/centroids_reduced")
+            mani["hierarchy"] = [
+                [int(t) for t in group] for group in self._hierarchy
+            ]
+            mani["has_reduced"] = True
+        self.save_ann_indexes(f"{path}/ann")
+        # manifest LAST: its presence marks a complete save
+        with open(f"{path}/manifest.json", "w") as f:
+            _json.dump(mani, f)
+
+    @classmethod
+    def load(
+        cls, spark: SparkSession, path: str, tokenizer=None
+    ) -> "Top2VecSpark":
+        """S4 — the reference's full-model load (Top2Vec.load +
+        _load_document_embedder_model, top2vec.py:945-1012): rebuild
+        the engine from a :meth:`save` directory. Corpus derivations
+        (tokens/vocab/doc_stats) recompute in ``__init__``; stored
+        topic tables re-attach; derived c-TF-IDF / topic-words /
+        reduced-words recompute deterministically from them; ANN
+        indexes rehydrate via :meth:`load_ann_indexes`; the lexical
+        index re-attaches from its recorded ``index_path``. User
+        callables are NOT in the save (reference contract): pass the
+        same ``tokenizer`` the model was built with (enforced via the
+        manifest), and re-attach embedding hooks with
+        ``set_embedding_model`` / ``set_token_embedding_model``."""
+        import json as _json
+        import os
+
+        import numpy as np
+
+        with open(f"{path}/manifest.json") as f:
+            mani = _json.load(f)
+        if mani["requires_tokenizer"] and tokenizer is None:
+            raise ValueError(
+                "This model was saved with a custom tokenizer; pass "
+                "the same tokenizer= to load() — every vocabulary "
+                "derivation depends on it."
+            )
+        if not mani["requires_tokenizer"]:
+            tokenizer = None
+        docs = spark.read.parquet(f"{path}/docs")
+        eng = cls(
+            spark,
+            docs,
+            min_count=mani["min_count"],
+            cfg=BM25Config(k1=mani["k1"], b=mani["b"]),
+            keep_documents=mani["keep_documents"],
+            ascii_fast_path=mani["ascii_fast_path"],
+            index_path=mani["index_path"],
+            tokenizer=tokenizer,
+            ngram_vocab=mani["ngram_vocab"],
+            phrase_min_count=mani["phrase_min_count"],
+            phrase_threshold=mani["phrase_threshold"],
+        )
+        if mani["index_path"] and os.path.isdir(mani["index_path"]):
+            from top2vec_spark.plans.build import PostingsIndex
+
+            eng._index = PostingsIndex.load(spark, mani["index_path"])
+        if mani.get("has_topics"):
+            from top2vec_spark.operators import topics as T
+
+            eng.doc_topic = spark.read.parquet(f"{path}/doc_topic").cache()
+            eng.topic_centroids = spark.read.parquet(
+                f"{path}/topic_centroids"
+            ).cache()
+            eng._topic_embeddings = spark.read.parquet(
+                f"{path}/topic_embeddings"
+            )
+            eng._doc_vectors = eng._topic_embeddings
+            eng._tf = (
+                eng.tokens.groupBy("doc_id", "term")
+                .agg(F.count(F.lit(1)).alias("tf"))
+                .cache()
+            )
+            eng._ctfidf = T.ctfidf_scores(eng._tf, eng.doc_topic).cache()
+            eng.topic_words = T.topic_words_ctfidf(
+                eng._tf, eng.doc_topic
+            ).cache()
+        if mani.get("has_doc_vectors"):
+            eng._doc_vectors = spark.read.parquet(f"{path}/doc_vectors")
+        if mani.get("has_word_vectors"):
+            eng._word_vectors = spark.read.parquet(f"{path}/word_vectors")
+        if mani.get("has_reduced"):
+            from top2vec_spark.operators import topics as T
+
+            eng.doc_topic_reduced = spark.read.parquet(
+                f"{path}/doc_topic_reduced"
+            ).cache()
+            eng.topic_words_reduced = T.topic_words_ctfidf(
+                eng._tf, eng.doc_topic_reduced
+            ).cache()
+            eng._ctfidf_reduced = T.ctfidf_scores(
+                eng._tf, eng.doc_topic_reduced
+            ).cache()
+            eng._hierarchy = [
+                [int(t) for t in group] for group in mani["hierarchy"]
+            ]
+            eng._centroids_reduced = {
+                int(r["topic_id"]): np.array(r["centroid"])
+                for r in spark.read.parquet(
+                    f"{path}/centroids_reduced"
+                ).collect()
+            }
+        if os.path.isdir(f"{path}/ann"):
+            eng.load_ann_indexes(f"{path}/ann")
+        return eng
 
     def _check_document_index_status(self) -> None:
         """Message parity: reference _check_document_index_status
