@@ -1,0 +1,107 @@
+"""Connected components (operators/graph.py): distributed large-star/
+small-star vs a reference union-find, plus the duplicate_clusters
+corpus contract."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from top2vec_spark.operators.graph import (
+    _union_find_min,
+    connected_components,
+    duplicate_clusters,
+)
+
+
+def _reference_labels(edges: list[tuple[int, int]]) -> dict[int, int]:
+    edges = [(a, b) for a, b in edges if a != b]  # match _canon's node set
+    if not edges:
+        return {}
+    u = np.array([a for a, _ in edges], dtype=np.int64)
+    v = np.array([b for _, b in edges], dtype=np.int64)
+    return dict(_union_find_min(u, v))
+
+
+def _cc_dict(df) -> dict[int, int]:
+    return {r["node"]: r["component"] for r in df.collect()}
+
+
+def _random_graph(seed: int, n: int, m: int) -> list[tuple[int, int]]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(0, n, size=m)
+    b = rng.integers(0, n, size=m)
+    return list(zip(a.tolist(), b.tolist()))
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+@pytest.mark.parametrize("cap", [0, 10_000])
+def test_cc_matches_union_find_random(spark, seed, cap):
+    """Distributed path (cap=0) and driver-tail path both equal the
+    reference union-find labeling (component = min member id) on
+    random multigraphs with self-loops and isolated regions."""
+    edges = _random_graph(seed, n=300, m=400)
+    edges += [(5, 5), (7, 7)]  # self-loops must not crash or link
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = _cc_dict(connected_components(df, driver_edge_cap=cap))
+    assert got == _reference_labels(edges)
+
+
+@pytest.mark.parametrize("cap", [0, 10_000])
+def test_cc_deep_chain_and_ring(spark, cap):
+    """A 200-node path plus a ring — worst-case diameter for naive
+    min-propagation; star alternation must still converge inside
+    max_rounds and label everything with the chain head."""
+    chain = [(i, i + 1) for i in range(200)]
+    ring = [(1000 + i, 1000 + (i + 1) % 50) for i in range(50)]
+    df = spark.createDataFrame(chain + ring, "doc_a long, doc_b long")
+    got = _cc_dict(connected_components(df, driver_edge_cap=cap))
+    assert all(got[i] == 0 for i in range(201))
+    assert all(got[1000 + i] == 1000 for i in range(50))
+
+
+def test_cc_partition_invariant(spark):
+    """The labeling is a pure function of the edge SET: shuffled,
+    duplicated, reversed input rows give identical labels."""
+    edges = _random_graph(9, n=120, m=150)
+    df1 = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    df2 = (
+        spark.createDataFrame(
+            [(b, a) for a, b in edges] + edges, "doc_a long, doc_b long"
+        )
+        .repartition(7)
+    )
+    assert _cc_dict(connected_components(df1, driver_edge_cap=0)) == _cc_dict(
+        connected_components(df2, driver_edge_cap=0)
+    )
+
+
+def test_duplicate_clusters_corpus_contract(spark):
+    """Every corpus doc gets a row; docs in no pair are their own
+    singleton cluster; cluster_id = component min; is_keeper marks
+    exactly one doc per cluster (the min)."""
+    docs = spark.range(10).withColumnRenamed("id", "doc_id")
+    pairs = spark.createDataFrame(
+        [(3, 1), (5, 3), (8, 9)], "doc_a long, doc_b long"
+    )
+    rows = {
+        r["doc_id"]: (r["cluster_id"], r["is_keeper"])
+        for r in duplicate_clusters(docs, pairs).collect()
+    }
+    assert len(rows) == 10
+    assert rows[1] == (1, True)
+    assert rows[3] == (1, False)
+    assert rows[5] == (1, False)
+    assert rows[8] == (8, True)
+    assert rows[9] == (8, False)
+    for d in (0, 2, 4, 6, 7):
+        assert rows[d] == (d, True)
+
+
+def test_duplicate_clusters_empty_pairs(spark):
+    docs = spark.range(5).withColumnRenamed("id", "doc_id")
+    pairs = spark.createDataFrame([], "doc_a long, doc_b long")
+    out = duplicate_clusters(docs, pairs)
+    assert out.filter(~F.col("is_keeper")).count() == 0
+    assert out.count() == 5

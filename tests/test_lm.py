@@ -1,0 +1,98 @@
+"""Bigram-LM scoring (operators/lm.py) vs a pure-Python reference."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from top2vec_spark.functions.tokenizer import sql_tokens_expr
+from top2vec_spark.operators.lm import bigram_lm, bigram_lm_scores
+
+
+def _reference(token_lists: dict[int, list[str]], k: float):
+    c2: Counter = Counter()
+    c1: Counter = Counter()
+    vocab = set()
+    for toks in token_lists.values():
+        vocab.update(toks)
+        for a, b in zip(toks, toks[1:]):
+            c2[(a, b)] += 1
+            c1[a] += 1
+    v = len(vocab)
+    out = {}
+    for doc, toks in token_lists.items():
+        bgs = list(zip(toks, toks[1:]))
+        if not bgs:
+            out[doc] = (0, None, None)
+            continue
+        lp = [
+            math.log((c2[bg] + k) / (c1[bg[0]] + k * v)) for bg in bgs
+        ]
+        avg = sum(lp) / len(lp)
+        out[doc] = (len(bgs), round(avg, 6), round(math.exp(-avg), 6))
+    return out
+
+
+@pytest.fixture(scope="module")
+def lm_tokens(spark, tiny_docs):
+    extra = spark.createDataFrame(
+        [(100, "zz"), (101, "")], "doc_id long, text string"
+    )  # <2-token docs: must yield n_bigrams=0, NULL scores
+    docs = tiny_docs.unionByName(extra)
+    return docs.select("doc_id", sql_tokens_expr("text").alias("tokens"))
+
+
+def test_scores_match_reference(spark, lm_tokens):
+    token_lists = {
+        r["doc_id"]: list(r["tokens"]) for r in lm_tokens.collect()
+    }
+    want = _reference(token_lists, k=0.1)
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_logp"], r["perplexity"])
+        for r in bigram_lm_scores(lm_tokens, k=0.1).collect()
+    }
+    assert got == want
+
+
+def test_model_counts(spark, lm_tokens):
+    c2, c1, v = bigram_lm(lm_tokens)
+    token_lists = {
+        r["doc_id"]: list(r["tokens"]) for r in lm_tokens.collect()
+    }
+    ref2: Counter = Counter()
+    for toks in token_lists.values():
+        for bg in zip(toks, toks[1:]):
+            ref2[bg] += 1
+    assert {
+        (r["w1"], r["w2"]): r["c2"] for r in c2.collect()
+    } == dict(ref2)
+    assert v == len({t for toks in token_lists.values() for t in toks})
+
+
+def test_partition_invariant(spark, lm_tokens):
+    a = bigram_lm_scores(lm_tokens).orderBy("doc_id").collect()
+    b = bigram_lm_scores(lm_tokens.repartition(7)).orderBy("doc_id").collect()
+    assert a == b
+
+
+def test_gibberish_scores_worse(spark, tiny_docs):
+    """A doc of corpus-typical text must out-score (lower perplexity)
+    a doc of never-repeated token salad under the corpus LM."""
+    docs = tiny_docs.unionByName(
+        tiny_docs.sparkSession.createDataFrame(
+            [
+                (50, "the cat sat on the mat the dog sat on the log"),
+                (51, "qqq www eee rrr ttt yyy uuu iii ooo ppp"),
+            ],
+            "doc_id long, text string",
+        )
+    )
+    toks = docs.select("doc_id", sql_tokens_expr("text").alias("tokens"))
+    ppl = {
+        r["doc_id"]: r["perplexity"]
+        for r in bigram_lm_scores(toks).collect()
+    }
+    assert ppl[50] < ppl[51]

@@ -1,0 +1,100 @@
+"""Self-trained bigram language-model quality scoring.
+
+CCNet-parity quality signal (Wenzek et al. 2020 filter Common Crawl by
+KenLM perplexity; the public C4/Gopher recipes use related fluency
+heuristics): estimate an add-k-smoothed bigram LM from the corpus
+itself, then score every document by its mean per-bigram
+log-likelihood and perplexity. Low-perplexity docs read like the
+corpus; high-perplexity docs are gibberish/boilerplate outliers. The
+reference has no LM scoring (beyond-reference pipeline operator, like
+dedup) — the contract is the textbook estimator:
+
+    P(w2 | w1) = (c(w1, w2) + k) / (c(w1, ·) + k * V)
+    doc score  = sum over doc bigrams of ln P / n_bigrams
+    perplexity = exp(-score)
+
+with V = # distinct tokens in the corpus, c(w1, ·) = # bigram
+occurrences starting with w1.
+
+Scale notes (10^12 tokens):
+- the LM is two groupBy counts over (w1, w2) and (w1): Catalyst
+  two-phase hash agg, map-side combined — head bigrams ("of the")
+  never skew a reducer because partials combine upstream.
+- documents join the model on their DISTINCT bigrams (per-doc tf
+  carried as a weight), not on every token — join cardinality is
+  sum of per-doc distinct bigrams, far below corpus token count.
+  Frequent-bigram join keys are skewed; the model side is one row
+  per bigram (uniform), so AQE skew-join splits the probe side.
+- no Python in the plan: arrays_zip/slice bigram construction,
+  JVM ln/exp, codegen end to end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def doc_bigrams(tokens_arr: DataFrame) -> DataFrame:
+    """(doc_id, w1, w2, tf) — per-document distinct bigram counts.
+    tokens_arr: (doc_id, tokens array<string>)."""
+    n = F.size("tokens")
+    pairs = F.arrays_zip(
+        F.slice("tokens", 1, F.greatest(n - 1, F.lit(0))).alias("w1"),
+        F.slice("tokens", 2, F.greatest(n - 1, F.lit(0))).alias("w2"),
+    )
+    return (
+        tokens_arr.select("doc_id", F.explode(pairs).alias("bg"))
+        .select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        .groupBy("doc_id", "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def bigram_lm(tokens_arr: DataFrame) -> tuple[DataFrame, DataFrame, int]:
+    """Corpus bigram model: (c2 = (w1, w2, c2), c1 = (w1, c1), V).
+    c1 counts bigram OCCURRENCES starting with w1 (the conditional's
+    denominator), V is the corpus unigram vocabulary size."""
+    bg = doc_bigrams(tokens_arr)
+    c2 = bg.groupBy("w1", "w2").agg(F.sum("tf").alias("c2"))
+    c1 = bg.groupBy("w1").agg(F.sum("tf").alias("c1"))
+    v = (
+        tokens_arr.select(F.explode("tokens").alias("t"))
+        .agg(F.countDistinct("t"))
+        .first()[0]
+    )
+    return c2, c1, int(v)
+
+
+def bigram_lm_scores(
+    tokens_arr: DataFrame, k: float = 0.1, round_digits: int = 6
+) -> DataFrame:
+    """Score every document under the corpus's own add-k bigram LM:
+    (doc_id, n_bigrams, avg_logp, perplexity). Documents with fewer
+    than 2 tokens get n_bigrams = 0 and NULL scores (nothing to
+    score, not a zero — the filter caller decides their fate)."""
+    c2, c1, v = bigram_lm(tokens_arr)
+    bg = doc_bigrams(tokens_arr)
+    logp = F.log(
+        (F.col("c2") + F.lit(k)) / (F.col("c1") + F.lit(k * v))
+    )
+    scored = (
+        bg.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .withColumn("logp", logp)
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_bigrams"),
+            (F.sum(F.col("tf") * F.col("logp")) / F.sum("tf")).alias("raw"),
+        )
+    )
+    return (
+        tokens_arr.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            F.round("raw", round_digits).alias("avg_logp"),
+            F.round(F.exp(-F.col("raw")), round_digits).alias("perplexity"),
+        )
+    )
