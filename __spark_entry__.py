@@ -27,6 +27,12 @@ from top2vec_spark.operators.corpus_stats import (
     compute_globals,
 )
 from top2vec_spark.operators.tokens import tokenize_docs
+from top2vec_spark.operators.textquality import _STOPWORDS_EN
+
+# Exact stopword pattern the quality rubric uses (textquality.py:65) —
+# interpolated into the domain_quota oracle so both engines count the
+# same group-1 matches.
+_STOP_PAT = r"(?i)\b(" + "|".join(sorted(_STOPWORDS_EN)) + r")\b"
 
 
 # ---------------------------------------------------------------------------
@@ -2066,6 +2072,104 @@ centroids AS (
 )"""
 
 
+def _q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs -> distributed connected components -> per-doc
+    cluster + keeper (operators/graph.py duplicate_clusters): the
+    corpus unioned with TWO shifted copies, so every doc sits in an
+    (at least) 3-clique; MinHash -> LSH -> exact-Jaccard==1.0 pairs,
+    resolved by the large-star/small-star rounds (driver_edge_cap=0
+    forces the pure-distributed path the 100 TB story rests on).
+    Components are shingle-set-equality classes, which DuckDB can
+    compute directly by grouping on the canonical shingle set."""
+    from top2vec_spark.functions.tokenizer import sql_tokens_expr
+    from top2vec_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        ngram_jaccard,
+    )
+    from top2vec_spark.operators.graph import duplicate_clusters
+
+    docs = _docs(spark, sf_dir)
+    both = docs.select("doc_id", "text")
+    for off in (100000, 200000):
+        both = both.unionByName(
+            docs.select((F.col("doc_id") + off).alias("doc_id"), "text")
+        )
+    ta = both.select("doc_id", sql_tokens_expr("text").alias("tokens")).cache()
+    sigs = minhash_signatures(ta)
+    cands = lsh_candidate_pairs(sigs)
+    verified = ngram_jaccard(ta, cands.select("doc_a", "doc_b")).filter(
+        F.col("jaccard") >= 1.0
+    )
+    return (
+        duplicate_clusters(both, verified, driver_edge_cap=0)
+        .orderBy("doc_id")
+    )
+
+
+def _q_components_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure-topology transitivity pin for connected_components: a
+    deterministic edge set derived from doc_ids — length-10 chains
+    (i, i+1) plus long-range links (i, i//2) at i % 40 == 0 that merge
+    distant chains — labeled by the distributed star rounds (cap=0).
+    The DuckDB oracle walks the same edges with a recursive CTE, so
+    multi-hop transitive closure (not just clique grouping) is what
+    the hash compares."""
+    from top2vec_spark.operators.graph import connected_components
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    chain = d.filter((F.col("doc_id") % 10) != 9).select(
+        F.col("doc_id").alias("doc_a"),
+        (F.col("doc_id") + 1).alias("doc_b"),
+    )
+    longr = d.filter((F.col("doc_id") % 40) == 0).select(
+        F.col("doc_id").alias("doc_a"),
+        F.floor(F.col("doc_id") / 2).cast("long").alias("doc_b"),
+    )
+    edges = chain.unionByName(longr)
+    return connected_components(edges, driver_edge_cap=0).orderBy("node")
+
+
+def _q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-trained bigram-LM scoring (operators/lm.py): add-1/2
+    smoothing (k=0.5 keeps k and k*V exactly representable doubles so
+    the oracle's arithmetic is bit-identical), per-doc mean bigram
+    log-likelihood + perplexity."""
+    from top2vec_spark.functions.tokenizer import sql_tokens_expr
+    from top2vec_spark.operators.lm import bigram_lm_scores
+
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", sql_tokens_expr("text").alias("tokens")
+    )
+    return bigram_lm_scores(toks, k=0.5).orderBy("doc_id")
+
+
+def _q_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host quality quota (operators/ranking.py domain_quota):
+    keep the 10 highest-quality pages per synthesized host via the
+    exact two-phase salted top-N — the oracle replays the quality
+    rubric and a single row_number window."""
+    from top2vec_spark.operators.ranking import domain_quota
+
+    pages = _docs(spark, sf_dir).select(
+        "doc_id",
+        "lang",
+        "text",
+        F.concat(
+            F.lit("https://"),
+            F.col("source"),
+            F.lit(".example.com/"),
+            F.col("lang"),
+            F.lit("/docs/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    out = domain_quota(pages, per_host=10)
+    return out.select(
+        "doc_id", "host", "quality", F.col("rank").cast("int").alias("rank")
+    ).orderBy("host", "rank")
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -2157,6 +2261,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_manifest_stats": _q_index_manifest_stats,
         "corpus_filter": _q_corpus_filter,
         "sessions_by_user_salted": _q_sessions_salted,
+        "dup_clusters": _q_dup_clusters,
+        "components_chain": _q_components_chain,
+        "lm_perplexity": _q_lm_perplexity,
+        "domain_quota": _q_domain_quota,
     }
 
 
@@ -3763,5 +3871,108 @@ SELECT
        AS BIGINT) AS postings_total,
   cast((SELECT count(DISTINCT doc_id) FROM tokens) AS BIGINT)
        AS docs_by_shard_total
+""",
+        "dup_clusters": f"""
+WITH all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 100000 AS doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 200000 AS doc_id, text FROM documents
+),
+tl AS (SELECT doc_id, {duckdb_tokens_sql()} AS toks FROM all_docs),
+sh AS (
+  SELECT doc_id,
+         list_sort(list_distinct(
+           [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+            for i in range(1, greatest(len(toks) - 1, 1))]
+         ))::VARCHAR AS sset
+  FROM tl
+),
+keyed AS (
+  SELECT doc_id,
+         CASE WHEN sset = '[]' THEN 'empty:' || doc_id ELSE sset END AS k
+  FROM sh
+)
+SELECT doc_id,
+       min(doc_id) OVER (PARTITION BY k) AS cluster_id,
+       doc_id = min(doc_id) OVER (PARTITION BY k) AS is_keeper
+FROM keyed ORDER BY doc_id
+""",
+        "components_chain": """
+WITH RECURSIVE base AS (
+  SELECT doc_id AS a, doc_id + 1 AS b FROM documents WHERE doc_id % 10 <> 9
+  UNION ALL
+  SELECT doc_id AS a, doc_id // 2 AS b FROM documents WHERE doc_id % 40 = 0
+),
+e0 AS (SELECT a, b FROM base WHERE a <> b),
+edges AS (SELECT a, b FROM e0 UNION SELECT b AS a, a AS b FROM e0),
+nodes AS (SELECT DISTINCT a AS n FROM edges),
+walk(n, r) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT e.b, w.r FROM walk w JOIN edges e ON e.a = w.n
+)
+SELECT n AS node, min(r) AS component FROM walk GROUP BY n ORDER BY node
+""",
+        "lm_perplexity": f"""
+WITH tl AS (SELECT doc_id, {duckdb_tokens_sql()} AS toks FROM documents),
+b AS (
+  SELECT doc_id, unnest([toks[i] || ' ' || toks[i+1]
+                         for i in range(1, greatest(len(toks), 1))]) AS g
+  FROM tl
+),
+dtf AS (SELECT doc_id, g, count(*) AS tf FROM b GROUP BY doc_id, g),
+c2 AS (SELECT g, sum(tf) AS c2 FROM dtf GROUP BY g),
+c1 AS (SELECT split_part(g, ' ', 1) AS w1, sum(tf) AS c1 FROM dtf GROUP BY 1),
+vv AS (SELECT count(DISTINCT t) AS v
+       FROM (SELECT unnest(toks) AS t FROM tl)),
+scored AS (
+  SELECT dtf.doc_id, sum(dtf.tf) AS nb,
+         sum(dtf.tf * ln((c2.c2 + 0.5)
+                         / (c1.c1 + 0.5 * (SELECT v FROM vv))))
+           / sum(dtf.tf) AS raw
+  FROM dtf
+  JOIN c2 USING (g)
+  JOIN c1 ON split_part(dtf.g, ' ', 1) = c1.w1
+  GROUP BY dtf.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(s.nb, 0) AS BIGINT) AS n_bigrams,
+       round(s.raw, 6) AS avg_logp,
+       round(exp(-s.raw), 6) AS perplexity
+FROM documents d LEFT JOIN scored s USING (doc_id)
+ORDER BY d.doc_id
+""",
+        "domain_quota": rf"""
+WITH feat AS (
+  SELECT doc_id,
+         source || '.example.com' AS host,
+         len(regexp_split_to_array(trim(text), '\s+')) AS n_words,
+         len(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0
+           / greatest(len(text), 1) AS alpha_ratio,
+         len(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0
+           / greatest(len(text), 1) AS digit_ratio,
+         len(regexp_extract_all(text, '{_STOP_PAT}', 1)) AS n_stop,
+         len(list_distinct(regexp_split_to_array(trim(text), '\s+')))
+           AS n_uniq
+  FROM documents
+),
+q AS (
+  SELECT doc_id, host,
+         round(
+           0.25 * least(n_words / 100.0, 1.0)
+         + 0.25 * alpha_ratio
+         + 0.20 * least(n_stop * 1.0 / greatest(n_words, 1) * 4, 1.0)
+         + 0.20 * (n_uniq * 1.0 / greatest(n_words, 1))
+         + 0.10 * (1.0 - least(digit_ratio * 5, 1.0)), 6) AS quality
+  FROM feat
+),
+r AS (
+  SELECT doc_id, host, quality,
+         row_number() OVER (
+           PARTITION BY host ORDER BY quality DESC, doc_id ASC) AS rank
+  FROM q
+)
+SELECT doc_id, host, quality, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= 10 ORDER BY host, rank
 """,
     }
