@@ -143,7 +143,13 @@ def connected_components(
                     F.coalesce("component", F.col("node")).alias("component"),
                 )
             )
-        e2 = _small_star(_large_star(e)).localCheckpoint()
+        # materialize BETWEEN the stars: _small_star consumes its input
+        # twice (per-node min + join probe) and Catalyst does not dedupe
+        # common subtrees, so an unmaterialized large-star output would
+        # be computed twice per round (verified in the plan audit,
+        # BENCH/PLANS.md)
+        e_ls = _large_star(e).localCheckpoint()
+        e2 = _small_star(e_ls).localCheckpoint()
         cur = _fingerprint(e2)
         e = e2
         if cur == prev:
