@@ -105,3 +105,24 @@ def test_duplicate_clusters_empty_pairs(spark):
     out = duplicate_clusters(docs, pairs)
     assert out.filter(~F.col("is_keeper")).count() == 0
     assert out.count() == 5
+
+
+def test_dedup_near_end_to_end(spark, tiny_docs):
+    """dedup_near keeps exactly one doc per transitive duplicate
+    cluster: corpus + two shifted exact copies collapses back to the
+    original doc count with the original (minimum) ids."""
+    from top2vec_spark.functions.tokenizer import sql_tokens_expr
+    from top2vec_spark.operators.dedup import dedup_near
+
+    docs = tiny_docs
+    for off in (100, 200):
+        docs = docs.unionByName(
+            tiny_docs.select(
+                (F.col("doc_id") + off).alias("doc_id"), "text"
+            )
+        )
+    toks = docs.select("doc_id", sql_tokens_expr("text").alias("tokens"))
+    kept = dedup_near(docs, toks, threshold=1.0)
+    assert sorted(r["doc_id"] for r in kept.select("doc_id").collect()) == [
+        r["doc_id"] for r in tiny_docs.select("doc_id").orderBy("doc_id").collect()
+    ]

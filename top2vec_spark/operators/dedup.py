@@ -227,6 +227,34 @@ def minhash_near_duplicates(
     )
 
 
+def dedup_near(
+    docs: DataFrame,
+    tokens_arr: DataFrame,
+    num_hashes: int = 128,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    seed: int = 42,
+) -> DataFrame:
+    """End-to-end near-duplicate dedup: MinHash pairs -> connected
+    components (transitive closure, operators/graph.py) -> keep ONE
+    document (the min doc_id) per duplicate cluster. Returns ``docs``
+    filtered to the keepers via a left-semi join — the corpus itself
+    never shuffles by content; only the pair graph (a tiny fraction of
+    the corpus) runs the star rounds."""
+    from top2vec_spark.operators.graph import duplicate_clusters
+
+    pairs = minhash_near_duplicates(
+        tokens_arr, num_hashes, bands, shingle_n, threshold, seed
+    )
+    keepers = (
+        duplicate_clusters(docs, pairs.select("doc_a", "doc_b"))
+        .filter(F.col("is_keeper"))
+        .select("doc_id")
+    )
+    return docs.join(keepers, "doc_id", "left_semi")
+
+
 # ---------------------------------------------------------------------------
 # n-gram Jaccard (exact verification / small-scale oracle)
 # ---------------------------------------------------------------------------
