@@ -126,3 +126,12 @@ def test_dedup_near_end_to_end(spark, tiny_docs):
     assert sorted(r["doc_id"] for r in kept.select("doc_id").collect()) == [
         r["doc_id"] for r in tiny_docs.select("doc_id").orderBy("doc_id").collect()
     ]
+
+
+def test_non_convergence_raises(spark):
+    """Exhausting max_rounds must fail loudly, never emit conflicting
+    labels (detection needs one extra fixpoint-confirming round, so a
+    3-node chain cannot be confirmed within a single round)."""
+    df = spark.createDataFrame([(1, 0), (2, 1)], "doc_a long, doc_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, max_rounds=1, driver_edge_cap=0)

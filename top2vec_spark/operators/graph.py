@@ -124,6 +124,7 @@ def connected_components(
     )
     e = e.localCheckpoint()
     prev = _fingerprint(e)
+    converged = False
     for _ in range(max_rounds):
         if driver_edge_cap and prev[0] <= driver_edge_cap:
             pdf = e.toPandas()
@@ -153,8 +154,16 @@ def connected_components(
         cur = _fingerprint(e2)
         e = e2
         if cur == prev:
+            converged = True
             break
         prev = cur
+    if not converged:
+        # exhausting max_rounds means e is NOT a star forest and the
+        # projection below would emit conflicting labels — fail loudly
+        # (convergence is O(log^2 n) rounds; 64 covers any real input)
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} rounds"
+        )
     stars = e.select(F.col("u").alias("node"), F.col("v").alias("component"))
     return (
         nodes.join(stars, "node", "left")
