@@ -135,3 +135,33 @@ def test_non_convergence_raises(spark):
     df = spark.createDataFrame([(1, 0), (2, 1)], "doc_a long, doc_b long")
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(df, max_rounds=1, driver_edge_cap=0)
+
+
+def test_cc_property_random_multigraphs(spark):
+    """Property: for ANY edge multiset (self-loops, duplicates, deep
+    chains, isolated cliques), the distributed star rounds (cap=0)
+    equal the union-find min-labeling. Few examples — each runs a
+    full distributed fixpoint loop — but hypothesis varies density
+    and shape where the seeded tests cannot."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=8, deadline=None)
+    @given(st.integers(min_value=0, max_value=2**31 - 1))
+    def check(seed):
+        rng = np.random.default_rng(seed)
+        n = int(rng.integers(2, 50))
+        m = int(rng.integers(1, 70))
+        edges = [
+            (int(a), int(b))
+            for a, b in zip(
+                rng.integers(0, n, size=m), rng.integers(0, n, size=m)
+            )
+        ]
+        # splice in a chain so some component has large diameter
+        edges += [(1000 + i, 1001 + i) for i in range(int(rng.integers(1, 12)))]
+        df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        got = _cc_dict(connected_components(df, driver_edge_cap=0))
+        assert got == _reference_labels(edges)
+
+    check()
