@@ -165,3 +165,15 @@ def test_cc_property_random_multigraphs(spark):
         assert got == _reference_labels(edges)
 
     check()
+
+
+def test_cc_mega_star_hub(spark):
+    """A single 50k-leaf star (the hub-skew shape the module docstring
+    claims survives: one join key holds the whole component) resolves
+    to one component labeled by the hub, distributed path only."""
+    edges = spark.range(1, 50_001).select(
+        F.lit(0).cast("long").alias("doc_a"), F.col("id").alias("doc_b")
+    )
+    out = connected_components(edges, driver_edge_cap=0)
+    assert out.count() == 50_001
+    assert out.filter(F.col("component") != 0).count() == 0
