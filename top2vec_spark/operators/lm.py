@@ -57,7 +57,10 @@ def bigram_lm(tokens_arr: DataFrame) -> tuple[DataFrame, DataFrame, int]:
     denominator), V is the corpus unigram vocabulary size."""
     bg = doc_bigrams(tokens_arr)
     c2 = bg.groupBy("w1", "w2").agg(F.sum("tf").alias("c2"))
-    c1 = bg.groupBy("w1").agg(F.sum("tf").alias("c1"))
+    # c(w1, ·) = sum over w2 of c(w1, w2): aggregate the GLOBAL bigram
+    # table (distinct corpus bigrams), not the much larger per-doc
+    # table a second time — identical counts, smaller shuffle
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
     v = (
         tokens_arr.select(F.explode("tokens").alias("t"))
         .agg(F.countDistinct("t"))
