@@ -52,10 +52,10 @@ pages = assign_doc_ids(generate_pages(spark, N)).withColumn(
 pages.count()  # materialize OUTSIDE the timed sections
 
 d = pages.select("doc_id")
-chain = d.filter((F.col("doc_id") % 10) != 9).select(
+chain = d.filter((F.col("doc_id") %% 10) != 9).select(
     F.col("doc_id").alias("doc_a"), (F.col("doc_id") + 1).alias("doc_b")
 )
-longr = d.filter((F.col("doc_id") % 40) == 0).select(
+longr = d.filter((F.col("doc_id") %% 40) == 0).select(
     F.col("doc_id").alias("doc_a"),
     F.floor(F.col("doc_id") / 2).cast("long").alias("doc_b"),
 )
