@@ -2144,6 +2144,21 @@ def _q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_lm_scores(toks, k=0.5).orderBy("doc_id")
 
 
+def _q_lm_contrast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance scoring (operators/lm.py
+    lm_contrast_scores): mean per-bigram log-likelihood ratio between
+    a target-domain LM (docs with doc_id % 5 == 0 — a deterministic
+    'domain sample') and the corpus LM, both add-1/2 smoothed."""
+    from top2vec_spark.functions.tokenizer import sql_tokens_expr
+    from top2vec_spark.operators.lm import lm_contrast_scores
+
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", sql_tokens_expr("text").alias("tokens")
+    )
+    target = toks.filter((F.col("doc_id") % 5) == 0)
+    return lm_contrast_scores(toks, target, k=0.5).orderBy("doc_id")
+
+
 def _q_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-host quality quota (operators/ranking.py domain_quota):
     keep the 10 highest-quality pages per synthesized host via the
@@ -2264,6 +2279,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_clusters": _q_dup_clusters,
         "components_chain": _q_components_chain,
         "lm_perplexity": _q_lm_perplexity,
+        "lm_contrast": _q_lm_contrast,
         "domain_quota": _q_domain_quota,
     }
 
@@ -3939,6 +3955,50 @@ SELECT d.doc_id,
        CAST(coalesce(s.nb, 0) AS BIGINT) AS n_bigrams,
        round(s.raw, 6) AS avg_logp,
        round(exp(-s.raw), 6) AS perplexity
+FROM documents d LEFT JOIN scored s USING (doc_id)
+ORDER BY d.doc_id
+""",
+        "lm_contrast": f"""
+WITH tl AS (SELECT doc_id, {duckdb_tokens_sql()} AS toks FROM documents),
+b AS (
+  SELECT doc_id, unnest([toks[i] || ' ' || toks[i+1]
+                         for i in range(1, greatest(len(toks), 1))]) AS g
+  FROM tl
+),
+dtf AS (SELECT doc_id, g, count(*) AS tf FROM b GROUP BY doc_id, g),
+c2c AS (SELECT g, sum(tf) AS c2c FROM dtf GROUP BY g),
+c1c AS (SELECT split_part(g, ' ', 1) AS w1, sum(c2c) AS c1c
+        FROM c2c GROUP BY 1),
+vc AS (SELECT count(DISTINCT t) AS v
+       FROM (SELECT unnest(toks) AS t FROM tl)),
+tb AS (
+  SELECT unnest([toks[i] || ' ' || toks[i+1]
+                 for i in range(1, greatest(len(toks), 1))]) AS g
+  FROM tl WHERE doc_id % 5 = 0
+),
+c2t AS (SELECT g, count(*) AS c2t FROM tb GROUP BY g),
+c1t AS (SELECT split_part(g, ' ', 1) AS w1, sum(c2t) AS c1t
+        FROM c2t GROUP BY 1),
+vt AS (SELECT count(DISTINCT t) AS v
+       FROM (SELECT unnest(toks) AS t FROM tl WHERE doc_id % 5 = 0)),
+scored AS (
+  SELECT dtf.doc_id, sum(dtf.tf) AS nb,
+         sum(dtf.tf * (
+           ln((coalesce(c2t.c2t, 0) + 0.5)
+              / (coalesce(c1t.c1t, 0) + 0.5 * (SELECT v FROM vt)))
+           - ln((c2c.c2c + 0.5)
+                / (c1c.c1c + 0.5 * (SELECT v FROM vc)))
+         )) / sum(dtf.tf) AS raw
+  FROM dtf
+  LEFT JOIN c2t USING (g)
+  LEFT JOIN c1t ON split_part(dtf.g, ' ', 1) = c1t.w1
+  JOIN c2c USING (g)
+  JOIN c1c ON split_part(dtf.g, ' ', 1) = c1c.w1
+  GROUP BY dtf.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(s.nb, 0) AS BIGINT) AS n_bigrams,
+       round(s.raw, 6) AS contrast
 FROM documents d LEFT JOIN scored s USING (doc_id)
 ORDER BY d.doc_id
 """,

@@ -96,3 +96,67 @@ def test_gibberish_scores_worse(spark, tiny_docs):
         for r in bigram_lm_scores(toks).collect()
     }
     assert ppl[50] < ppl[51]
+
+
+def _reference_contrast(corpus: dict, target: dict, k: float):
+    def counts(tl):
+        c2, c1, vocab = Counter(), Counter(), set()
+        for toks in tl.values():
+            vocab.update(toks)
+            for bg in zip(toks, toks[1:]):
+                c2[bg] += 1
+                c1[bg[0]] += 1
+        return c2, c1, len(vocab)
+
+    c2t, c1t, vt = counts(target)
+    c2c, c1c, vc = counts(corpus)
+    out = {}
+    for doc, toks in corpus.items():
+        bgs = list(zip(toks, toks[1:]))
+        if not bgs:
+            out[doc] = (0, None)
+            continue
+        d = [
+            math.log((c2t[bg] + k) / (c1t[bg[0]] + k * vt))
+            - math.log((c2c[bg] + k) / (c1c[bg[0]] + k * vc))
+            for bg in bgs
+        ]
+        out[doc] = (len(bgs), round(sum(d) / len(d), 6))
+    return out
+
+
+def test_contrast_matches_reference(spark, lm_tokens):
+    from top2vec_spark.operators.lm import lm_contrast_scores
+
+    corpus = {r["doc_id"]: list(r["tokens"]) for r in lm_tokens.collect()}
+    target_df = lm_tokens.filter(F.col("doc_id") % 2 == 0)
+    target = {d: t for d, t in corpus.items() if d % 2 == 0}
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["contrast"])
+        for r in lm_contrast_scores(lm_tokens, target_df, k=0.5).collect()
+    }
+    assert got == _reference_contrast(corpus, target, k=0.5)
+
+
+def test_contrast_prefers_target_like_docs(spark, tiny_docs):
+    """A doc phrased like the target domain must out-score one phrased
+    like the rest of the corpus."""
+    from top2vec_spark.functions.tokenizer import sql_tokens_expr
+    from top2vec_spark.operators.lm import lm_contrast_scores
+
+    docs = tiny_docs.unionByName(
+        tiny_docs.sparkSession.createDataFrame(
+            [
+                (60, "spark builds fast indexes and spark builds inverted indexes"),
+                (61, "the cat sat on the log and the dog sat on the mat"),
+            ],
+            "doc_id long, text string",
+        )
+    )
+    toks = docs.select("doc_id", sql_tokens_expr("text").alias("tokens"))
+    target = toks.filter(F.col("doc_id") == 3)  # the spark/indexes doc
+    got = {
+        r["doc_id"]: r["contrast"]
+        for r in lm_contrast_scores(toks, target).collect()
+    }
+    assert got[60] > got[61]

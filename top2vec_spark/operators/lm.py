@@ -69,6 +69,63 @@ def bigram_lm(tokens_arr: DataFrame) -> tuple[DataFrame, DataFrame, int]:
     return c2, c1, int(v)
 
 
+def lm_contrast_scores(
+    tokens_arr: DataFrame,
+    target_tokens_arr: DataFrame,
+    k: float = 0.5,
+    round_digits: int = 6,
+) -> DataFrame:
+    """DSIR-style importance score (Xie et al. 2023 sample by an
+    n-gram-model likelihood RATIO; CCNet contrasts a target-domain LM
+    against the crawl): per document, the mean per-bigram
+
+        ln P_target(w2 | w1) - ln P_corpus(w2 | w1)
+
+    under two add-k bigram LMs — one estimated from
+    ``target_tokens_arr`` (the domain you want more of), one from the
+    corpus itself. Positive = reads more like the target than like the
+    average crawl page. Returns (doc_id, n_bigrams, contrast);
+    documents with no bigrams get NULL contrast.
+
+    Bigrams absent from the target model fall back to pure smoothing
+    mass (c2=0, and c1=0 for an unseen w1 -> P = 1/V_target), so the
+    score is total and the left joins below are coalesce-safe. Same
+    plan shape as :func:`bigram_lm_scores` twice over: the corpus
+    never shuffles; the doc side joins both models on its distinct
+    bigrams."""
+    c2t, c1t, vt = bigram_lm(target_tokens_arr)
+    c2c, c1c, vc = bigram_lm(tokens_arr)
+    bg = doc_bigrams(tokens_arr)
+    logp_t = F.log(
+        (F.coalesce("c2t", F.lit(0)) + F.lit(k))
+        / (F.coalesce("c1t", F.lit(0)) + F.lit(k * vt))
+    )
+    logp_c = F.log(
+        (F.col("c2c") + F.lit(k)) / (F.col("c1c") + F.lit(k * vc))
+    )
+    scored = (
+        bg.join(c2t.withColumnRenamed("c2", "c2t"), ["w1", "w2"], "left")
+        .join(c1t.withColumnRenamed("c1", "c1t"), "w1", "left")
+        .join(c2c.withColumnRenamed("c2", "c2c"), ["w1", "w2"])
+        .join(c1c.withColumnRenamed("c1", "c1c"), "w1")
+        .withColumn("d", logp_t - logp_c)
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_bigrams"),
+            (F.sum(F.col("tf") * F.col("d")) / F.sum("tf")).alias("raw"),
+        )
+    )
+    return (
+        tokens_arr.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            F.round("raw", round_digits).alias("contrast"),
+        )
+    )
+
+
 def bigram_lm_scores(
     tokens_arr: DataFrame, k: float = 0.1, round_digits: int = 6
 ) -> DataFrame:
