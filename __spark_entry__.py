@@ -568,6 +568,70 @@ def _q_discover_topic_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_umap_cluster_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE distributed UMAP (operators/umap.py — the reference's
+    actual reducer, top2vec.py:1541-1551, no PCA substitute) driving
+    the same discovery chain: kNN -> umap-exact smooth-kNN fuzzy graph
+    -> fuzzy-union symmetrization -> cross-entropy layout -> HDBSCAN
+    over the 2-D LAYOUT -> topic sizes.
+
+    Same planted-clustering contract as `discover_topic_sizes`
+    (orthogonal tight clusters synthesized deterministically from
+    doc_id): the layout optimizer is stochastic-free here (seeded
+    negatives, PCA init), and the planted partition is the unique
+    correct answer — any point flung out of its cluster by the layout,
+    any split/merge, any lost doc changes the sizes, so the whole
+    non-SQL UMAP pipeline is answerable by the planted truth. Stage
+    internals are additionally pinned by tests/test_umap.py
+    (bit-identical smooth-kNN vs a scalar umap-learn transcription,
+    t-conorm symmetrization, driver==distributed optimizer)."""
+    import numpy as np
+    import pandas as pd
+
+    from top2vec_spark.api import Top2VecSpark
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    dim = 16
+
+    def synth(pdfs):
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            ids = pdf["doc_id"].to_numpy().astype(np.int64)
+            m = ids % 10
+            c = np.where(m <= 4, 0, np.where(m <= 7, 1, 2))
+            base = np.zeros((len(ids), dim))
+            base[np.arange(len(ids)), c] = 5.0
+            i = np.arange(dim, dtype=np.int64)
+            h = (ids[:, None] * 2654435761 + i[None, :] * 40503) % 1000
+            base += (h / 1000.0) * 0.2 - 0.1
+            yield pd.DataFrame(
+                {"vec_id": ids, "embedding": list(map(list, base))}
+            )
+
+    emb = docs.select("doc_id").mapInPandas(
+        synth, "vec_id long, embedding array<double>"
+    )
+    eng = Top2VecSpark(spark, docs, ascii_fast_path=True)
+    eng.discover_topics(
+        emb,
+        umap_args={
+            "n_components": 2,
+            "n_neighbors": 15,
+            "metric": "euclidean",
+            "n_epochs": 120,
+            "seed": 3,
+        },
+        reduction="umap",
+    )
+    return eng.get_topic_sizes().select(
+        F.col("topic_id").cast("long").alias("topic_id"),
+        F.col("topic_size").cast("long").alias("topic_size"),
+    )
+
+
 def _q_centroids_by_pos(spark: SparkSession, sf_dir: str) -> DataFrame:
     from top2vec_spark.operators.similarity import label_centroids
 
@@ -2236,6 +2300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hdbscan_core_dist": _q_hdbscan_core_dist,
         "hdbscan_mutual_reach": _q_hdbscan_mutual_reach,
         "discover_topic_sizes": _q_discover_topic_sizes,
+        "umap_cluster_recovery": _q_umap_cluster_recovery,
         "centroids_by_pos": _q_centroids_by_pos,
         "assign_nearest": _q_assign_nearest,
         "assign_top3": _q_assign_top3,
@@ -2717,6 +2782,18 @@ JOIN core ca ON ca.vec_id = e.a
 JOIN core cb ON cb.vec_id = e.b
 """,
         "discover_topic_sizes": """
+WITH planted AS (
+  SELECT CASE WHEN doc_id % 10 <= 4 THEN 0
+              WHEN doc_id % 10 <= 7 THEN 1
+              ELSE 2 END AS c
+  FROM documents
+),
+sizes AS (SELECT c, count(*) AS topic_size FROM planted GROUP BY c)
+SELECT row_number() OVER (ORDER BY topic_size DESC) - 1 AS topic_id,
+       topic_size
+FROM sizes
+""",
+        "umap_cluster_recovery": """
 WITH planted AS (
   SELECT CASE WHEN doc_id % 10 <= 4 THEN 0
               WHEN doc_id % 10 <= 7 THEN 1

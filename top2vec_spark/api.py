@@ -618,18 +618,28 @@ class Top2VecSpark:
         umap_args: dict | None = None,
         hdbscan_args: dict | None = None,
         topic_merge_delta: float = 0.1,
+        reduction: str = "pca",
     ) -> DataFrame:
         """Density-based topic discovery — the reference's
         ``compute_topics`` chain (top2vec.py:1480-1590) end-to-end:
 
         1. dimensionality reduction of the document vectors
            (reference: UMAP to ``n_components`` dims,
-           top2vec.py:1541-1551). UMAP's SGD layout has no faithful
-           distributed re-expression; the engine substitutes one-pass
-           distributed PCA (operators/pca.py — documented semantics
-           delta, SURVEY.md §7.6). Only ``n_components`` from
-           ``umap_args`` is honored; ``n_neighbors``/``metric`` are
-           UMAP-specific and ignored.
+           top2vec.py:1541-1551). ``reduction`` picks the reducer:
+
+           - ``'umap'`` — distributed UMAP (operators/umap.py):
+             kNN -> umap-exact smooth-kNN fuzzy graph -> fuzzy-union
+             symmetrization -> cross-entropy layout (synchronous
+             expectation of umap's edge-sampled SGD — documented
+             re-expression delta in the module docstring).  Honors
+             ``n_neighbors`` / ``n_components`` / ``metric`` from
+             ``umap_args`` plus engine extensions ``n_epochs``,
+             ``seed``, ``min_dist``, ``spread``, ``knn`` (prebuilt
+             edge table for the bucketed scale path) and
+             ``optimize`` ('auto' | 'driver' | 'distributed').
+           - ``'pca'`` (default) — one-pass distributed PCA
+             (operators/pca.py), the cheaper deterministic reducer;
+             only ``n_components`` is honored.
         2. HDBSCAN over the REDUCED vectors (top2vec.py:1556-1566) —
            the true distributed algorithm (operators/hdbscan.py: kNN
            mutual-reachability -> Boruvka MST -> EOM), accepting the
@@ -680,13 +690,35 @@ class Top2VecSpark:
                 f"discover_topics: cluster_selection_method {method!r} "
                 "not implemented (only 'eom', the reference default)"
             )
+        if reduction not in ("pca", "umap"):
+            raise ValueError(
+                f"discover_topics: reduction {reduction!r} not "
+                "implemented ('pca' | 'umap')"
+            )
         emb = embeddings.select("vec_id", "embedding")
         n_components = int(umap_args.get("n_components", 5))
-        self._reduction_model = fit_pca(emb, n_components)
-        # the reduced table is consumed twice inside hdbscan_labels
-        # (kNN build + point-id collect) — persist the mapInPandas
-        # output so the projection kernel runs once
-        reduced = transform_pca(emb, self._reduction_model).persist()
+        if reduction == "umap":
+            from top2vec_spark.operators.umap import umap_reduce
+
+            self._reduction_model = None  # UMAP has no projection matrix
+            reduced = umap_reduce(
+                emb,
+                n_components=n_components,
+                n_neighbors=int(umap_args.get("n_neighbors", 15)),
+                metric=umap_args.get("metric", "cosine"),
+                min_dist=float(umap_args.get("min_dist", 0.1)),
+                spread=float(umap_args.get("spread", 1.0)),
+                n_epochs=umap_args.get("n_epochs"),
+                seed=int(umap_args.get("seed", 42)),
+                knn=umap_args.get("knn"),
+                optimize=umap_args.get("optimize", "auto"),
+            ).persist()
+        else:
+            self._reduction_model = fit_pca(emb, n_components)
+            # the reduced table is consumed twice inside hdbscan_labels
+            # (kNN build + point-id collect) — persist the mapInPandas
+            # output so the projection kernel runs once
+            reduced = transform_pca(emb, self._reduction_model).persist()
         try:
             labels = hdbscan_labels(
                 reduced,
