@@ -816,6 +816,57 @@ class Top2VecSpark:
         self._doc_vectors = out
         return out
 
+    def train_doc2vec(
+        self,
+        speed: str = "fast-learn",
+        vector_size: int = 300,
+        seed: int = 1,
+        **overrides,
+    ):
+        """L1 — train the reference's joint document/word embedding
+        (top2vec.py:560-622, gensim Doc2Vec dm=0 dbow_words=1) with
+        the engine's own distributed PV-DBOW trainer
+        (operators/doc2vec.py; synchronous-expectation re-expression
+        of gensim's async SGD — delta documented there). The speed
+        presets map exactly as the reference's (top2vec.py:563-580):
+        fast-learn hs=0/negative=5/epochs=40, learn hs=1/negative=0/
+        epochs=40, deep-learn hs=1/negative=0/epochs=400, test-learn
+        hs=0/negative=5/epochs=1; window=15, sample=1e-5, vocabulary =
+        the engine's min_count vocab (top2vec.py:589-598). Trained
+        vectors register like the reference's normed vectors
+        (top2vec.py:620-622): doc vectors become the vector-search /
+        compute_topics corpus, word vectors back similar_words and
+        word-vector search. ``overrides`` pass through to the trainer
+        (window/sample/alpha/epochs/... — test-scale knobs)."""
+        from top2vec_spark.operators.doc2vec import train_doc2vec
+
+        presets = {
+            "fast-learn": dict(hs=False, negative=5, epochs=40),
+            "learn": dict(hs=True, negative=0, epochs=40),
+            "deep-learn": dict(hs=True, negative=0, epochs=400),
+            "test-learn": dict(hs=False, negative=5, epochs=1),
+        }
+        if speed not in presets:
+            # reference wording, top2vec.py:579-580
+            raise ValueError(
+                "speed parameter needs to be one of: fast-learn, "
+                "learn or deep-learn"
+            )
+        args = dict(
+            dim=vector_size, window=15, sample=1e-5,
+            dbow_words=1, seed=seed, **presets[speed],
+        )
+        args.update(overrides)
+        model = train_doc2vec(self.tokens, self.vocab, **args)
+        self._doc_vectors = model.doc_vectors.select(
+            "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+        )
+        self._word_vectors = model.word_vectors(self.spark).select(
+            "term", F.col("embedding").cast("array<float>").alias("embedding")
+        )
+        self._doc2vec_model = model
+        return model
+
     def export_doc2vec_corpus(
         self, path: str, n_files: int = 64
     ) -> DataFrame:
@@ -824,10 +875,10 @@ class Top2VecSpark:
         ``' '.join(tokenizer(doc))`` per line to a temp file and tags
         each document by its line number). Distributed sink: globally
         ordered text part-files at ``{path}/corpus`` + a line-number ->
-        doc_id manifest at ``{path}/manifest`` (returned). Training
-        itself (gensim, L1) stays out of scope per the north rule —
-        this is the reference's corpus hand-off boundary, re-expressed
-        as a Spark sink."""
+        doc_id manifest at ``{path}/manifest`` (returned). This is
+        the reference's corpus hand-off boundary for EXTERNAL gensim
+        training, re-expressed as a Spark sink; in-engine training is
+        :meth:`train_doc2vec` (operators/doc2vec.py)."""
         from top2vec_spark.sources.doc2vec_corpus import (
             export_doc2vec_corpus,
         )
