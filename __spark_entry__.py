@@ -568,6 +568,112 @@ def _q_discover_topic_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_d2v_subsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The doc2vec trainer's epoch-0 subsampling decisions
+    (operators/doc2vec.py: word2vec keep-probability over the
+    min-count vocab + the SQL-replayable MINSTD draw per (doc_id,
+    sequence-position)) — every kept (doc_id, spos, term_id) row.
+    Integer result, so the hash pins the keep-prob float arithmetic
+    AND the RNG chain bit-for-bit against DuckDB's replay."""
+    import pandas as pd
+
+    from top2vec_spark.operators.doc2vec import keep_probs, subsampled_seq
+
+    tokens = _tokens(spark, sf_dir)
+    vocab = build_vocab(tokens)  # strict > DEFAULT_MIN_COUNT
+    vrows = vocab.select("term_id", "cf").orderBy("term_id").collect()
+    import numpy as np
+
+    cf = np.array([r["cf"] for r in vrows], dtype=np.int64)
+    keep = keep_probs(cf, sample=1e-3, total=int(cf.sum()))
+    seqs = (
+        tokens.join(F.broadcast(vocab.select("term", "term_id")), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "term_id"))),
+                lambda s: s["term_id"],
+            ).alias("seq")
+        )
+    )
+
+    def kept(pdfs):
+        for pdf in pdfs:
+            for did, seq in zip(pdf["doc_id"], pdf["seq"]):
+                seq = np.asarray(seq, dtype=np.int64)
+                pos = subsampled_seq(int(did), seq, keep, epoch=0, seed=1)
+                if len(pos):
+                    yield pd.DataFrame(
+                        {
+                            "doc_id": int(did),
+                            "spos": pos,
+                            "term_id": seq[pos],
+                        }
+                    )
+
+    return seqs.mapInPandas(kept, "doc_id long, spos long, term_id long")
+
+
+def _q_d2v_cluster_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full distributed PV-DBOW training (operators/doc2vec.py, L1 —
+    reference top2vec.py:560-622) answered by a planted truth: three
+    disjoint 5-word vocabularies assigned by doc_id (sizes 250/150/100
+    at sf0.01), 12 deterministic tokens per doc. After training, the
+    discovery chain (PCA -> HDBSCAN -> topic sizes) must recover the
+    planted partition exactly — a doc vector landing nearer another
+    group's docs, any split/merge, any lost doc changes the sizes, so
+    the whole non-SQL training pipeline is answerable by the planted
+    group counts (same oracle pattern as umap/discover rows)."""
+    import numpy as np
+    import pandas as pd
+
+    from top2vec_spark.api import Top2VecSpark
+    from top2vec_spark.operators.doc2vec import train_doc2vec
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    words = [
+        "apple pear plum grape melon".split(),
+        "iron copper zinc nickel cobalt".split(),
+        "river lake ocean stream pond".split(),
+    ]
+
+    def synth(pdfs):
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            ids = pdf["doc_id"].to_numpy().astype(np.int64)
+            m = ids % 10
+            g = np.where(m <= 4, 0, np.where(m <= 7, 1, 2))
+            out_d, out_p, out_t = [], [], []
+            for did, gi in zip(ids, g):
+                for pos in range(12):
+                    out_d.append(did)
+                    out_p.append(pos)
+                    out_t.append(
+                        words[gi][(did * 2654435761 + pos * 40503) % 5]
+                    )
+            yield pd.DataFrame(
+                {"doc_id": out_d, "pos": out_p, "term": out_t}
+            )
+
+    tokens = docs.select("doc_id").mapInPandas(
+        synth, "doc_id long, pos int, term string"
+    )
+    vocab = build_vocab(tokens, min_count=0)
+    model = train_doc2vec(
+        tokens, vocab, dim=12, window=4, sample=0.0, negative=5,
+        epochs=80, alpha=0.5, seed=11,
+    )
+    eng = Top2VecSpark(spark, docs, ascii_fast_path=True)
+    eng.discover_topics(model.doc_vectors)
+    return eng.get_topic_sizes().select(
+        F.col("topic_id").cast("long").alias("topic_id"),
+        F.col("topic_size").cast("long").alias("topic_size"),
+    )
+
+
 def _q_umap_cluster_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TRUE distributed UMAP (operators/umap.py — the reference's
     actual reducer, top2vec.py:1541-1551, no PCA substitute) driving
@@ -2301,6 +2407,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hdbscan_mutual_reach": _q_hdbscan_mutual_reach,
         "discover_topic_sizes": _q_discover_topic_sizes,
         "umap_cluster_recovery": _q_umap_cluster_recovery,
+        "d2v_subsample": _q_d2v_subsample,
+        "d2v_cluster_recovery": _q_d2v_cluster_recovery,
         "centroids_by_pos": _q_centroids_by_pos,
         "assign_nearest": _q_assign_nearest,
         "assign_top3": _q_assign_top3,
@@ -2782,6 +2890,49 @@ JOIN core ca ON ca.vec_id = e.a
 JOIN core cb ON cb.vec_id = e.b
 """,
         "discover_topic_sizes": """
+WITH planted AS (
+  SELECT CASE WHEN doc_id % 10 <= 4 THEN 0
+              WHEN doc_id % 10 <= 7 THEN 1
+              ELSE 2 END AS c
+  FROM documents
+),
+sizes AS (SELECT c, count(*) AS topic_size FROM planted GROUP BY c)
+SELECT row_number() OVER (ORDER BY topic_size DESC) - 1 AS topic_id,
+       topic_size
+FROM sizes
+""",
+        "d2v_subsample": f"""
+WITH tl AS (SELECT doc_id, {duckdb_tokens_sql()} AS toks FROM documents),
+ptok AS (
+  SELECT doc_id,
+         cast(unnest(range(len(toks))) AS bigint) AS pos,
+         unnest(toks) AS term
+  FROM tl
+),
+counts AS (SELECT term, count(*) AS cf, count(DISTINCT doc_id) AS df
+           FROM ptok GROUP BY term),
+vocab AS (SELECT term,
+                 row_number() OVER (ORDER BY df DESC, term ASC) - 1 AS term_id,
+                 cf
+          FROM counts),
+tot AS (SELECT cast(sum(cf) AS double) * 0.001 AS t FROM vocab),
+seq AS (SELECT p.doc_id, v.term_id, cast(v.cf AS double) AS cf,
+               row_number() OVER (PARTITION BY p.doc_id ORDER BY p.pos) - 1
+                 AS spos
+        FROM ptok p JOIN vocab v USING (term)),
+draw AS (
+  SELECT doc_id, spos, term_id,
+         least((sqrt(cf / t) + 1.0) * (t / cf), 1.0) AS kp,
+         ((((((doc_id % 2147483647) * 40503
+              + (spos % 2147483647) * 104729) % 2147483647
+             + 2 * 7919) % 2147483647)
+            * 48271 % 2147483647)
+           * 48271 % 2147483647) / 2147483647.0 AS u
+  FROM seq, tot
+)
+SELECT doc_id, spos, term_id FROM draw WHERE u < kp
+""",
+        "d2v_cluster_recovery": """
 WITH planted AS (
   SELECT CASE WHEN doc_id % 10 <= 4 THEN 0
               WHEN doc_id % 10 <= 7 THEN 1
