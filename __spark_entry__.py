@@ -674,6 +674,83 @@ def _q_d2v_cluster_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_d2v_infer_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc2vec INFERENCE (operators/doc2vec.infer_doc_vectors — the
+    reference's gensim ``infer_vector`` loop, add_documents
+    top2vec.py:2026 / free-text queries 2489, as one distributed map):
+    train on the planted corpus, infer vectors for a DISJOINT set of
+    new docs (shifted ids, shifted token draws, same planted grouping),
+    assign each inferred doc to its nearest TRAINED doc by cosine
+    (assign_nearest), and count by the nearest doc's planted group.
+    Any inferred vector landing nearer another group's docs changes
+    the counts, so the whole frozen-model inference path is answered
+    by the planted group sizes."""
+    import numpy as np
+    import pandas as pd
+
+    from top2vec_spark.operators.doc2vec import (
+        infer_doc_vectors,
+        train_doc2vec,
+    )
+    from top2vec_spark.operators.similarity import assign_nearest
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id"
+    )
+    words = [
+        "apple pear plum grape melon".split(),
+        "iron copper zinc nickel cobalt".split(),
+        "river lake ocean stream pond".split(),
+    ]
+
+    def synth(shift_id: int, shift_tok: int):
+        def gen(pdfs):
+            for pdf in pdfs:
+                if not len(pdf):
+                    continue
+                ids = pdf["doc_id"].to_numpy().astype(np.int64)
+                m = ids % 10
+                g = np.where(m <= 4, 0, np.where(m <= 7, 1, 2))
+                d, p, t = [], [], []
+                for did, gi in zip(ids, g):
+                    for pos in range(12):
+                        d.append(did + shift_id)
+                        p.append(pos)
+                        t.append(
+                            words[gi][
+                                (did * 2654435761 + pos * 40503 + shift_tok)
+                                % 5
+                            ]
+                        )
+                yield pd.DataFrame({"doc_id": d, "pos": p, "term": t})
+
+        return gen
+
+    train_toks = docs.mapInPandas(
+        synth(0, 0), "doc_id long, pos int, term string"
+    )
+    vocab = build_vocab(train_toks, min_count=0)
+    model = train_doc2vec(
+        train_toks, vocab, dim=12, window=4, sample=0.0, negative=5,
+        epochs=80, alpha=0.5, seed=11,
+    )
+    new_toks = docs.mapInPandas(
+        synth(100000, 3), "doc_id long, pos int, term string"
+    )
+    inferred = infer_doc_vectors(model, new_toks, epochs=40, alpha=0.5)
+    centroids = model.doc_vectors.select(
+        F.col("vec_id").alias("label"), F.col("embedding").alias("centroid")
+    )
+    assigned = assign_nearest(inferred, centroids)
+    m = F.col("assigned_label") % 10
+    group = F.when(m <= 4, 0).when(m <= 7, 1).otherwise(2)
+    return (
+        assigned.select(group.cast("long").alias("group_id"))
+        .groupBy("group_id")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
 def _q_umap_cluster_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TRUE distributed UMAP (operators/umap.py — the reference's
     actual reducer, top2vec.py:1541-1551, no PCA substitute) driving
@@ -2409,6 +2486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "umap_cluster_recovery": _q_umap_cluster_recovery,
         "d2v_subsample": _q_d2v_subsample,
         "d2v_cluster_recovery": _q_d2v_cluster_recovery,
+        "d2v_infer_recovery": _q_d2v_infer_recovery,
         "centroids_by_pos": _q_centroids_by_pos,
         "assign_nearest": _q_assign_nearest,
         "assign_top3": _q_assign_top3,
@@ -2943,6 +3021,16 @@ sizes AS (SELECT c, count(*) AS topic_size FROM planted GROUP BY c)
 SELECT row_number() OVER (ORDER BY topic_size DESC) - 1 AS topic_id,
        topic_size
 FROM sizes
+""",
+        "d2v_infer_recovery": """
+WITH planted AS (
+  SELECT CASE WHEN doc_id % 10 <= 4 THEN 0
+              WHEN doc_id % 10 <= 7 THEN 1
+              ELSE 2 END AS c
+  FROM documents
+)
+SELECT cast(c AS bigint) AS group_id, count(*) AS n_docs
+FROM planted GROUP BY c
 """,
         "umap_cluster_recovery": """
 WITH planted AS (

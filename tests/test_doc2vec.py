@@ -17,6 +17,7 @@ from top2vec_spark.operators.doc2vec import (
     _init_vec,
     _neg_draws,
     build_huffman,
+    infer_doc_vectors,
     keep_probs,
     noise_cdf,
     train_doc2vec,
@@ -280,17 +281,20 @@ def test_subsampling_drops_head_terms(spark, tiny):
     assert keep.min() < 1.0  # the fixture really exercises subsampling
 
 
-def test_learns_planted_clusters(spark):
-    groups = {
-        0: "apple pear plum grape melon".split(),
-        1: "iron copper zinc nickel cobalt".split(),
-        2: "river lake ocean stream pond".split(),
-    }
+GROUPS = {
+    0: "apple pear plum grape melon".split(),
+    1: "iron copper zinc nickel cobalt".split(),
+    2: "river lake ocean stream pond".split(),
+}
+
+
+@pytest.fixture(scope="module")
+def planted_model(spark):
     rng = np.random.RandomState(5)
     docs = []
     for did in range(45):
         g = did % 3
-        words = [groups[g][rng.randint(5)] for _ in range(12)]
+        words = [GROUPS[g][rng.randint(5)] for _ in range(12)]
         docs.append((did, words))
     tokens = _tokens_df(spark, docs)
     vocab = build_vocab(tokens, min_count=0)
@@ -298,6 +302,12 @@ def test_learns_planted_clusters(spark):
         tokens, vocab, dim=12, window=4, sample=0.0, negative=5,
         epochs=80, alpha=0.5, seed=11,
     )
+    return tokens, vocab, model
+
+
+def test_learns_planted_clusters(spark, planted_model):
+    groups = GROUPS
+    _, _, model = planted_model
     vecs = {
         r["vec_id"]: np.array(r["embedding"])
         for r in model.doc_vectors.collect()
@@ -314,7 +324,7 @@ def test_learns_planted_clusters(spark):
     # word vectors separate the same way
     wv = {
         r["term"]: np.array(r["embedding"])
-        for r in model.word_vectors(tokens.sparkSession).collect()
+        for r in model.word_vectors(spark).collect()
     }
     w_within = np.mean(
         [
@@ -329,6 +339,90 @@ def test_learns_planted_clusters(spark):
         [wv[a] @ wv[b] for a in groups[0] for b in groups[1]]
     )
     assert w_within > w_across + 0.3
+
+
+# ---------------------------------------------------------- inference
+
+
+def test_infer_matches_driver_emulation(spark, planted_model):
+    """infer_doc_vectors is per-doc-local math — a driver emulation
+    with the same shared update rule must reproduce it BIT-identically
+    (no cross-partition float-sum variance exists on this path)."""
+    from top2vec_spark.operators.doc2vec import (
+        _batch_grads,
+        _init_vec,
+        infer_doc_vectors,
+        keep_probs,
+        noise_cdf,
+    )
+
+    _, _, model = planted_model
+    new_docs = [
+        (1000, "apple pear apple grape melon plum".split()),
+        (1001, "iron zinc cobalt iron nickel".split()),
+    ]
+    toks = _tokens_df(spark, new_docs)
+    out = {
+        r["vec_id"]: np.array(r["embedding"])
+        for r in infer_doc_vectors(model, toks, epochs=10).collect()
+    }
+    tid = {t: i for i, t in enumerate(model.terms)}
+    cf = np.asarray(model.cf, dtype=np.int64)
+    keep = keep_probs(cf, model.params["sample"], int(cf.sum()))
+    cdf = noise_cdf(cf)
+    p = model.params
+    for did, words in new_docs:
+        seq = np.array([tid[w] for w in words], dtype=np.int64)
+        D = _init_vec(
+            np.array([did], dtype=np.int64), 12, p["seed"], salt=17
+        )
+        for epoch in range(10):
+            lr = p["alpha"] - (p["alpha"] - p["min_alpha"]) * epoch / 9
+            D = _batch_grads(
+                np.array([did], dtype=np.int64), [seq], D,
+                model.W_in, model.W_out, keep, cdf, None,
+                epoch, lr, p["window"], p["negative"],
+                dbow_words=0, seed=p["seed"],
+            )[0]
+        ref = D[0] / np.linalg.norm(D[0])
+        assert np.array_equal(out[did], ref), did
+
+
+def test_infer_lands_in_planted_group(spark, planted_model):
+    _, _, model = planted_model
+    new_docs = [
+        (2000 + g, [GROUPS[g][i % 5] for i in range(12)])
+        for g in range(3)
+    ]
+    toks = _tokens_df(spark, new_docs)
+    inf = {
+        r["vec_id"]: np.array(r["embedding"])
+        for r in infer_doc_vectors(
+            model, toks, epochs=40, alpha=0.5
+        ).collect()
+    }
+    trained = {
+        r["vec_id"]: np.array(r["embedding"])
+        for r in model.doc_vectors.collect()
+    }
+    for g in range(3):
+        sims = {
+            d: float(inf[2000 + g] @ v) for d, v in trained.items()
+        }
+        # the nearest trained doc must belong to the planted group
+        best = max(sims, key=sims.get)
+        assert best % 3 == g, (g, best, sims[best])
+
+
+def test_infer_oov_and_empty(spark, planted_model):
+    _, _, model = planted_model
+    docs = [
+        (3000, "apple qqqqq pear zzzzz".split()),  # OOV terms drop
+        (3001, "qqqqq zzzzz".split()),  # fully OOV -> absent
+    ]
+    out = infer_doc_vectors(model, _tokens_df(spark, docs)).collect()
+    ids = {r["vec_id"] for r in out}
+    assert ids == {3000}
 
 
 # ------------------------------------------------------------ facade
@@ -347,9 +441,17 @@ def test_facade_presets_and_registration(spark):
     eng = Top2VecSpark(spark, docs, ascii_fast_path=True)
     with pytest.raises(ValueError, match="speed parameter needs to be"):
         eng.train_doc2vec(speed="warp")
+    with pytest.raises(ValueError, match="no doc2vec model"):
+        eng.infer_document_vectors(docs.limit(2))
     model = eng.train_doc2vec(
         speed="test-learn", vector_size=8, epochs=2, window=3
     )
+    inf = eng.infer_document_vectors(docs.limit(3), epochs=2).collect()
+    assert len(inf) == 3
+    for r in inf:
+        v = np.array(r["embedding"])
+        assert v.shape == (8,)
+        assert abs(np.linalg.norm(v) - 1.0) < 1e-9
     assert model.W_in.shape[1] == 8
     # registered vectors drive the vector-search surfaces
     hits = eng.search_documents_by_vector(

@@ -867,6 +867,36 @@ class Top2VecSpark:
         self._doc2vec_model = model
         return model
 
+    def infer_document_vectors(
+        self, docs: DataFrame, *, epochs: int | None = None,
+        alpha: float | None = None,
+    ) -> DataFrame:
+        """Infer doc2vec vectors for NEW documents (doc_id, text)
+        against the model trained by :meth:`train_doc2vec` — the
+        reference's per-doc driver loop over gensim ``infer_vector``
+        (add_documents top2vec.py:2026, free-text queries 2489/2566)
+        as ONE distributed map with frozen broadcast matrices
+        (operators/doc2vec.infer_doc_vectors). Tokenizes with the
+        engine's own tokenizer settings so train/infer vocabularies
+        agree. Returns (vec_id, embedding) L2-normalized — feed to
+        search_documents_by_vector or set_document_vectors."""
+        if getattr(self, "_doc2vec_model", None) is None:
+            raise ValueError("no doc2vec model — train_doc2vec first")
+        from top2vec_spark.operators.doc2vec import infer_doc_vectors
+
+        toks = tokenize_docs(
+            docs,
+            ascii_fast_path=self.ascii_fast_path,
+            tokenizer=self.tokenizer,
+        )
+        if self.ngram_vocab:
+            from top2vec_spark.operators.phrases import tokens_with_phrases
+
+            toks = tokens_with_phrases(toks, self.phrases)
+        return infer_doc_vectors(
+            self._doc2vec_model, toks, epochs=epochs, alpha=alpha
+        )
+
     def export_doc2vec_corpus(
         self, path: str, n_files: int = 64
     ) -> DataFrame:

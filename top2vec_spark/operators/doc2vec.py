@@ -340,14 +340,20 @@ def _init_vec(ids: np.ndarray, dim: int, seed: int, salt: int) -> np.ndarray:
 class Doc2VecModel:
     """Training result: doc vectors as a DataFrame, word matrices on
     the driver (the same driver bound the per-epoch broadcast already
-    implies), plus the vocab order they are indexed by."""
+    implies), plus the vocab order they are indexed by and the
+    training hyper-parameters :func:`infer_doc_vectors` replays."""
 
-    def __init__(self, doc_vectors, terms, W_in, W_out, raw_doc_state):
+    def __init__(
+        self, doc_vectors, terms, W_in, W_out, raw_doc_state,
+        cf=None, params=None,
+    ):
         self.doc_vectors = doc_vectors  # (vec_id, embedding) L2-normed
         self.terms = terms  # term strings by term_id
         self.W_in = W_in
         self.W_out = W_out
         self.raw_doc_state = raw_doc_state  # (doc_id, seq, dvec)
+        self.cf = cf  # corpus frequencies by term_id
+        self.params = params or {}
 
     def word_vectors(self, spark) -> DataFrame:
         """(term, embedding) L2-normalized — the reference's
@@ -564,4 +570,94 @@ def train_doc2vec(
         F.col("doc_id").alias("vec_id"),
         F.transform("dvec", lambda x: x / nrm).alias("embedding"),
     )
-    return Doc2VecModel(doc_vecs, terms, W_in, W_out, state)
+    return Doc2VecModel(
+        doc_vecs, terms, W_in, W_out, state,
+        cf=cf,
+        params=dict(
+            dim=dim, window=window, sample=sample, negative=negative,
+            hs=hs, epochs=epochs, alpha=alpha, min_alpha=min_alpha,
+            dbow_words=dbow_words, seed=seed,
+        ),
+    )
+
+
+def infer_doc_vectors(
+    model: Doc2VecModel,
+    tokens: DataFrame,
+    *,
+    epochs: int | None = None,
+    alpha: float | None = None,
+    min_alpha: float | None = None,
+    seed: int | None = None,
+) -> DataFrame:
+    """Infer vectors for NEW documents against a frozen trained model
+    — gensim's ``infer_vector`` (the reference calls it per new doc in
+    a driver loop: add_documents top2vec.py:2026, free-text queries
+    2489/2566).  dm=0 inference trains ONLY the document vector on its
+    own PV-DBOW pairs (no skip-gram, no word-matrix updates), same
+    subsampling / negative-or-HS objective / linear alpha decay as
+    training.
+
+    Spark shape: fully embarrassingly parallel — each doc's epochs run
+    locally inside ONE mapInPandas pass (frozen matrices broadcast,
+    epoch loop vectorized across the Arrow batch via the shared
+    :func:`_batch_grads` rule with ``dbow_words=0``), so unlike
+    training there is no per-epoch barrier, no shuffle, no driver
+    round-trip: the reference's O(new docs) driver loop becomes one
+    distributed map.  Returns (vec_id, embedding) L2-normalized.
+    OOV terms drop out (gensim ignores them); docs with no in-vocab
+    token are absent from the output."""
+    p = model.params
+    epochs = int(p["epochs"] if epochs is None else epochs)
+    alpha = float(p["alpha"] if alpha is None else alpha)
+    min_alpha = float(p["min_alpha"] if min_alpha is None else min_alpha)
+    seed = int(p["seed"] if seed is None else seed)
+    sample, negative, hs = p["sample"], p["negative"], p["hs"]
+    window = p["window"]
+    dim = model.W_in.shape[1]
+    cf = np.asarray(model.cf, dtype=np.int64)
+    keep = keep_probs(cf, sample, int(cf.sum()))
+    if hs:
+        tree = _pad_tree(*build_huffman(cf))
+        cdf = None
+    else:
+        tree = None
+        cdf = noise_cdf(cf)
+    spark = tokens.sparkSession
+    vocab_df = spark.createDataFrame(
+        [(t, i) for i, t in enumerate(model.terms)],
+        "term string, term_id int",
+    )
+    state = _state_table(tokens, vocab_df, dim, seed)
+    bc = spark.sparkContext.broadcast((model.W_in, model.W_out))
+
+    def kernel(pdfs):
+        Wi, Wo = bc.value
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            ids = pdf["doc_id"].to_numpy().astype(np.int64)
+            seqs = [np.asarray(s, dtype=np.int64) for s in pdf["seq"]]
+            D = np.array([np.asarray(v) for v in pdf["dvec"]])
+            for epoch in range(epochs):
+                lr = alpha - (alpha - min_alpha) * epoch / max(
+                    1, epochs - 1
+                )
+                D = _batch_grads(
+                    ids, seqs, D, Wi, Wo, keep, cdf, tree,
+                    epoch, lr, window, negative, dbow_words=0,
+                    seed=seed,
+                )[0]
+            nrm = np.maximum(
+                np.linalg.norm(D, axis=1, keepdims=True), 1e-12
+            )
+            yield pd.DataFrame(
+                {
+                    "vec_id": ids,
+                    "embedding": list(map(list, D / nrm)),
+                }
+            )
+
+    return state.mapInPandas(
+        kernel, "vec_id long, embedding array<double>"
+    )
