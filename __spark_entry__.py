@@ -1579,6 +1579,72 @@ def _q_ctx_word_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ctx_topic_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contextual per-document topic distribution under a DuckDB
+    oracle (reference calculate_documents_topic_distributions,
+    top2vec.py:805-856, token assignment via
+    _calculate_documents_topic top2vec.py:1081-1146): the same
+    deterministic token model as ctx_chunk_vectors runs distributed
+    through embed_document_tokens; every token is assigned its
+    argmax-np.inner topic against three fixed INTEGER topic vectors
+    (first-max tie-break = smaller topic_id, pinned by a planted tie
+    in pytest); per doc the engine aggregates token_count, probability
+    (count / doc token total, reference line 854) and relevance (mean
+    token score). DuckDB replays the whole chain from text.
+
+    Exactness: integer token features x integer topic vectors ->
+    every token score is an exact small integer in double; counts are
+    exact; probability and relevance are each ONE correctly-rounded
+    double division of exact integers (Spark Average and DuckDB avg
+    both divide the exact sum once) — bit-identical before the shared
+    round-6. Long form: absent (doc, topic) pairs are the reference
+    dense matrices' zeros (documented shape delta)."""
+    import re
+
+    from top2vec_spark.api import Top2VecSpark
+
+    eng = Top2VecSpark(spark, _docs(spark, sf_dir), min_count=0)
+
+    def model(texts):
+        out = []
+        for t in texts:
+            toks = re.findall(r"[a-z]+", t.lower())
+            out.append(
+                (
+                    toks,
+                    [
+                        [
+                            float(len(tok)),
+                            float(tok.count("a") + 1),
+                            float(tok.count("e") + 1),
+                            7.0,
+                        ]
+                        for tok in toks
+                    ],
+                )
+            )
+        return out
+
+    eng.set_token_embedding_model(model)
+    eng.embed_document_tokens()
+    tv = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0, 0.0]),
+            (1, [0.0, 2.0, -1.0, 0.0]),
+            (2, [-1.0, 0.0, 3.0, 0.0]),
+        ],
+        "label long, centroid array<double>",
+    )
+    out = eng.calculate_documents_topic_distributions(topic_vectors=tv)
+    return out.select(
+        "doc_id",
+        F.col("topic_id").cast("long").alias("topic_id"),
+        F.col("token_count").cast("long").alias("token_count"),
+        F.round("probability", 6).alias("probability"),
+        F.round("relevance", 6).alias("relevance"),
+    )
+
+
 def _q_hashed_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-hashing document vectors (operators/hashing.py — the
     turnkey model-free embedding) under a DuckDB oracle: tf per
@@ -2514,6 +2580,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_hook": _q_embed_hook,
         "ctx_chunk_vectors": _q_ctx_chunk_vectors,
         "ctx_word_vectors": _q_ctx_word_vectors,
+        "ctx_topic_dist": _q_ctx_topic_dist,
         "hashed_vectors": _q_hashed_vectors,
         "media_features": _q_media_features,
         "docs_topics_top2": _q_docs_topics_top2,
@@ -3647,6 +3714,49 @@ normed AS (
 SELECT term, CAST(d.i - 1 AS BIGINT) AS dim,
        round(CAST(CAST([m0/nrm, m1/nrm, m2/nrm, m3/nrm][d.i] AS REAL) AS DOUBLE), 6) AS val
 FROM normed, (VALUES (1), (2), (3), (4)) d(i)
+""",
+        "ctx_topic_dist": """
+WITH toks AS (
+  SELECT doc_id, t.tok AS term, t.pos - 1 AS pos
+  FROM (
+    SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS l
+    FROM documents
+  ), LATERAL (SELECT unnest(l) AS tok, generate_subscripts(l, 1) AS pos) t
+),
+feats AS (
+  SELECT doc_id, pos,
+         CAST(len(term) AS DOUBLE) AS m0,
+         CAST(len(term) - len(replace(term, 'a', '')) + 1 AS DOUBLE) AS m1,
+         CAST(len(term) - len(replace(term, 'e', '')) + 1 AS DOUBLE) AS m2,
+         CAST(7 AS DOUBLE) AS m3
+  FROM toks
+),
+scored AS (
+  SELECT doc_id, pos, tv.topic_id,
+         m0*tv.c0 + m1*tv.c1 + m2*tv.c2 + m3*tv.c3 AS score
+  FROM feats, (VALUES (0, 1.0, 0.0, 0.0, 0.0),
+                      (1, 0.0, 2.0, -1.0, 0.0),
+                      (2, -1.0, 0.0, 3.0, 0.0)) tv(topic_id, c0, c1, c2, c3)
+),
+best AS (
+  SELECT doc_id, pos, topic_id, score,
+         row_number() OVER (
+           PARTITION BY doc_id, pos ORDER BY score DESC, topic_id
+         ) AS rn
+  FROM scored
+),
+agg AS (
+  SELECT doc_id, topic_id,
+         count(*) AS token_count, avg(score) AS relevance
+  FROM best WHERE rn = 1 GROUP BY doc_id, topic_id
+)
+SELECT doc_id, CAST(topic_id AS BIGINT) AS topic_id,
+       CAST(token_count AS BIGINT) AS token_count,
+       round(CAST(token_count AS DOUBLE)
+             / CAST(sum(token_count) OVER (PARTITION BY doc_id) AS DOUBLE),
+             6) AS probability,
+       round(relevance, 6) AS relevance
+FROM agg
 """,
         "embed_hook": """
 WITH feats AS (

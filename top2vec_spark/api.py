@@ -1720,6 +1720,173 @@ class Top2VecSpark:
             )
         return out
 
+    def calculate_documents_topic_distributions(
+        self,
+        topic_vectors: DataFrame | None = None,
+        token_embeddings: DataFrame | None = None,
+        reduced: bool = False,
+    ) -> DataFrame:
+        """Reference calculate_documents_topic_distributions
+        (top2vec.py:805-856): assign every contextual TOKEN embedding
+        its argmax-inner-product topic (`_calculate_documents_topic`,
+        top2vec.py:1081-1146 — raw np.inner, first-max tie-break),
+        then per document aggregate (a) the topic DISTRIBUTION
+        (fraction of the doc's tokens assigned to each topic,
+        reference line 854: topic_counts[i] / doc_num_tokens) and
+        (b) the topic RELEVANCE (mean token score per topic,
+        reference mean_scores). The reference's driver-side
+        tqdm-over-unique-labels loop becomes one broadcast-matmul
+        map plus ONE groupBy — no per-document Python.
+
+        ``topic_vectors`` defaults to the computed topic centroids
+        (label, centroid); ``token_embeddings`` defaults to the table
+        registered by embed_document_tokens (doc_id, pos, vec).
+
+        Documented shape delta: the reference preallocates DENSE
+        (num_documents, num_topics) matrices; the engine returns/
+        stores the equivalent LONG form — one row per (doc_id,
+        topic_id) with at least one assigned token; absent pairs are
+        the matrices' zeros. The reference's doc_top_tokens /
+        doc_top_token_dists ragged dicts ARE the per-token assignment
+        table, stored as ``_token_topic_assignment``; its
+        token-level topic_sizes (pd.value_counts of doc_top) is
+        ``get_token_topic_sizes()``.
+
+        Returns (doc_id, topic_id, token_count, probability,
+        relevance) and registers the getter state."""
+        from pyspark.sql import Window as W
+
+        from top2vec_spark.operators.similarity import (
+            assign_tokens_nearest,
+        )
+
+        if token_embeddings is None:
+            if not hasattr(self, "_token_vectors"):
+                raise ValueError(
+                    "no token vectors — embed_document_tokens first"
+                )
+            token_embeddings = self._token_vectors
+        if topic_vectors is None:
+            self._require_topics(reduced)
+            topic_vectors = self._centroid_df(reduced)
+        assigned = assign_tokens_nearest(token_embeddings, topic_vectors)
+        w = W.partitionBy("doc_id")
+        dist = (
+            assigned.groupBy("doc_id", "topic_id")
+            .agg(
+                F.count(F.lit(1)).alias("token_count"),
+                F.avg("score").alias("relevance"),
+            )
+            .withColumn(
+                "probability",
+                F.col("token_count") / F.sum("token_count").over(w),
+            )
+            .select(
+                "doc_id", "topic_id", "token_count", "probability",
+                "relevance",
+            )
+        )
+        self._token_topic_assignment = assigned
+        self._doc_topic_distribution = dist.select(
+            "doc_id", "topic_id", "probability"
+        )
+        self._doc_topic_scores = dist.select(
+            "doc_id", "topic_id", "relevance"
+        )
+        return dist
+
+    def get_document_topic_distribution(self) -> DataFrame:
+        """Reference get_document_topic_distribution
+        (top2vec.py:1633-1646): the per-document topic probability
+        distribution computed by calculate_documents_topic_distributions
+        — long form (doc_id, topic_id, probability); absent pairs are
+        the reference matrix's zeros."""
+        if not hasattr(self, "_doc_topic_distribution"):
+            raise ValueError(
+                "no document topic distribution — run "
+                "calculate_documents_topic_distributions first"
+            )
+        return self._doc_topic_distribution
+
+    def get_document_topic_relevance(self) -> DataFrame:
+        """Reference get_document_topic_relevance
+        (top2vec.py:1648-1661): per-document mean token-topic score —
+        long form (doc_id, topic_id, relevance); absent pairs are the
+        reference matrix's zeros."""
+        if not hasattr(self, "_doc_topic_scores"):
+            raise ValueError(
+                "no document topic relevance — run "
+                "calculate_documents_topic_distributions first"
+            )
+        return self._doc_topic_scores
+
+    def get_token_topic_sizes(self) -> DataFrame:
+        """The reference's token-level topic_sizes
+        (pd.Series(doc_top).value_counts(), top2vec.py:813): how many
+        TOKENS are assigned to each topic, largest first."""
+        if not hasattr(self, "_token_topic_assignment"):
+            raise ValueError(
+                "no token topic assignment — run "
+                "calculate_documents_topic_distributions first"
+            )
+        return (
+            self._token_topic_assignment.groupBy("topic_id")
+            .agg(F.count(F.lit(1)).alias("topic_size"))
+            .orderBy(F.desc("topic_size"), "topic_id")
+        )
+
+    def update_embedding_model_path(self, embedding_model_path: str) -> None:
+        """Reference update_embedding_model_path (top2vec.py:1846-1861):
+        record a local path the embedding model should be loaded from
+        instead of downloaded. The engine never downloads (S5 is out
+        of scope — BASELINE.json north rule); the path is handed to
+        the user's set_embedding_model / set_token_embedding_model
+        callable, which is responsible for loading it (on a real
+        cluster, ship the files via --py-files/--archives)."""
+        self.embedding_model_path = embedding_model_path
+
+    def change_to_download_embedding_model(self) -> None:
+        """Reference change_to_download_embedding_model
+        (top2vec.py:1863-1870): clear a previously recorded model
+        path so the user callable falls back to its own default
+        loading behavior."""
+        self.embedding_model_path = None
+
+    def get_label_vocabulary(
+        self,
+        tokens: DataFrame | None = None,
+        min_count: int = 50,
+        ngram_vocab: bool = False,
+        ngram_vocab_args: dict | None = None,
+    ) -> DataFrame:
+        """Reference get_label_vocabulary (top2vec.py:859-896): the
+        contextual-path vocabulary — CountVectorizer corpus counts
+        filtered by STRICT ``count > min_count`` (reference line 868:
+        np.where(word_counts > min_count)), with the reference's exact
+        all-words-ignored ValueError; when ``ngram_vocab`` is set the
+        vocabulary is REPLACED by the mined phrases (reference lines
+        878-894 — find_phrases output, not a union). ``tokens``
+        defaults to the engine's long token table; a caller may pass
+        any (doc_id, term) frame."""
+        from top2vec_spark.operators.corpus_stats import build_vocab
+        from top2vec_spark.operators.phrases import find_phrases
+
+        src = tokens if tokens is not None else self.tokens
+        if ngram_vocab:
+            args = dict(ngram_vocab_args or {})
+            return find_phrases(
+                src,
+                min_count=int(args.get("min_count", 5)),
+                threshold=float(args.get("threshold", 10.0)),
+            ).select(F.col("phrase").alias("term"))
+        out = build_vocab(src, min_count=int(min_count)).select("term")
+        if not out.head(1):
+            raise ValueError(
+                f"A min_count of {min_count} results in "
+                f"all words being ignored, choose a lower value."
+            )
+        return out
+
     def vocab_word_vectors(
         self, batch_size: int = 32, register: bool = True
     ) -> DataFrame:

@@ -418,6 +418,50 @@ def assign_nearest(
     )
 
 
+def assign_tokens_nearest(
+    tokens: DataFrame,
+    centroids: DataFrame,
+    label_col: str = "label",
+) -> DataFrame:
+    """Token-level argmax-inner-product topic assignment — the
+    distributed form of the reference's `_calculate_documents_topic`
+    (top2vec.py:1081-1146) applied to STACKED contextual token
+    embeddings (the `stacked_document_embeddings` argument of
+    calculate_documents_topic_distributions, top2vec.py:805-812):
+    raw ``np.inner`` scores (NO row normalization — the reference
+    feeds already-encoded vectors verbatim), first-max tie-break
+    (np.argmax → after the label sort, score DESC then label ASC).
+
+    Input is the long token table ``(doc_id, pos, vec)`` from
+    embed_document_tokens; output one row per token:
+    ``(doc_id, pos, topic_id, score)``. Same scale shape as
+    assign_nearest: broadcast the tiny centroid matrix, one numpy
+    matmul per Arrow batch, zero shuffles."""
+    cent_rows = sorted(centroids.collect(), key=lambda r: r[label_col])
+    labels = np.array([r[label_col] for r in cent_rows], dtype=np.int64)
+    mat = np.vstack([r["centroid"] for r in cent_rows]).astype(np.float64)
+    bc = tokens.sparkSession.sparkContext.broadcast((labels, mat))
+
+    def batch(pdfs):
+        lb, m = bc.value
+        for pdf in pdfs:
+            v = _as_matrix(pdf["vec"]).astype(np.float64)
+            sims = v @ m.T
+            best = np.argmax(sims, axis=1)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "pos": pdf["pos"].astype("int64"),
+                    "topic_id": lb[best],
+                    "score": sims[np.arange(best.size), best],
+                }
+            )
+
+    return tokens.select("doc_id", "pos", "vec").mapInPandas(
+        batch, "doc_id long, pos long, topic_id long, score double"
+    )
+
+
 def assign_topn(
     embeddings: DataFrame,
     centroids: DataFrame,
