@@ -1645,6 +1645,41 @@ def _q_ctx_topic_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-pretraining sequence packing (operators/packing.py —
+    concat-and-chunk: documents in doc_id order, one '<eos>' slot
+    after each, stream sliced every 128 slots) under a DuckDB oracle
+    that replays the layout from raw text with one window cumsum.
+    The engine's two-phase distributed prefix-sum (range partition +
+    driver offsets, no single-partition window) must produce the
+    EXACT same (seq_id, pos, doc_id, term) assignment as the oracle's
+    serial scan — pure integer arithmetic, so the hash pins the whole
+    layout. Positions are the engine tokenizer's post-filter
+    positions (same CTE as doc_tokens/vocab)."""
+    from top2vec_spark.api import Top2VecSpark
+    from top2vec_spark.operators.packing import pack_sequences
+
+    eng = Top2VecSpark(spark, _docs(spark, sf_dir), min_count=0)
+    out = pack_sequences(eng.tokens, seq_len=128)
+    return out.select(
+        F.col("seq_id").cast("long").alias("seq_id"),
+        F.col("pos").cast("long").alias("pos"),
+        "doc_id",
+        "term",
+    )
+
+
+def _q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (operators/sampling.py)
+    under a DuckDB oracle: the two-round Knuth multiplicative chain
+    (every intermediate < 2^63, so BIGINT arithmetic replays it
+    bit-identically) bucketed 0..9999, default 98/1/1 cutoffs. Hash
+    pins every document's split."""
+    from top2vec_spark.operators.sampling import split_corpus
+
+    return split_corpus(_docs(spark, sf_dir))
+
+
 def _q_hashed_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-hashing document vectors (operators/hashing.py — the
     turnkey model-free embedding) under a DuckDB oracle: tf per
@@ -2581,6 +2616,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ctx_chunk_vectors": _q_ctx_chunk_vectors,
         "ctx_word_vectors": _q_ctx_word_vectors,
         "ctx_topic_dist": _q_ctx_topic_dist,
+        "pack_sequences": _q_pack_sequences,
+        "corpus_split": _q_corpus_split,
         "hashed_vectors": _q_hashed_vectors,
         "media_features": _q_media_features,
         "docs_topics_top2": _q_docs_topics_top2,
@@ -3757,6 +3794,45 @@ SELECT doc_id, CAST(topic_id AS BIGINT) AS topic_id,
              6) AS probability,
        round(relevance, 6) AS relevance
 FROM agg
+""",
+        "pack_sequences": f"""
+WITH toks AS (
+  SELECT doc_id, t.tok AS term, t.pos - 1 AS pos
+  FROM (
+    SELECT doc_id, list_filter(
+      regexp_extract_all(lower(regexp_replace(text, '<[^>]+>', '', 'g')), '[a-z_]+'),
+      t -> len(t) BETWEEN {MIN_TOKEN_LEN} AND {MAX_TOKEN_LEN} AND NOT starts_with(t, '_')
+    ) AS l
+    FROM documents
+  ), LATERAL (SELECT unnest(l) AS tok, generate_subscripts(l, 1) AS pos) t
+),
+lens AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
+offs AS (
+  SELECT doc_id, n,
+         sum(n + 1) OVER (ORDER BY doc_id) - (n + 1) AS doc_off
+  FROM lens
+),
+body AS (
+  SELECT t.doc_id, o.doc_off + t.pos AS g, t.term
+  FROM toks t JOIN offs o ON t.doc_id = o.doc_id
+  UNION ALL
+  SELECT doc_id, doc_off + n AS g, '<eos>' AS term FROM offs
+)
+SELECT CAST(g // 128 AS BIGINT) AS seq_id, CAST(g % 128 AS BIGINT) AS pos,
+       doc_id, term
+FROM body
+""",
+        "corpus_split": """
+SELECT doc_id,
+       CASE WHEN b < 9800 THEN 'train'
+            WHEN b < 9900 THEN 'val'
+            ELSE 'test' END AS split
+FROM (
+  SELECT doc_id,
+         ((((doc_id % 2147483648) * 2654435761) % 4294967296 + 17)
+          * 40503) % 4294967296 % 10000 AS b
+  FROM documents
+)
 """,
         "embed_hook": """
 WITH feats AS (
