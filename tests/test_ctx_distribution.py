@@ -217,3 +217,27 @@ def test_get_label_vocabulary_ngram_replaces(spark):
     }
     assert all(" " in t for t in out)  # phrases only — vocab replaced
     assert "machine learning" in out
+
+
+def test_default_topic_vectors_path(spark, tiny_docs, ctx_engine):
+    """topic_vectors=None must pull the engine's computed topic
+    centroids (_centroid_df) — the reference's self.topic_vectors
+    default (top2vec.py:816-822)."""
+    emb = spark.createDataFrame(
+        [
+            (r["doc_id"], [1.0, 0.0, 0.0, 0.0])
+            if r["doc_id"] % 2 == 0
+            else (r["doc_id"], [0.0, 1.0, 0.0, 0.0])
+            for r in tiny_docs.collect()
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    ctx_engine.compute_topics(emb, n_topics=2)
+    out = ctx_engine.calculate_documents_topic_distributions()
+    rows = out.collect()
+    assert rows, "default-centroid path returned nothing"
+    per_doc = {}
+    for r in rows:
+        per_doc[r["doc_id"]] = per_doc.get(r["doc_id"], 0.0) + r["probability"]
+    for s in per_doc.values():
+        assert s == pytest.approx(1.0, abs=1e-9)
