@@ -1680,6 +1680,41 @@ def _q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return split_corpus(_docs(spark, sf_dir))
 
 
+def _q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic pretraining mixture (operators/sampling.py
+    mix_corpora — weighted sources with multi-epoch repetition for
+    under-sized sources and hash-subsampling for over-sized ones)
+    under a DuckDB oracle. Two sources are carved from the documents
+    table by doc_id parity; n_tokens is the engine tokenizer count;
+    the budget is 4x the corpus total (an INTEGER, and 0.75/0.25
+    weights are dyadic), so every epoch/cutoff value is identical
+    double arithmetic in both engines; the remainder filter is the
+    same pure integer hash as corpus_split. The hash pins every
+    (source, epoch, doc) occurrence."""
+    from top2vec_spark.api import Top2VecSpark
+    from top2vec_spark.operators.sampling import mix_corpora
+
+    eng = Top2VecSpark(spark, _docs(spark, sf_dir), min_count=0)
+    lens = eng.tokens.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens")
+    )
+    total = int(lens.agg(F.sum("n_tokens")).collect()[0][0])
+    out = mix_corpora(
+        {
+            "a": lens.filter(F.col("doc_id") % 2 == 0),
+            "b": lens.filter(F.col("doc_id") % 2 != 0),
+        },
+        {"a": 0.75, "b": 0.25},
+        token_budget=4 * total,
+    )
+    return out.select(
+        "source",
+        F.col("epoch").cast("long").alias("epoch"),
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+    )
+
+
 def _q_hashed_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-hashing document vectors (operators/hashing.py — the
     turnkey model-free embedding) under a DuckDB oracle: tf per
@@ -2618,6 +2653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ctx_topic_dist": _q_ctx_topic_dist,
         "pack_sequences": _q_pack_sequences,
         "corpus_split": _q_corpus_split,
+        "corpus_mix": _q_corpus_mix,
         "hashed_vectors": _q_hashed_vectors,
         "media_features": _q_media_features,
         "docs_topics_top2": _q_docs_topics_top2,
@@ -3833,6 +3869,41 @@ FROM (
           * 40503) % 4294967296 % 10000 AS b
   FROM documents
 )
+""",
+        "corpus_mix": f"""
+WITH {_TOKENS_CTE},
+lens AS (SELECT doc_id, count(*) AS n_tokens FROM tokens GROUP BY doc_id),
+src AS (
+  SELECT doc_id, n_tokens,
+         CASE WHEN doc_id % 2 = 0 THEN 'a' ELSE 'b' END AS source
+  FROM lens
+),
+tot AS (SELECT sum(n_tokens) AS total FROM src),
+plan AS (
+  SELECT p.source, p.t_s,
+         CAST(floor(p.b / p.t_s) AS BIGINT) AS epochs,
+         CAST(floor((p.b - floor(p.b / p.t_s) * p.t_s) / p.t_s * 10000)
+              AS BIGINT) AS cut
+  FROM (
+    SELECT source, sum(n_tokens) AS t_s,
+           (CASE WHEN source = 'a' THEN 0.75 ELSE 0.25 END)
+             * (4 * (SELECT total FROM tot)) AS b
+    FROM src GROUP BY source
+  ) p
+),
+full_eps AS (
+  SELECT s.source, CAST(e.x AS BIGINT) AS epoch, s.doc_id, s.n_tokens
+  FROM src s JOIN plan p ON s.source = p.source,
+       LATERAL (SELECT unnest(range(p.epochs)) AS x) e
+),
+rem AS (
+  SELECT s.source, p.epochs AS epoch, s.doc_id, s.n_tokens
+  FROM src s JOIN plan p ON s.source = p.source
+  WHERE p.cut > 0 AND
+        ((((s.doc_id % 2147483648) * 2654435761) % 4294967296 + 29)
+         * 40503) % 4294967296 % 10000 < p.cut
+)
+SELECT * FROM full_eps UNION ALL SELECT * FROM rem
 """,
         "embed_hook": """
 WITH feats AS (

@@ -152,3 +152,44 @@ def test_write_roundtrip(spark, tmp_path):
     spans = sorted((min(v), max(v)) for v in by_file.values())
     for (_, hi), (lo, _) in zip(spans, spans[1:]):
         assert hi < lo
+
+
+def test_export_training_data_facade(spark, tmp_path):
+    """One-call export: splits are disjoint, each split's parquet
+    rebuilds exactly from packing that split's tokens, manifest
+    counts match, train drops its trailing partial."""
+    from top2vec_spark.api import Top2VecSpark
+    from top2vec_spark.operators.sampling import split_corpus
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta " * (2 + i % 3)) for i in range(60)],
+        "doc_id long, text string",
+    )
+    eng = Top2VecSpark(spark, docs, min_count=0)
+    out = str(tmp_path / "export")
+    man = eng.export_training_data(
+        out, seq_len=16, weights={"train": 0.7, "val": 0.3}, seed=3
+    )
+    assign = {
+        r["doc_id"]: r["split"]
+        for r in split_corpus(
+            docs.select("doc_id"), {"train": 0.7, "val": 0.3}, seed=3
+        ).collect()
+    }
+    assert set(man) == {"train", "val"}
+    for name, info in man.items():
+        members = {d for d, s in assign.items() if s == name}
+        assert info["n_docs"] == len(members)
+        back = spark.read.parquet(info["path"])
+        assert back.count() == info["n_sequences"]
+        # split isolation is implied by the exact-rebuild check below:
+        # the expected packing uses ONLY this split's tokens
+        toks = eng.tokens.filter(F.col("doc_id").isin(list(members)))
+        expected = packed_sequence_arrays(
+            pack_sequences(toks, seq_len=16, drop_last=(name == "train"))
+        )
+        got = {r["seq_id"]: r["tokens"] for r in back.collect()}
+        exp = {r["seq_id"]: r["tokens"] for r in expected.collect()}
+        assert got == exp
+        if name == "train":
+            assert all(len(t) == 16 for t in got.values())

@@ -92,3 +92,75 @@ def test_zero_shuffle_plan(spark):
     """The assignment is one codegen projection — no Exchange."""
     plan = split_corpus(_ids_df(spark, 100))._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def _mix_replay(sources, weights, budget, seed=29):
+    """Plain-Python replay of mix_corpora."""
+    import math
+
+    out = set()
+    for name in sorted(sources):
+        docs = sources[name]  # list of (doc_id, n_tokens)
+        t_s = sum(n for _, n in docs)
+        b = weights[name] * budget
+        epochs = int(b // t_s)
+        cut = int(math.floor((b - epochs * t_s) / t_s * 10000))
+        for e in range(epochs):
+            for d, n in docs:
+                out.add((name, e, d, n))
+        if cut > 0:
+            for d, n in docs:
+                if _bucket_py(d, seed) < cut:
+                    out.add((name, epochs, d, n))
+    return out
+
+
+def _src_df(spark, docs):
+    return spark.createDataFrame(docs, "doc_id long, n_tokens long")
+
+
+def test_mix_matches_replay(spark):
+    from top2vec_spark.operators.sampling import mix_corpora
+
+    a = [(i, 10 + i % 5) for i in range(0, 400, 2)]
+    b = [(i, 50) for i in range(1, 400, 2)]
+    srcs = {"a": _src_df(spark, a), "b": _src_df(spark, b)}
+    weights = {"a": 0.75, "b": 0.25}
+    budget = 4 * (sum(n for _, n in a) + sum(n for _, n in b))
+    got = {
+        (r["source"], r["epoch"], r["doc_id"], r["n_tokens"])
+        for r in mix_corpora(srcs, weights, budget).collect()
+    }
+    assert got == _mix_replay({"a": a, "b": b}, weights, budget)
+    # 'a' must repeat (weight x budget far exceeds its tokens)
+    assert max(e for s, e, _, _ in got if s == "a") >= 1
+
+
+def test_mix_subsample_only(spark):
+    """A source whose budget is below its size gets epochs=0 and a
+    hash-sampled fraction close to the rate."""
+    from top2vec_spark.operators.sampling import mix_corpora
+
+    docs = [(i, 10) for i in range(5000)]
+    src = {"web": _src_df(spark, docs)}
+    out = mix_corpora(src, {"web": 1.0}, token_budget=25000).collect()
+    assert all(r["epoch"] == 0 for r in out)
+    assert len(out) / 5000 == pytest.approx(0.5, abs=0.03)
+
+
+def test_mix_validation(spark):
+    from top2vec_spark.operators.sampling import mix_corpora
+
+    d = _src_df(spark, [(0, 5)])
+    with pytest.raises(ValueError, match="keys differ"):
+        mix_corpora({"a": d}, {"b": 1.0}, 10)
+    with pytest.raises(ValueError, match="sum to 1"):
+        mix_corpora({"a": d}, {"a": 0.5}, 10)
+    with pytest.raises(ValueError, match="at least one source"):
+        mix_corpora({}, {}, 10)
+    with pytest.raises(ValueError, match="token_budget must be positive"):
+        mix_corpora({"a": d}, {"a": 1.0}, 0)
+    with pytest.raises(ValueError, match="has no tokens"):
+        mix_corpora(
+            {"a": _src_df(spark, []).limit(0)}, {"a": 1.0}, 10
+        )

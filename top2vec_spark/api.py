@@ -83,6 +83,10 @@ class Top2VecSpark:
         self._phrase_min_count = phrase_min_count
         self._phrase_threshold = phrase_threshold
         self._index = None  # set by build_index() (postings/WAND path)
+        # Reference parity: the attribute exists from construction
+        # (top2vec.py __init__ stores embedding_model_path; 1846-1870
+        # mutate it) — None means "callable uses its own default".
+        self.embedding_model_path: str | None = None
         self._derive_corpus_tables()
 
     def _derive_corpus_tables(self) -> None:
@@ -793,6 +797,65 @@ class Top2VecSpark:
                 ).alias("tokens"),
             )
         )
+
+    def export_training_data(
+        self,
+        path: str,
+        seq_len: int = 2048,
+        weights: dict[str, float] | None = None,
+        seed: int = 17,
+        sep_token: str | None = "<eos>",
+        shards: int | None = None,
+    ) -> dict[str, dict]:
+        """One-call training-data export over the engine's corpus:
+        deterministic train/val/test split (operators/sampling.py —
+        stable hash of doc_id), concat-and-chunk sequence packing PER
+        SPLIT (operators/packing.py; documents never leak across
+        splits because packing runs on each split's token subset),
+        range-sharded parquet under ``path/<split>/`` (shard files are
+        contiguous training-stream blocks). The trailing partial
+        sequence is dropped for 'train' only (standard practice) and
+        kept for every other split (never silently discard eval
+        tokens). Run on a CLEANED engine (construct over clean_corpus
+        output) when hygiene filtering is wanted first.
+
+        Returns a manifest: split -> {path, n_docs, n_sequences}.
+        Everything is deterministic — same corpus, same seed, same
+        bytes."""
+        from top2vec_spark.operators.packing import (
+            pack_sequences,
+            packed_sequence_arrays,
+            write_packed_sequences,
+        )
+        from top2vec_spark.operators.sampling import split_corpus
+
+        assignment = split_corpus(
+            self.docs.select("doc_id"), weights=weights, seed=seed
+        )
+        names = [r["split"] for r in assignment.select("split").distinct().collect()]
+        manifest: dict[str, dict] = {}
+        for name in sorted(names):
+            # no broadcast hint: 'train' membership is ~the whole
+            # corpus — let AQE pick broadcast for the small splits
+            # and a hash join for the big one
+            member = assignment.filter(F.col("split") == name).select("doc_id")
+            toks = self.tokens.join(member, "doc_id")
+            packed = pack_sequences(
+                toks,
+                seq_len=seq_len,
+                sep_token=sep_token,
+                drop_last=(name == "train"),
+            )
+            seqs = packed_sequence_arrays(packed)
+            out = f"{path.rstrip('/')}/{name}"
+            write_packed_sequences(seqs, out, shards=shards)
+            written = self.spark.read.parquet(out)
+            manifest[name] = {
+                "path": out,
+                "n_docs": member.count(),
+                "n_sequences": written.count(),
+            }
+        return manifest
 
     def hashed_document_vectors(
         self, dim: int = 256, use_idf: bool = False

@@ -18,6 +18,8 @@ parquet scan when the assignment is persisted.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -79,3 +81,84 @@ def split_corpus(
         lit = F.lit(name)
         expr = lit if expr is None else F.when(b < F.lit(hi), lit).otherwise(expr)
     return docs.select(F.col(id_col).alias("doc_id"), expr.alias("split"))
+
+
+def mix_corpora(
+    corpora: dict[str, DataFrame],
+    weights: dict[str, float],
+    token_budget: int,
+    seed: int = 29,
+) -> DataFrame:
+    """Deterministic multi-source pretraining mixture — the published
+    static-mixture recipe (The Pile / LLaMA-style weighted sources,
+    where a small high-quality source may be seen for MULTIPLE epochs
+    while a large one is subsampled): each source ``s`` receives a
+    token budget ``weights[s] * token_budget``; with ``T_s`` tokens
+    available that is ``epochs = floor(budget_s / T_s)`` full passes
+    plus a remainder pass sampling documents at rate
+    ``frac(budget_s / T_s)`` via the same stable hash as
+    split_corpus (doc-level sampling, so the realized token share
+    matches the budget in expectation — the published pipelines
+    sample documents, not token spans).
+
+    Input frames need (doc_id, n_tokens); output is one row per
+    (source, epoch, doc) occurrence: (source, epoch, doc_id,
+    n_tokens), epoch 0..k. Fully deterministic — per-source totals are
+    the only driver-side values (one tiny agg per source), replication
+    is a literal sequence explode, the remainder filter is the pure
+    integer hash. Zero RNG, so re-runs and engines agree exactly.
+    """
+    if set(corpora) != set(weights):
+        raise ValueError(
+            f"corpora/weights keys differ: {sorted(corpora)} vs "
+            f"{sorted(weights)}"
+        )
+    if not corpora:
+        raise ValueError("corpora must name at least one source")
+    total_w = sum(weights.values())
+    if abs(total_w - 1.0) > 1e-9:
+        raise ValueError(f"mixture weights must sum to 1, got {total_w}")
+    if token_budget <= 0:
+        raise ValueError(f"token_budget must be positive, got {token_budget}")
+    out: DataFrame | None = None
+    for name in sorted(corpora):
+        df = corpora[name]
+        t_s = df.agg(F.sum("n_tokens")).collect()[0][0]
+        if not t_s:
+            raise ValueError(f"source {name!r} has no tokens")
+        budget_s = weights[name] * token_budget
+        epochs = int(budget_s // t_s)
+        cut = int(math.floor((budget_s - epochs * t_s) / t_s * _BUCKETS))
+        parts: list[DataFrame] = []
+        if epochs > 0:
+            parts.append(
+                df.withColumn(
+                    "epoch",
+                    F.explode(
+                        F.sequence(
+                            F.lit(0).cast("long"),
+                            F.lit(epochs - 1).cast("long"),
+                        )
+                    ),
+                )
+            )
+        if cut > 0:
+            parts.append(
+                df.filter(
+                    split_bucket(F.col("doc_id"), seed=seed) < F.lit(cut)
+                ).withColumn("epoch", F.lit(epochs).cast("long"))
+            )
+        if not parts:
+            continue
+        src = parts[0]
+        for p in parts[1:]:
+            src = src.unionByName(p)
+        src = src.select(
+            F.lit(name).alias("source"), "epoch", "doc_id", "n_tokens"
+        )
+        out = src if out is None else out.unionByName(src)
+    if out is None:
+        raise ValueError(
+            "mixture is empty — every source's budget rounded to zero"
+        )
+    return out
