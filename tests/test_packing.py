@@ -193,3 +193,36 @@ def test_export_training_data_facade(spark, tmp_path):
         assert got == exp
         if name == "train":
             assert all(len(t) == 16 for t in got.values())
+
+
+def test_integer_token_ids(spark):
+    """Packing integer token IDs with sep_token=-1 — the real trainer
+    export shape."""
+    rows = [(d, p, (d * 100 + p)) for d, terms in DOCS for p, _ in enumerate(terms)]
+    toks = spark.createDataFrame(rows, "doc_id long, pos int, term long")
+    got = {
+        (r["seq_id"], r["pos"]): (r["doc_id"], r["term"])
+        for r in pack_sequences(toks, seq_len=4, sep_token=-1).collect()
+    }
+    int_docs = [
+        (d, [d * 100 + p for p in range(len(terms))]) for d, terms in DOCS
+    ]
+    assert got == _replay(int_docs, 4, sep=-1)
+
+
+def test_doc_starts_boundaries(spark):
+    """doc_starts: slot 0 always, plus every doc transition; the
+    boundary after a separator lands on the NEXT doc's first slot."""
+    packed = pack_sequences(_tokens_df(spark, DOCS), seq_len=4)
+    out = {
+        r["seq_id"]: (r["tokens"], r["doc_starts"])
+        for r in packed_sequence_arrays(packed).collect()
+    }
+    # seq 0: a b c <eos>            -> all doc 0            -> [0]
+    # seq 1: d <eos> e f            -> doc 1,1,3,3          -> [0, 2]
+    # seq 2: g h i <eos>            -> all doc 3            -> [0]
+    # seq 3: j k <eos>              -> all doc 7            -> [0]
+    assert out[0][1] == [0]
+    assert out[1][1] == [0, 2]
+    assert out[2][1] == [0]
+    assert out[3][1] == [0]

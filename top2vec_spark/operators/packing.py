@@ -88,11 +88,14 @@ def document_offsets(
 def pack_sequences(
     tokens: DataFrame,
     seq_len: int,
-    sep_token: str | None = "<eos>",
+    sep_token: str | int | None = "<eos>",
     drop_last: bool = False,
 ) -> DataFrame:
     """tokens(doc_id, pos, term) -> one row per packed-stream slot:
-    (seq_id, pos, doc_id, term).
+    (seq_id, pos, doc_id, term). ``term`` may be ANY scalar payload —
+    strings here and in the oracle row, integer token IDs in a real
+    trainer export (pass e.g. ``sep_token=-1``; the separator literal
+    is cast to the token column's type).
 
     Documents are laid out in ascending doc_id order; after each
     document's tokens one ``sep_token`` slot is emitted (carrying the
@@ -113,10 +116,13 @@ def pack_sequences(
         "term",
     )
     if sep_token is not None:
+        # cast to the token column's type so integer payloads (packed
+        # token IDs with e.g. sep_token=-1) union cleanly with strings
+        sep_lit = F.lit(sep_token).cast(tokens.schema["term"].dataType)
         seps = doc_off.select(
             "doc_id",
             (F.col("doc_off") + F.col("n")).cast("long").alias("g"),
-            F.lit(sep_token).alias("term"),
+            sep_lit.alias("term"),
         )
         body = body.unionByName(seps)
     out = body.select(
@@ -147,9 +153,20 @@ def write_packed_sequences(
 
 def packed_sequence_arrays(packed: DataFrame) -> DataFrame:
     """Long packed rows -> one row per training sequence:
-    (seq_id, tokens array<string>, n_docs) with tokens in slot order.
-    ONE map-side-combined groupBy; each group is exactly ``seq_len``
+    (seq_id, tokens, doc_starts, n_docs) with tokens in slot order.
+    ``doc_starts`` lists the in-sequence positions where attention
+    should reset: slot 0 always (attention never crosses sequences),
+    plus every slot whose document differs from the previous slot's —
+    the boundary metadata document-aware trainers mask with
+    (separator slots carry the FINISHED document's id, so the
+    boundary lands on the first slot of the next document). ONE
+    map-side-combined groupBy; each group is exactly ``seq_len``
     rows, so no skew is possible by construction."""
+    starts = F.expr(
+        "filter(transform(_s, (x, i) -> CASE WHEN i = 0 "
+        "OR _s[i-1].doc_id != x.doc_id THEN x.pos "
+        "ELSE CAST(-1 AS BIGINT) END), v -> v >= 0)"
+    )
     return (
         packed.groupBy("seq_id")
         .agg(
@@ -161,6 +178,7 @@ def packed_sequence_arrays(packed: DataFrame) -> DataFrame:
         .select(
             "seq_id",
             F.transform("_s", lambda s: s["term"]).alias("tokens"),
+            starts.alias("doc_starts"),
             "n_docs",
         )
     )
