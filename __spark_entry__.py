@@ -3865,8 +3865,9 @@ SELECT doc_id,
             ELSE 'test' END AS split
 FROM (
   SELECT doc_id,
-         ((((doc_id % 2147483648) * 2654435761) % 4294967296 + 17)
-          * 40503) % 4294967296 % 10000 AS b
+         (((((doc_id % 2147483648) * 2654435761) % 4294967296
+            + (17 * 2654435761 + 40503) % 4294967296)
+           * 40503) % 4294967296 * 10000) >> 32 AS b
   FROM documents
 )
 """,
@@ -3900,8 +3901,9 @@ rem AS (
   SELECT s.source, p.epochs AS epoch, s.doc_id, s.n_tokens
   FROM src s JOIN plan p ON s.source = p.source
   WHERE p.cut > 0 AND
-        ((((s.doc_id % 2147483648) * 2654435761) % 4294967296 + 29)
-         * 40503) % 4294967296 % 10000 < p.cut
+        (((((s.doc_id % 2147483648) * 2654435761) % 4294967296
+            + (29 * 2654435761 + 40503) % 4294967296)
+          * 40503) % 4294967296 * 10000) >> 32 < p.cut
 )
 SELECT * FROM full_eps UNION ALL SELECT * FROM rem
 """,

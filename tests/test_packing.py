@@ -226,3 +226,27 @@ def test_doc_starts_boundaries(spark):
     assert out[1][1] == [0, 2]
     assert out[2][1] == [0]
     assert out[3][1] == [0]
+
+
+def test_string_sep_on_int_column_raises(spark):
+    toks = spark.createDataFrame(
+        [(0, 0, 5), (0, 1, 6)], "doc_id long, pos int, term long"
+    )
+    with pytest.raises(TypeError, match="cannot be cast"):
+        pack_sequences(toks, seq_len=4, sep_token="<eos>")
+
+
+def test_non_dense_positions_raise(spark):
+    """Phrase-augmented tables (duplicate pos) and holes must fail
+    loudly instead of corrupting the stream."""
+    dup = spark.createDataFrame(
+        [(0, 0, "a"), (0, 0, "a b"), (0, 1, "b")],
+        "doc_id long, pos int, term string",
+    )
+    with pytest.raises(ValueError, match="not dense"):
+        pack_sequences(dup, seq_len=4)
+    hole = spark.createDataFrame(
+        [(0, 0, "a"), (0, 2, "b")], "doc_id long, pos int, term string"
+    )
+    with pytest.raises(ValueError, match="not dense"):
+        pack_sequences(hole, seq_len=4)

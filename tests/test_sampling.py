@@ -12,9 +12,10 @@ from top2vec_spark.operators.sampling import split_bucket, split_corpus
 
 def _bucket_py(doc_id: int, seed: int = 17) -> int:
     d0 = doc_id % 2147483648
+    s = (seed * 2654435761 + 40503) % 4294967296
     h1 = (d0 * 2654435761) % 4294967296
-    h2 = ((h1 + seed) * 40503) % 4294967296
-    return h2 % 10000
+    h2 = ((h1 + s) * 40503) % 4294967296
+    return (h2 * 10000) >> 32
 
 
 def _ids_df(spark, n):
@@ -164,3 +165,40 @@ def test_mix_validation(spark):
         mix_corpora(
             {"a": _src_df(spark, []).limit(0)}, {"a": 1.0}, 10
         )
+
+
+def test_residue_structured_ids_spread(spark):
+    """High-bits bucketing: ids sharing a residue mod 16 must still
+    cover the bucket space (the low-bits form would trap them in one
+    residue class, breaking tiny split fractions)."""
+    docs = spark.createDataFrame(
+        [(i * 16,) for i in range(4000)], "doc_id long"
+    )
+    buckets = {
+        r["b"]
+        for r in docs.select(split_bucket(F.col("doc_id")).alias("b")).collect()
+    }
+    assert len({b % 16 for b in buckets}) == 16  # all residues hit
+    assert len(buckets) > 2000  # broad coverage, not 625 slots
+    # a 0.1% val split still realizes on stride-16 ids
+    out = split_corpus(docs, {"train": 0.999, "val": 0.001})
+    val = out.filter(F.col("split") == "val").count()
+    assert 0 < val < 20
+
+
+def test_null_doc_id_raises(spark):
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    docs = spark.createDataFrame(
+        [(1,), (None,)], "doc_id long"
+    )
+    with pytest.raises(Exception, match="null/invalid doc_id"):
+        split_corpus(docs).collect()
+
+
+def test_mix_negative_weight_raises(spark):
+    from top2vec_spark.operators.sampling import mix_corpora
+
+    d = _src_df(spark, [(0, 5)])
+    with pytest.raises(ValueError, match="negative weight for source"):
+        mix_corpora({"a": d, "b": d}, {"a": 1.1, "b": -0.1}, 10)

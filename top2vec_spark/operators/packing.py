@@ -50,8 +50,38 @@ def document_offsets(
     Two-phase distributed scan; see the module docstring. The returned
     frame descends from an eager localCheckpoint, so its offsets are
     frozen for every downstream consumer.
+
+    Requires positions to be dense 0..n-1 per document (what
+    tokenize_docs emits). A phrase-augmented token table
+    (tokens_with_phrases unions pseudo-tokens at the SAME pos as
+    their first unigram) violates this — packing it would collide
+    slots and leave holes — so the count/max/min invariant is checked
+    inside the same aggregation and the call FAILS LOUDLY instead of
+    corrupting the stream.
     """
-    lens = tokens.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    from pyspark import StorageLevel
+
+    lens = tokens.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("pos").alias("_mx"),
+        F.min("pos").alias("_mn"),
+    )
+    # persist: repartitionByRange's internal range-sampling job would
+    # otherwise recompute the corpus-scale aggregation a second time
+    # (the numbering.py persist_input hazard); lens is O(docs)
+    lens = lens.persist(StorageLevel.MEMORY_AND_DISK)
+    bad = lens.filter(
+        (F.col("n") != F.col("_mx") + 1) | (F.col("_mn") != 0)
+    ).limit(1)
+    if bad.count() > 0:
+        r = bad.collect()[0]
+        lens.unpersist()
+        raise ValueError(
+            "token positions are not dense 0..n-1 per document "
+            f"(doc_id={r['doc_id']}: n={r['n']}, max(pos)={r['_mx']}, "
+            f"min(pos)={r['_mn']}) — pack the RAW token stream, not a "
+            "phrase-augmented one"
+        )
     lens = lens.withColumn(
         "span", (F.col("n") + F.lit(int(sep_width))).cast("long")
     )
@@ -61,6 +91,7 @@ def document_offsets(
         .withColumn("_pid", F.spark_partition_id())
         .localCheckpoint(eager=True)
     )
+    lens.unpersist()
     psums = sorted(
         (r["_pid"], r["s"])
         for r in parts.groupBy("_pid").agg(F.sum("span").alias("s")).collect()
@@ -117,8 +148,22 @@ def pack_sequences(
     )
     if sep_token is not None:
         # cast to the token column's type so integer payloads (packed
-        # token IDs with e.g. sep_token=-1) union cleanly with strings
-        sep_lit = F.lit(sep_token).cast(tokens.schema["term"].dataType)
+        # token IDs with e.g. sep_token=-1) union cleanly with strings.
+        # A string sentinel over a numeric column would cast to NULL
+        # under non-ANSI semantics and silently poison every
+        # separator slot — reject it driver-side instead.
+        from pyspark.sql.types import StringType
+
+        term_type = tokens.schema["term"].dataType
+        if isinstance(sep_token, str) and not isinstance(
+            term_type, StringType
+        ):
+            raise TypeError(
+                f"sep_token {sep_token!r} cannot be cast to the token "
+                f"column's type {term_type.simpleString()} — pass a "
+                "numeric sep_token (e.g. -1) for token-ID streams"
+            )
+        sep_lit = F.lit(sep_token).cast(term_type)
         seps = doc_off.select(
             "doc_id",
             (F.col("doc_off") + F.col("n")).cast("long").alias("g"),
@@ -173,12 +218,16 @@ def packed_sequence_arrays(packed: DataFrame) -> DataFrame:
             F.array_sort(
                 F.collect_list(F.struct("pos", "term", "doc_id"))
             ).alias("_s"),
-            F.countDistinct("doc_id").alias("n_docs"),
         )
         .select(
             "seq_id",
             F.transform("_s", lambda s: s["term"]).alias("tokens"),
             starts.alias("doc_starts"),
-            "n_docs",
         )
+        # each document occupies ONE contiguous slot run per sequence
+        # (doc_id order + separator carries the finished doc), so the
+        # boundary count IS the distinct-doc count — computing it from
+        # doc_starts avoids the mixed distinct/non-distinct aggregate
+        # (Expand, ~2x agg input) a countDistinct would plan
+        .withColumn("n_docs", F.size("doc_starts").cast("long"))
     )

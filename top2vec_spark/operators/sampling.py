@@ -34,14 +34,28 @@ def split_bucket(doc_id: Column, seed: int = 17) -> Column:
     BIGINT doc_id, so Spark and SQL replays agree exactly):
 
         d0 = pmod(doc_id, 2^31)
+        s  = (seed * 2654435761 + 40503) mod 2^32   -- driver-side
         h1 = (d0 * 2654435761) mod 2^32
-        h2 = ((h1 + seed) * 40503) mod 2^32
-        bucket = h2 mod 10000
+        h2 = ((h1 + s) * 40503) mod 2^32
+        bucket = (h2 * 10000) >> 32
+
+    The bucket takes the HIGH bits of the final product (Knuth's
+    multiplicative-hash rule): ``h2 mod 10000`` would make
+    ``bucket mod 16`` a pure function of ``doc_id mod 16`` (both
+    multipliers are odd, 16 | 10000), so residue-structured ids
+    (fixed-stride keys, byte offsets) would occupy only 1/16 of the
+    bucket space and tiny split fractions would realize 0% or 16x
+    their target. The high-bits form has no such structure. The seed
+    is pre-amplified through the same multiplier (``s``, an exact
+    driver-side integer any replay recomputes) because a RAW ``+
+    seed`` perturbs high-bits buckets by at most 1 per seed step —
+    adjacent seeds would produce near-identical splits.
     """
     d0 = F.pmod(doc_id.cast("long"), F.lit(2147483648))
+    s = (int(seed) * _M1 + _M2) % 4294967296
     h1 = F.pmod(d0 * F.lit(_M1), F.lit(4294967296))
-    h2 = F.pmod((h1 + F.lit(int(seed))) * F.lit(_M2), F.lit(4294967296))
-    return F.pmod(h2, F.lit(_BUCKETS))
+    h2 = F.pmod((h1 + F.lit(s)) * F.lit(_M2), F.lit(4294967296))
+    return F.shiftright(h2 * F.lit(_BUCKETS), 32)
 
 
 def split_corpus(
@@ -76,10 +90,17 @@ def split_corpus(
         cutoffs.append((str(name), int(round(acc * _BUCKETS))))
     cutoffs[-1] = (cutoffs[-1][0], _BUCKETS)  # close rounding gaps
     b = split_bucket(F.col(id_col), seed=seed)
-    expr: Column | None = None
+    # a NULL id hashes to a NULL bucket: every `b < hi` is not-true,
+    # so the chain must END in raise_error, not in the last split —
+    # otherwise malformed ids silently contaminate the final split
+    expr: Column = F.raise_error(
+        F.concat(
+            F.lit("split_corpus: null/invalid doc_id: "),
+            F.coalesce(F.col(id_col).cast("string"), F.lit("NULL")),
+        )
+    )
     for name, hi in reversed(cutoffs):
-        lit = F.lit(name)
-        expr = lit if expr is None else F.when(b < F.lit(hi), lit).otherwise(expr)
+        expr = F.when(b < F.lit(hi), F.lit(name)).otherwise(expr)
     return docs.select(F.col(id_col).alias("doc_id"), expr.alias("split"))
 
 
@@ -115,6 +136,9 @@ def mix_corpora(
         )
     if not corpora:
         raise ValueError("corpora must name at least one source")
+    for name, w in weights.items():
+        if w < 0:
+            raise ValueError(f"negative weight for source {name!r}: {w}")
     total_w = sum(weights.values())
     if abs(total_w - 1.0) > 1e-9:
         raise ValueError(f"mixture weights must sum to 1, got {total_w}")

@@ -438,6 +438,8 @@ def assign_tokens_nearest(
     assign_nearest: broadcast the tiny centroid matrix, one numpy
     matmul per Arrow batch, zero shuffles."""
     cent_rows = sorted(centroids.collect(), key=lambda r: r[label_col])
+    if not cent_rows:
+        raise ValueError("assign_tokens_nearest: centroid table is empty")
     labels = np.array([r[label_col] for r in cent_rows], dtype=np.int64)
     mat = np.vstack([r["centroid"] for r in cent_rows]).astype(np.float64)
     bc = tokens.sparkSession.sparkContext.broadcast((labels, mat))
