@@ -2490,6 +2490,59 @@ def _q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _span_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Input for the exact-substring rows: the corpus plus a shifted
+    copy of every 5th document, so cross-document duplicated spans are
+    guaranteed to exist on top of any organic phrase repeats in the
+    synthetic text."""
+    docs = _docs(spark, sf_dir)
+    return docs.select("doc_id", "text").unionByName(
+        docs.filter(F.col("doc_id") % 5 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text"
+        )
+    )
+
+
+def _q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplicate detection (operators/spans.py — the
+    ExactSubstr pass of Lee et al. 2021 re-expressed as O(n) rolling
+    128-bit window hashing + ONE hash-groupBy): every occurrence of a
+    duplicated 8-token window, with its occurrence count and the
+    globally-first-keeper flag. The DuckDB oracle never hashes — it
+    groups on the window CONTENT itself (array_to_string of the token
+    slice), so the hash pins that the rolling 128-bit key induces
+    exactly the content-equality classes."""
+    from top2vec_spark.functions.tokenizer import sql_tokens_expr
+    from top2vec_spark.operators.spans import duplicate_spans
+
+    ta = _span_docs(spark, sf_dir).select(
+        "doc_id", sql_tokens_expr("text").alias("tokens")
+    )
+    return duplicate_spans(ta, w=8).select(
+        "doc_id", F.col("pos").cast("long").alias("pos"), "n_occ", "is_keeper"
+    )
+
+
+def _q_scrub_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring scrubbing (operators/spans.py): remove every
+    token covered by a duplicated 8-token window except the globally
+    first occurrence (keep='first'); one row per doc with the scrubbed
+    token stream and removed-token count. DuckDB replays the interval
+    union from window content with BETWEEN-join coverage — the hash
+    pins every surviving token and its order."""
+    from top2vec_spark.functions.tokenizer import sql_tokens_expr
+    from top2vec_spark.operators.spans import scrub_duplicate_spans
+
+    ta = _span_docs(spark, sf_dir).select(
+        "doc_id", sql_tokens_expr("text").alias("tokens")
+    )
+    return scrub_duplicate_spans(ta, w=8, keep="first").select(
+        "doc_id",
+        F.array_join("tokens", " ").alias("scrubbed"),
+        "n_removed",
+    )
+
+
 def _q_components_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pure-topology transitivity pin for connected_components: a
     deterministic edge set derived from doc_ids — length-10 chains
@@ -2668,6 +2721,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_filter": _q_corpus_filter,
         "sessions_by_user_salted": _q_sessions_salted,
         "dup_clusters": _q_dup_clusters,
+        "dup_spans": _q_dup_spans,
+        "scrub_spans": _q_scrub_spans,
         "components_chain": _q_components_chain,
         "lm_perplexity": _q_lm_perplexity,
         "lm_contrast": _q_lm_contrast,
@@ -4487,6 +4542,77 @@ SELECT doc_id,
        min(doc_id) OVER (PARTITION BY k) AS cluster_id,
        doc_id = min(doc_id) OVER (PARTITION BY k) AS is_keeper
 FROM keyed ORDER BY doc_id
+""",
+        "dup_spans": f"""
+WITH both_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+),
+tl AS (SELECT doc_id, {duckdb_tokens_sql()} AS toks FROM both_docs),
+wins AS (
+  SELECT doc_id, g.pos AS pos,
+         array_to_string(list_slice(toks, g.pos + 1, g.pos + 8), ' ') AS win
+  FROM tl, LATERAL (
+    SELECT unnest(range(0, greatest(len(toks) - 7, 0))) AS pos
+  ) g
+),
+occ AS (
+  SELECT win, count(*) AS n_occ, min(doc_id * 1000000 + pos) AS keep_key
+  FROM wins GROUP BY win HAVING count(*) >= 2
+)
+SELECT w.doc_id, CAST(w.pos AS BIGINT) AS pos, o.n_occ,
+       (w.doc_id * 1000000 + w.pos) = o.keep_key AS is_keeper
+FROM wins w JOIN occ o USING (win)
+""",
+        "scrub_spans": f"""
+WITH both_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+),
+tl AS (SELECT doc_id, {duckdb_tokens_sql()} AS toks FROM both_docs),
+wins AS (
+  SELECT doc_id, g.pos AS pos,
+         array_to_string(list_slice(toks, g.pos + 1, g.pos + 8), ' ') AS win
+  FROM tl, LATERAL (
+    SELECT unnest(range(0, greatest(len(toks) - 7, 0))) AS pos
+  ) g
+),
+occ AS (
+  SELECT win, count(*) AS n_occ, min(doc_id * 1000000 + pos) AS keep_key
+  FROM wins GROUP BY win HAVING count(*) >= 2
+),
+marked AS (
+  SELECT w.doc_id, w.pos FROM wins w JOIN occ o USING (win)
+  WHERE (w.doc_id * 1000000 + w.pos) <> o.keep_key
+),
+tokpos AS (
+  SELECT doc_id, t.pos - 1 AS pos, t.tok
+  FROM tl, LATERAL (
+    SELECT unnest(toks) AS tok, generate_subscripts(toks, 1) AS pos
+  ) t
+),
+covered AS (
+  SELECT DISTINCT tp.doc_id, tp.pos
+  FROM tokpos tp JOIN marked m
+    ON tp.doc_id = m.doc_id AND tp.pos BETWEEN m.pos AND m.pos + 7
+),
+kept AS (
+  SELECT tp.doc_id, tp.pos, tp.tok
+  FROM tokpos tp
+  WHERE NOT EXISTS (
+    SELECT 1 FROM covered c WHERE c.doc_id = tp.doc_id AND c.pos = tp.pos
+  )
+)
+SELECT d.doc_id,
+       coalesce(
+         (SELECT string_agg(k.tok, ' ' ORDER BY k.pos)
+          FROM kept k WHERE k.doc_id = d.doc_id), '') AS scrubbed,
+       coalesce(
+         (SELECT count(*) FROM covered c WHERE c.doc_id = d.doc_id), 0
+       ) AS n_removed
+FROM (SELECT doc_id FROM tl) d
 """,
         "components_chain": """
 WITH RECURSIVE base AS (
