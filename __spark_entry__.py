@@ -2580,6 +2580,22 @@ def _q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_lm_scores(toks, k=0.5).orderBy("doc_id")
 
 
+def _q_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail perplexity bucketing
+    (operators/lm.py perplexity_buckets): global rank under
+    (perplexity, doc_id) via the two-phase scan, integer-arithmetic
+    thirds. k=0.5 keeps the smoothing arithmetic bit-identical
+    cross-engine (same as lm_perplexity), so the DuckDB row_number
+    replay must reproduce every rank and bucket exactly."""
+    from top2vec_spark.functions.tokenizer import sql_tokens_expr
+    from top2vec_spark.operators.lm import perplexity_buckets
+
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", sql_tokens_expr("text").alias("tokens")
+    )
+    return perplexity_buckets(toks, k=0.5)
+
+
 def _q_lm_contrast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR-style importance scoring (operators/lm.py
     lm_contrast_scores): mean per-bigram log-likelihood ratio between
@@ -2725,6 +2741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scrub_spans": _q_scrub_spans,
         "components_chain": _q_components_chain,
         "lm_perplexity": _q_lm_perplexity,
+        "ppl_buckets": _q_ppl_buckets,
         "lm_contrast": _q_lm_contrast,
         "domain_quota": _q_domain_quota,
     }
@@ -4658,6 +4675,41 @@ SELECT d.doc_id,
        round(exp(-s.raw), 6) AS perplexity
 FROM documents d LEFT JOIN scored s USING (doc_id)
 ORDER BY d.doc_id
+""",
+        "ppl_buckets": f"""
+WITH tl AS (SELECT doc_id, {duckdb_tokens_sql()} AS toks FROM documents),
+b AS (
+  SELECT doc_id, unnest([toks[i] || ' ' || toks[i+1]
+                         for i in range(1, greatest(len(toks), 1))]) AS g
+  FROM tl
+),
+dtf AS (SELECT doc_id, g, count(*) AS tf FROM b GROUP BY doc_id, g),
+c2 AS (SELECT g, sum(tf) AS c2 FROM dtf GROUP BY g),
+c1 AS (SELECT split_part(g, ' ', 1) AS w1, sum(tf) AS c1 FROM dtf GROUP BY 1),
+vv AS (SELECT count(DISTINCT t) AS v
+       FROM (SELECT unnest(toks) AS t FROM tl)),
+scored AS (
+  SELECT dtf.doc_id,
+         sum(dtf.tf * ln((c2.c2 + 0.5)
+                         / (c1.c1 + 0.5 * (SELECT v FROM vv))))
+           / sum(dtf.tf) AS raw
+  FROM dtf
+  JOIN c2 USING (g)
+  JOIN c1 ON split_part(dtf.g, ' ', 1) = c1.w1
+  GROUP BY dtf.doc_id
+),
+ranked AS (
+  SELECT doc_id, round(exp(-raw), 6) AS perplexity,
+         row_number() OVER (ORDER BY round(exp(-raw), 6), doc_id) - 1
+           AS ppl_rank,
+         count(*) OVER () AS n
+  FROM scored
+)
+SELECT doc_id, perplexity, ppl_rank,
+       CASE WHEN ppl_rank * 3 < n THEN 'head'
+            WHEN ppl_rank * 3 < 2 * n THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM ranked
 """,
         "lm_contrast": f"""
 WITH tl AS (SELECT doc_id, {duckdb_tokens_sql()} AS toks FROM documents),

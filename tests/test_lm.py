@@ -160,3 +160,68 @@ def test_contrast_prefers_target_like_docs(spark, tiny_docs):
         for r in lm_contrast_scores(toks, target).collect()
     }
     assert got[60] > got[61]
+
+
+def _reference_buckets(token_lists: dict[int, list[str]], k: float):
+    """Rank scored docs by (round6 perplexity, doc_id), bucket into
+    integer thirds — the perplexity_buckets contract."""
+    scores = _reference(token_lists, k)
+    scored = sorted(
+        (ppl, doc) for doc, (_, _, ppl) in scores.items() if ppl is not None
+    )
+    n = len(scored)
+    out = {}
+    for rank, (ppl, doc) in enumerate(scored):
+        bucket = (
+            "head" if rank * 3 < n else "middle" if rank * 3 < 2 * n else "tail"
+        )
+        out[doc] = (ppl, rank, bucket)
+    return out
+
+
+def test_perplexity_buckets_match_reference(spark, lm_tokens):
+    from top2vec_spark.operators.lm import perplexity_buckets
+
+    token_lists = {
+        r["doc_id"]: list(r["tokens"]) for r in lm_tokens.collect()
+    }
+    want = _reference_buckets(token_lists, k=0.1)
+    got = {
+        r["doc_id"]: (r["perplexity"], r["ppl_rank"], r["bucket"])
+        for r in perplexity_buckets(lm_tokens, k=0.1).collect()
+    }
+    assert got == want
+    # unscored (<2-token) docs are absent, scored docs all present
+    assert 100 not in got and 101 not in got
+    assert set(got) == {d for d, (_, _, p) in _reference(token_lists, 0.1).items() if p is not None}
+
+
+def test_perplexity_buckets_integer_thirds(spark):
+    """n=10 scored docs: head gets ranks 0-3 (rank*3 < 10), middle
+    4-6, tail 7-9 — the integer-arithmetic split, never float
+    quantiles."""
+    from top2vec_spark.operators.lm import perplexity_buckets
+
+    rows = [(d, [f"w{d}", "x", f"w{d}", "y"]) for d in range(10)]
+    ta = spark.createDataFrame(rows, "doc_id long, tokens array<string>")
+    got = perplexity_buckets(ta, k=0.1).collect()
+    from collections import Counter as C
+
+    sizes = C(r["bucket"] for r in got)
+    assert sizes == {"head": 4, "middle": 3, "tail": 3}
+    by_rank = {r["ppl_rank"]: r["bucket"] for r in got}
+    assert [by_rank[i] for i in range(10)] == (
+        ["head"] * 4 + ["middle"] * 3 + ["tail"] * 3
+    )
+
+
+def test_perplexity_buckets_partition_invariant(spark, lm_tokens):
+    from top2vec_spark.operators.lm import perplexity_buckets
+
+    a = sorted(
+        map(tuple, perplexity_buckets(lm_tokens.repartition(7), k=0.1).collect())
+    )
+    b = sorted(
+        map(tuple, perplexity_buckets(lm_tokens.coalesce(1), k=0.1).collect())
+    )
+    assert a == b

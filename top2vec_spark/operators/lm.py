@@ -158,3 +158,51 @@ def bigram_lm_scores(
             F.round(F.exp(-F.col("raw")), round_digits).alias("perplexity"),
         )
     )
+
+
+def perplexity_buckets(
+    tokens_arr: DataFrame, k: float = 0.1, round_digits: int = 6
+) -> DataFrame:
+    """CCNet-style head/middle/tail perplexity bucketing (Wenzek 2020
+    §4.3: after LM scoring, each language's documents are split into
+    equal thirds by perplexity rank; 'head' = most-fluent third, the
+    part public recipes keep or up-weight).
+
+    Returns (doc_id, perplexity, ppl_rank, bucket) for every SCORED
+    document (docs with < 2 tokens have no bigrams and no perplexity —
+    the reference recipe cannot rank them; they are absent here, the
+    filter caller decides their fate, same contract as
+    :func:`bigram_lm_scores`).
+
+    Rank is the global row number under (perplexity, doc_id) — a total
+    order with an integer tie-break, so any engine reproduces the
+    bucketing bit-identically. Buckets by integer arithmetic
+    (rank*3 < n, rank*3 < 2n), never float quantiles.
+
+    Scale shape: scoring is :func:`bigram_lm_scores`; the global rank
+    is the two-phase scan of operators/numbering.py (range partition,
+    driver prefix offsets over one row per partition, partition-local
+    window — no single-partition global window); the bucket label is
+    one codegen projection."""
+    from top2vec_spark.operators.numbering import two_phase_row_number
+
+    scored = bigram_lm_scores(tokens_arr, k=k, round_digits=round_digits)
+    scored = scored.filter(F.col("perplexity").isNotNull()).select(
+        "doc_id", "perplexity"
+    )
+    ranked = two_phase_row_number(
+        scored,
+        [F.col("perplexity"), F.col("doc_id")],
+        "ppl_rank",
+        persist_input=True,
+    )
+    n = ranked.count()
+    return ranked.select(
+        "doc_id",
+        "perplexity",
+        "ppl_rank",
+        F.when(F.col("ppl_rank") * 3 < n, F.lit("head"))
+        .when(F.col("ppl_rank") * 3 < 2 * n, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
