@@ -2638,6 +2638,77 @@ def _q_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Positional fulltext rows (operators/positional.py): exact phrase,
+# conjunctive AND, minimal cover span, best-window snippet.
+# ---------------------------------------------------------------------------
+_PTOKENS_CTE = f"""
+tl AS (SELECT doc_id, {duckdb_tokens_sql()} AS toks FROM documents),
+tokens_pos AS (
+  SELECT doc_id, unnest(toks) AS term,
+         generate_subscripts(toks, 1) - 1 AS pos
+  FROM tl
+)"""
+
+
+def _q_phrase_pos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase BM25 top-10 ("fast table" as ONE pseudo-term).
+    The phrase match set is small (tens of docs), so k is set past it
+    and the round-4-then-order-then-limit contract is applied here,
+    exactly like the bm25 rows."""
+    from top2vec_spark.operators.positional import phrase_topk
+
+    tokens = _tokens(spark, sf_dir).cache()
+    ds = build_doc_stats(tokens)
+    g = compute_globals(ds)
+    vocab = build_vocab(tokens)
+    res = phrase_topk(tokens, ds, g, ["fast", "table"], k=1_000_000, vocab=vocab)
+    return (
+        res.select("doc_id", "tf", F.round("score", 4).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+
+
+def _q_bool_and(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive (AND) BM25 top-10: docs containing ALL of
+    table/spark/query."""
+    from top2vec_spark.operators.positional import bool_and_topk
+
+    tokens = _tokens(spark, sf_dir).cache()
+    ds = build_doc_stats(tokens)
+    g = compute_globals(ds)
+    vocab = build_vocab(tokens)
+    res = bool_and_topk(
+        spark, tokens, ds, g, vocab, ["table", "spark", "query"], k=1_000_000
+    )
+    return (
+        res.select("doc_id", F.round("score", 4).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+
+
+def _q_prox_min_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimal positional cover span of {spark, merge, window} per doc
+    containing all three — pure integers, so the hash pins the
+    two-pointer sweep against DuckDB's brute combinatoric min."""
+    from top2vec_spark.operators.positional import min_cover_span
+
+    tokens = _tokens(spark, sf_dir)
+    return min_cover_span(tokens, ["spark", "merge", "window"])
+
+
+def _q_snippet_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best width-8 snippet window for {spark, query} per matching doc
+    — the snippet STRING pins tokenizer, window arithmetic, and the
+    (hits DESC, start ASC) tie-break in one row."""
+    from top2vec_spark.operators.positional import best_snippet
+
+    tokens = _tokens(spark, sf_dir)
+    return best_snippet(tokens, ["spark", "query"], width=8)
+
+
+# ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
@@ -2744,6 +2815,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppl_buckets": _q_ppl_buckets,
         "lm_contrast": _q_lm_contrast,
         "domain_quota": _q_domain_quota,
+        "phrase_pos_top10": _q_phrase_pos,
+        "bool_and_top10": _q_bool_and,
+        "prox_min_span": _q_prox_min_span,
+        "snippet_best": _q_snippet_best,
     }
 
 
@@ -4787,5 +4862,83 @@ r AS (
 )
 SELECT doc_id, host, quality, CAST(rank AS INT) AS rank
 FROM r WHERE rank <= 10 ORDER BY host, rank
+""",
+        "phrase_pos_top10": f"""
+WITH {_PTOKENS_CTE},
+doc_stats AS (SELECT doc_id, count(*) AS dl FROM tokens_pos GROUP BY doc_id),
+globals AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM doc_stats),
+occ AS (
+  SELECT a.doc_id, a.pos AS start
+  FROM tokens_pos a JOIN tokens_pos b
+    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  WHERE a.term = 'fast' AND b.term = 'table'
+),
+tfp AS (SELECT doc_id, count(*) AS tf FROM occ GROUP BY doc_id),
+dfp AS (SELECT count(*) AS df FROM tfp)
+SELECT t.doc_id, t.tf,
+       round(ln(1.0 + (g.n_docs - d.df + 0.5) / (d.df + 0.5))
+             * (t.tf * ({BM25_K1} + 1.0))
+             / (t.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * s.dl / g.avgdl)),
+             4) AS score
+FROM tfp t JOIN doc_stats s USING (doc_id)
+CROSS JOIN globals g CROSS JOIN dfp d
+ORDER BY score DESC, t.doc_id ASC LIMIT 10
+""",
+        "bool_and_top10": f"""
+WITH {_STATS_CTES},
+q(term) AS (VALUES ('table'), ('spark'), ('query')),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tokens
+  WHERE term IN (SELECT term FROM q) GROUP BY doc_id, term
+),
+scored AS (
+  SELECT tf.doc_id,
+         sum(ln(1.0 + (globals.n_docs - vocab.df + 0.5) / (vocab.df + 0.5))
+             * (tf.tf * ({BM25_K1} + 1.0))
+             / (tf.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * doc_stats.dl / globals.avgdl))
+         ) AS score
+  FROM tf
+  JOIN vocab USING (term) JOIN doc_stats USING (doc_id)
+  CROSS JOIN globals
+  GROUP BY tf.doc_id
+  HAVING count(*) = 3
+)
+SELECT doc_id, round(score, 4) AS score
+FROM scored ORDER BY round(score, 4) DESC, doc_id ASC LIMIT 10
+""",
+        "prox_min_span": f"""
+WITH {_PTOKENS_CTE},
+h1 AS (SELECT doc_id, pos FROM tokens_pos WHERE term = 'spark'),
+h2 AS (SELECT doc_id, pos FROM tokens_pos WHERE term = 'merge'),
+h3 AS (SELECT doc_id, pos FROM tokens_pos WHERE term = 'window')
+SELECT h1.doc_id AS doc_id,
+       cast(min(greatest(h1.pos, h2.pos, h3.pos)
+                - least(h1.pos, h2.pos, h3.pos)) AS int) AS span
+FROM h1 JOIN h2 ON h1.doc_id = h2.doc_id
+JOIN h3 ON h1.doc_id = h3.doc_id
+GROUP BY h1.doc_id
+""",
+        "snippet_best": f"""
+WITH {_PTOKENS_CTE},
+hits AS (SELECT doc_id, pos FROM tokens_pos WHERE term IN ('spark', 'query')),
+counted AS (
+  SELECT s.doc_id, s.pos AS start, count(*) AS hits
+  FROM hits s JOIN hits h
+    ON h.doc_id = s.doc_id AND h.pos >= s.pos AND h.pos < s.pos + 8
+  GROUP BY s.doc_id, s.pos
+),
+best AS (
+  SELECT doc_id, start, hits FROM (
+    SELECT doc_id, start, hits,
+           row_number() OVER (
+             PARTITION BY doc_id ORDER BY hits DESC, start ASC) AS rn
+    FROM counted
+  ) WHERE rn = 1
+)
+SELECT t.doc_id, cast(b.start AS int) AS start, b.hits,
+       string_agg(t.term, ' ' ORDER BY t.pos) AS snippet
+FROM tokens_pos t JOIN best b
+  ON t.doc_id = b.doc_id AND t.pos >= b.start AND t.pos < b.start + 8
+GROUP BY t.doc_id, b.start, b.hits
 """,
     }

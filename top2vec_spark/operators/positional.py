@@ -1,0 +1,322 @@
+"""Positional fulltext queries: exact phrase, conjunctive AND,
+proximity (minimal cover span), and best-window snippets.
+
+The reference's keyword search is bag-of-words (top2vec/top2vec.py:
+2855-2945 — terms contribute independently, no position information).
+These operators complete the fulltext-index tier on top of the same
+tokens(doc_id, pos, term) long table the BM25 engine already builds
+(operators/tokens.py): ``pos`` — the reference's tokenized-list index
+(top2vec.py:664) — becomes a real join key, which is all positional
+retrieval needs.
+
+Scale notes (the 10^12-doc plans):
+
+- Every operator starts from a term-pruned scan: ``term IN (query
+  terms)`` is a pushed-down parquet filter, so the input is the query
+  terms' postings, never the corpus. With positions folded into the
+  posting blocks (the codec's block layout leaves a documented seam),
+  the same logical plans read the index instead of raw tokens.
+- Phrase matching is a chain of (doc_id, adjusted-pos) equi-joins,
+  ordered rarest-term-first (df from the vocab table) so the running
+  intermediate is bounded by the rarest term's postings; AQE
+  broadcasts the small side per join.
+- The minimal-cover-span sweep is the textbook O(m) two-pointer over
+  each doc's query-term hits. The join-combinatoric alternative is
+  O(prod per-term occurrence counts) per doc — fine for a small-SF
+  DuckDB oracle, explosive on a 10^5-token page with stopword-ish
+  terms — so the scale path is ONE shuffle of the pruned hits
+  (groupBy doc) into an Arrow kernel, cost O(query-term occurrences),
+  never corpus-sized.
+- Snippets join the winning window back to the tokens table on
+  doc_id: with doc-bucketed storage (the index's doc-shard layout)
+  that join is co-located.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from top2vec_spark.config import BM25Config
+from top2vec_spark.operators.bm25 import bm25_score_col, idf, term_weights
+from top2vec_spark.operators.corpus_stats import CorpusGlobals
+
+
+def _lower(terms: Sequence[str]) -> list[str]:
+    # query-time lowercase — the engine-wide T4 contract
+    # (reference top2vec.py:1433-1434)
+    return [t.lower() for t in terms]
+
+
+def phrase_occurrences(
+    tokens: DataFrame,
+    phrase: Sequence[str],
+    vocab: DataFrame | None = None,
+) -> DataFrame:
+    """(doc_id, start) for every exact consecutive occurrence of
+    ``phrase`` — start is the 0-based position of the phrase's first
+    token.
+
+    Implementation: each phrase slot j contributes the pruned postings
+    of its term re-keyed to (doc_id, pos - j); an occurrence at
+    ``start`` is a row present in ALL slots' re-keyed sets, i.e. the
+    chain of equi-joins on (doc_id, start). Join order is
+    rarest-term-first when a vocab frame is supplied (one tiny
+    filtered collect, the resolve_query_terms pattern), so the running
+    intermediate never exceeds the rarest term's postings. Repeated
+    words in the phrase are handled naturally (each slot filters its
+    own term).
+    """
+    phrase = _lower(phrase)
+    if not phrase:
+        raise ValueError("phrase must have at least one term")
+    order = list(range(len(phrase)))
+    if vocab is not None and len(phrase) > 1:
+        dfs = {
+            r["term"]: r["df"]
+            for r in vocab.filter(F.col("term").isin(list(set(phrase))))
+            .select("term", "df")
+            .collect()
+        }
+        # unknown terms (not in vocab => zero postings) sort first:
+        # the empty side empties the chain immediately
+        order.sort(key=lambda j: dfs.get(phrase[j], -1))
+    out = None
+    for j in order:
+        side = tokens.filter(F.col("term") == phrase[j]).select(
+            "doc_id", (F.col("pos") - F.lit(j)).alias("start")
+        )
+        out = side if out is None else out.join(side, ["doc_id", "start"])
+    return out.select("doc_id", "start")
+
+
+def phrase_topk(
+    tokens: DataFrame,
+    doc_stats: DataFrame,
+    globs: CorpusGlobals,
+    phrase: Sequence[str],
+    k: int,
+    cfg: BM25Config = BM25Config(),
+    vocab: DataFrame | None = None,
+) -> DataFrame:
+    """BM25 top-k treating the exact phrase as ONE pseudo-term
+    (Lucene PhraseQuery scoring shape): tf_d = occurrences of the
+    phrase in d, df = number of docs with >= 1 occurrence, idf from
+    that df with the engine's BM25 constants.
+
+    Returns (doc_id, tf, score), score DESC / doc_id ASC, k rows.
+    The per-phrase df is query planning (one count over the persisted
+    match set — the same driver-side scalar the brute scorer computes
+    per keyword via resolve_query_terms).
+    """
+    occ = phrase_occurrences(tokens, phrase, vocab)
+    tf = occ.groupBy("doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    # persist: the df-count action and the scoring job share the match
+    # set instead of re-running the join chain (query-scoped cache,
+    # freed by the ContextCleaner with the query's plan)
+    tf = tf.persist()
+    phrase_df = tf.count()
+    if phrase_df == 0:
+        empty = tf.select(
+            "doc_id", "tf", F.lit(0.0).alias("score")
+        ).limit(0)
+        tf.unpersist()
+        return empty
+    scored = (
+        tf.join(doc_stats, "doc_id")
+        .withColumn("idf", F.lit(idf(globs.n_docs, phrase_df)))
+        .withColumn("avgdl", F.lit(globs.avgdl))
+        .withColumn("sign", F.lit(1.0))
+        .select(
+            "doc_id",
+            "tf",
+            bm25_score_col(cfg, globs.n_docs).alias("score"),
+        )
+    )
+    return scored.orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    ).limit(k)
+
+
+def bool_and_topk(
+    spark: SparkSession,
+    tokens: DataFrame,
+    doc_stats: DataFrame,
+    globs: CorpusGlobals,
+    vocab: DataFrame,
+    terms: Sequence[str],
+    k: int,
+    cfg: BM25Config = BM25Config(),
+) -> DataFrame:
+    """Conjunctive (AND) BM25 top-k: only documents containing ALL
+    query terms are ranked; the score is the usual per-term BM25 sum.
+
+    Same physical shape as the brute scorer (term-pruned scan ->
+    partial+final tf hash agg -> broadcast query join -> per-doc agg
+    -> TakeOrderedAndProject) plus one HAVING on the matched-term
+    count — the (doc, term) rows are distinct per term after the tf
+    agg, so ``count(*) == len(terms)`` is exactly the ALL predicate.
+    """
+    terms = list(dict.fromkeys(_lower(terms)))
+    w = term_weights(spark, vocab, terms)  # validates vocab membership
+    wrows = w.collect()
+    wq = spark.createDataFrame(
+        [
+            (r["term"], r["term_id"], r["df"], 1.0, idf(globs.n_docs, r["df"]))
+            for r in wrows
+        ],
+        "term string, term_id long, df long, sign double, idf double",
+    )
+    tf = (
+        tokens.filter(F.col("term").isin(terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    scored = (
+        tf.join(F.broadcast(wq), "term")
+        .join(doc_stats, "doc_id")
+        .withColumn("avgdl", F.lit(globs.avgdl))
+        .withColumn("contrib", bm25_score_col(cfg, globs.n_docs))
+        .groupBy("doc_id")
+        .agg(
+            # deterministic accumulation order (term_id-sorted), the
+            # bm25_scores contract
+            F.aggregate(
+                F.sort_array(F.collect_list(F.struct("term_id", "contrib"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["contrib"],
+            ).alias("score"),
+            F.count(F.lit(1)).alias("_nmatched"),
+        )
+        .filter(F.col("_nmatched") == len(terms))
+        .select("doc_id", "score")
+    )
+    return scored.orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    ).limit(k)
+
+
+def min_cover_span(tokens: DataFrame, terms: Sequence[str]) -> DataFrame:
+    """(doc_id, span) — the minimal positional span (max pos - min pos)
+    of any window containing at least one occurrence of EVERY query
+    term; only documents containing all terms emit a row.
+
+    The classic two-pointer sweep over each doc's position-sorted
+    query-term hits — O(m) per doc where m is that doc's query-term
+    occurrence count. The hits are one term-pruned scan; the single
+    shuffle is the groupBy(doc_id) into the Arrow kernel. (The
+    SQL-expressible alternative — min over the cross product of one
+    occurrence per term — is the small-SF DuckDB oracle; its cost is
+    the product of per-term occurrence counts, which a stopword-ish
+    term on a long page makes explosive.)
+    """
+    import pandas as pd
+
+    uniq = list(dict.fromkeys(_lower(terms)))
+    if len(uniq) < 2:
+        raise ValueError("min_cover_span needs at least 2 distinct terms")
+    need = len(uniq)
+    mapping = F.create_map(
+        *[F.lit(x) for t, i in ((t, i) for i, t in enumerate(uniq)) for x in (t, i)]
+    )
+    hits = tokens.filter(F.col("term").isin(uniq)).select(
+        "doc_id", "pos", mapping[F.col("term")].cast("int").alias("tid")
+    )
+
+    def sweep(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("pos")
+        pos = pdf["pos"].to_numpy()
+        tid = pdf["tid"].to_numpy()
+        counts = [0] * need
+        have = 0
+        left = 0
+        best = None
+        for right in range(len(pos)):
+            t = tid[right]
+            counts[t] += 1
+            if counts[t] == 1:
+                have += 1
+            while have == need:
+                span = int(pos[right] - pos[left])
+                if best is None or span < best:
+                    best = span
+                tl = tid[left]
+                counts[tl] -= 1
+                if counts[tl] == 0:
+                    have -= 1
+                left += 1
+        if best is None:
+            return pd.DataFrame({"doc_id": [], "span": []})
+        return pd.DataFrame(
+            {"doc_id": [int(pdf["doc_id"].iloc[0])], "span": [best]}
+        )
+
+    return hits.groupBy("doc_id").applyInPandas(
+        sweep, "doc_id long, span int"
+    )
+
+
+def best_snippet(
+    tokens: DataFrame,
+    terms: Sequence[str],
+    width: int = 8,
+) -> DataFrame:
+    """(doc_id, start, hits, snippet) — per matching document, the
+    fixed-width token window with the most query-term hits (tie: the
+    smallest start), and its text rebuilt from the token stream.
+
+    The optimal window must start AT a hit (shifting a window right to
+    its first hit never loses a hit), so candidate starts are exactly
+    the hit positions: hits self-joined per doc on
+    ``pos BETWEEN start AND start+width-1``, counted, ranked, the
+    winner joined back to the full tokens table to slice the window.
+    Snippet text is the TOKEN stream (post-tokenizer), the documented
+    delta vs raw-text highlighting.
+    """
+    if width < 1:
+        raise ValueError("width must be >= 1")
+    uniq = list(dict.fromkeys(_lower(terms)))
+    hits = tokens.filter(F.col("term").isin(uniq)).select("doc_id", "pos")
+    starts = hits.select("doc_id", F.col("pos").alias("start"))
+    counted = (
+        starts.join(hits, "doc_id")
+        .filter(
+            (F.col("pos") >= F.col("start"))
+            & (F.col("pos") < F.col("start") + width)
+        )
+        .groupBy("doc_id", "start")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    from pyspark.sql.window import Window
+
+    best = (
+        counted.withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy(
+                    F.col("hits").desc(), F.col("start").asc()
+                )
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    return (
+        tokens.join(best, "doc_id")
+        .filter(
+            (F.col("pos") >= F.col("start"))
+            & (F.col("pos") < F.col("start") + width)
+        )
+        .groupBy("doc_id", "start", "hits")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "term"))),
+                    lambda x: x["term"],
+                ),
+                " ",
+            ).alias("snippet")
+        )
+    )
