@@ -2650,6 +2650,31 @@ tokens_pos AS (
 )"""
 
 
+# Shared by phrase_pos_top10 (raw-tokens path) and phrase_indexed_top10
+# (positional sidecar path): both must match this ranking exactly.
+_PHRASE_ORACLE = f"""
+WITH {_PTOKENS_CTE},
+doc_stats AS (SELECT doc_id, count(*) AS dl FROM tokens_pos GROUP BY doc_id),
+globals AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM doc_stats),
+occ AS (
+  SELECT a.doc_id, a.pos AS start
+  FROM tokens_pos a JOIN tokens_pos b
+    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  WHERE a.term = 'fast' AND b.term = 'table'
+),
+tfp AS (SELECT doc_id, count(*) AS tf FROM occ GROUP BY doc_id),
+dfp AS (SELECT count(*) AS df FROM tfp)
+SELECT t.doc_id, t.tf,
+       round(ln(1.0 + (g.n_docs - d.df + 0.5) / (d.df + 0.5))
+             * (t.tf * ({BM25_K1} + 1.0))
+             / (t.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * s.dl / g.avgdl)),
+             4) AS score
+FROM tfp t JOIN doc_stats s USING (doc_id)
+CROSS JOIN globals g CROSS JOIN dfp d
+ORDER BY score DESC, t.doc_id ASC LIMIT 10
+"""
+
+
 def _q_phrase_pos(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-phrase BM25 top-10 ("fast table" as ONE pseudo-term).
     The phrase match set is small (tens of docs), so k is set past it
@@ -2696,6 +2721,39 @@ def _q_prox_min_span(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tokens = _tokens(spark, sf_dir)
     return min_cover_span(tokens, ["spark", "merge", "window"])
+
+
+def _q_phrase_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same phrase query as phrase_pos_top10 but answered from the
+    term-bucketed positional sidecar INDEX (build_position_index ->
+    directory-pruned read) — proves the index path against the same
+    DuckDB oracle, the bm25_top10 / bm25_wand_top10 pattern."""
+    import hashlib
+    import os
+
+    from top2vec_spark.operators.positional import (
+        build_position_index,
+        load_position_postings,
+        phrase_topk,
+    )
+
+    docs = _docs(spark, sf_dir)
+    tokens = _tokens(spark, sf_dir).cache()
+    ds = build_doc_stats(tokens)
+    g = compute_globals(ds)
+    fp = hashlib.sha1(
+        f"{sf_dir}|{_input_fingerprint(docs)}".encode()
+    ).hexdigest()[:10]
+    path = f"/tmp/t2v_entry_posidx_{fp}"
+    if not os.path.exists(f"{path}/positions.json"):
+        build_position_index(tokens, path, n_buckets=16)
+    pruned = load_position_postings(spark, path, ["fast", "table"])
+    res = phrase_topk(pruned, ds, g, ["fast", "table"], k=1_000_000)
+    return (
+        res.select("doc_id", "tf", F.round("score", 4).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
 
 
 def _q_snippet_best(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2816,6 +2874,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_contrast": _q_lm_contrast,
         "domain_quota": _q_domain_quota,
         "phrase_pos_top10": _q_phrase_pos,
+        "phrase_indexed_top10": _q_phrase_indexed,
         "bool_and_top10": _q_bool_and,
         "prox_min_span": _q_prox_min_span,
         "snippet_best": _q_snippet_best,
@@ -4863,27 +4922,10 @@ r AS (
 SELECT doc_id, host, quality, CAST(rank AS INT) AS rank
 FROM r WHERE rank <= 10 ORDER BY host, rank
 """,
-        "phrase_pos_top10": f"""
-WITH {_PTOKENS_CTE},
-doc_stats AS (SELECT doc_id, count(*) AS dl FROM tokens_pos GROUP BY doc_id),
-globals AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM doc_stats),
-occ AS (
-  SELECT a.doc_id, a.pos AS start
-  FROM tokens_pos a JOIN tokens_pos b
-    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
-  WHERE a.term = 'fast' AND b.term = 'table'
-),
-tfp AS (SELECT doc_id, count(*) AS tf FROM occ GROUP BY doc_id),
-dfp AS (SELECT count(*) AS df FROM tfp)
-SELECT t.doc_id, t.tf,
-       round(ln(1.0 + (g.n_docs - d.df + 0.5) / (d.df + 0.5))
-             * (t.tf * ({BM25_K1} + 1.0))
-             / (t.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * s.dl / g.avgdl)),
-             4) AS score
-FROM tfp t JOIN doc_stats s USING (doc_id)
-CROSS JOIN globals g CROSS JOIN dfp d
-ORDER BY score DESC, t.doc_id ASC LIMIT 10
-""",
+        # phrase_indexed_top10 proves the sidecar-index path against
+        # the SAME oracle (the bm25_top10 / bm25_wand_top10 pattern)
+        "phrase_pos_top10": _PHRASE_ORACLE,
+        "phrase_indexed_top10": _PHRASE_ORACLE,
         "bool_and_top10": f"""
 WITH {_STATS_CTES},
 q(term) AS (VALUES ('table'), ('spark'), ('query')),

@@ -276,3 +276,81 @@ def test_best_snippet_tie_smallest_start(spark):
 def test_best_snippet_width_validation(tokens):
     with pytest.raises(ValueError, match="width"):
         best_snippet(tokens, ["fast"], width=0)
+
+
+# ---------------------------------------------------------------------------
+# Positional sidecar index
+# ---------------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def pos_index(spark, tokens, tmp_path_factory):
+    from top2vec_spark.operators.positional import build_position_index
+
+    path = str(tmp_path_factory.mktemp("posidx"))
+    build_position_index(tokens, path, n_buckets=8)
+    return path
+
+
+def test_indexed_phrase_equals_tokens_path(spark, tokens, pos_index):
+    from top2vec_spark.operators.positional import load_position_postings
+
+    pruned = load_position_postings(spark, pos_index, ["fast", "table"])
+    got = sorted(
+        (r["doc_id"], r["start"])
+        for r in phrase_occurrences(pruned, ["fast", "table"]).collect()
+    )
+    assert got == _py_phrase_occ(["fast", "table"])
+
+
+def test_indexed_min_span_equals_tokens_path(spark, tokens, pos_index):
+    from top2vec_spark.operators.positional import load_position_postings
+
+    terms = ["fast", "table", "slow"]
+    pruned = load_position_postings(spark, pos_index, terms)
+    got = {
+        r["doc_id"]: r["span"] for r in min_cover_span(pruned, terms).collect()
+    }
+    assert got == _py_min_span(terms)
+
+
+def test_indexed_scan_prunes_buckets(spark, pos_index):
+    """The pruned read must touch ONLY the query terms' bucket dirs —
+    directory pruning is the scale contract of the sidecar."""
+    from top2vec_spark.operators.positional import (
+        load_position_postings,
+        term_buckets,
+    )
+
+    terms = ["fast", "table"]
+    want = set(term_buckets(spark, terms, 8))
+    pruned = load_position_postings(spark, pos_index, terms)
+    files = [
+        r["f"]
+        for r in pruned.select(
+            F.input_file_name().alias("f")
+        ).distinct().collect()
+    ]
+    seen = {
+        int(f.split("pbucket=")[1].split("/")[0]) for f in files
+    }
+    assert seen <= want
+    # and the plan carries the partition filter (not a post-scan filter)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "pbucket" in plan
+
+
+def test_indexed_phrase_topk_scores_match_raw(spark, tokens, pos_index):
+    """Full indexed phrase query (pruned postings -> occurrences ->
+    BM25 pseudo-term) is row- and score-identical to the raw-tokens
+    path when given the same corpus stats."""
+    from top2vec_spark.operators.positional import load_position_postings
+
+    ds = build_doc_stats(tokens)
+    g = compute_globals(ds)
+    raw = sorted(
+        map(tuple, phrase_topk(tokens, ds, g, ["fast", "table"], 10).collect())
+    )
+    pruned = load_position_postings(spark, pos_index, ["fast", "table"])
+    idx = sorted(
+        map(tuple, phrase_topk(pruned, ds, g, ["fast", "table"], 10).collect())
+    )
+    assert raw == idx

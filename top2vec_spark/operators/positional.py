@@ -50,6 +50,94 @@ def _lower(terms: Sequence[str]) -> list[str]:
     return [t.lower() for t in terms]
 
 
+# ---------------------------------------------------------------------------
+# Positional sidecar index: term-bucketed positional postings.
+#
+# The raw-tokens plans above must re-tokenize the corpus per query (the
+# term filter sits ABOVE the posexplode, so nothing pushes into the
+# parquet scan). The serving-time answer is the same move the BM25
+# index makes for tf postings: materialize (term, doc_id, positions)
+# once at build, partitioned by pbucket = pmod(xxhash64(term), B) and
+# term-sorted within files. A phrase/proximity query then reads ONLY
+# its terms' buckets (directory pruning) and within them only the
+# row-groups whose term-range covers a query term (parquet min/max
+# stats) — query cost is the query terms' postings, never the corpus.
+# Positions are an int32 array per (term, doc) row; the codec's
+# delta+varint block form is the denser production encoding and the
+# documented seam (operators/codec.py — same blocks, one extra stream).
+# ---------------------------------------------------------------------------
+POSITIONS_SUBDIR = "positions"
+
+
+def term_buckets(spark: SparkSession, terms: Sequence[str], n_buckets: int) -> list[int]:
+    """pbucket of each term — computed BY Spark (one tiny local job) so
+    the write-side xxhash64 and the query-side pruning can never
+    disagree (no Python reimplementation of the JVM hash)."""
+    rows = spark.createDataFrame(
+        [(t,) for t in _lower(terms)], "term string"
+    ).select(
+        F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int").alias("b")
+    )
+    return sorted({r["b"] for r in rows.collect()})
+
+
+def build_position_index(
+    tokens: DataFrame, path: str, n_buckets: int = 64
+) -> None:
+    """Write the positional sidecar under ``path``/positions.
+
+    One corpus-scale shuffle (the (term, doc_id) groupBy — the same
+    shape as the tf aggregation the main build already pays), then one
+    repartition to align output files with bucket dirs;
+    sortWithinPartitions(term, doc_id) gives parquet row-group min/max
+    stats on term, so intra-bucket reads skip row groups too.
+    """
+    import json
+    import os
+
+    rows = (
+        tokens.groupBy("term", "doc_id")
+        .agg(F.sort_array(F.collect_list("pos")).alias("positions"))
+        .withColumn(
+            "pbucket",
+            F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"),
+        )
+    )
+    (
+        rows.repartition("pbucket")
+        .sortWithinPartitions("term", "doc_id")
+        .write.partitionBy("pbucket")
+        .mode("overwrite")
+        .parquet(f"{path}/{POSITIONS_SUBDIR}")
+    )
+    meta = {"n_buckets": n_buckets, "version": 1}
+    with open(os.path.join(path, f"{POSITIONS_SUBDIR}.json"), "w") as f:
+        json.dump(meta, f)
+
+
+def load_position_postings(
+    spark: SparkSession, path: str, terms: Sequence[str]
+) -> DataFrame:
+    """Pruned positional postings of ``terms`` as (doc_id, pos, term) —
+    the exact shape the query operators above take, so every positional
+    operator runs off the index unchanged. The pbucket IN filter is
+    partition-directory pruning; the term IN filter pushes to parquet.
+    """
+    import json
+    import os
+
+    with open(os.path.join(path, f"{POSITIONS_SUBDIR}.json")) as f:
+        meta = json.load(f)
+    uniq = list(dict.fromkeys(_lower(terms)))
+    buckets = term_buckets(spark, uniq, meta["n_buckets"])
+    return (
+        spark.read.parquet(f"{path}/{POSITIONS_SUBDIR}")
+        .filter(F.col("pbucket").isin(buckets))
+        .filter(F.col("term").isin(uniq))
+        .select("doc_id", F.explode("positions").alias("pos"), "term")
+    )
+
+
 def phrase_occurrences(
     tokens: DataFrame,
     phrase: Sequence[str],
