@@ -338,6 +338,32 @@ def test_indexed_scan_prunes_buckets(spark, pos_index):
     assert "pbucket" in plan
 
 
+def test_facade_positional_methods(spark, docs):
+    from top2vec_spark.api import Top2VecSpark
+
+    eng = Top2VecSpark(spark, docs, ascii_fast_path=True, min_count=0)
+    ph = eng.search_documents_by_phrase(
+        ["fast", "table"], 5, return_documents=False
+    ).collect()
+    assert [r["doc_id"] for r in ph]
+    assert all(r["tf"] >= 1 for r in ph)
+    con = eng.search_documents_by_keywords_all(
+        ["fast", "table", "scan"], 5, return_documents=False
+    ).collect()
+    assert {r["doc_id"] for r in con} == {0, 1}
+    prox = eng.search_documents_by_proximity(
+        ["fast", "scan"], 3, return_documents=False
+    ).collect()
+    spans = {r["doc_id"]: r["span"] for r in prox}
+    want = _py_min_span(["fast", "scan"])
+    assert all(want[d] == s for d, s in spans.items())
+    snip = eng.get_search_snippets(["fast", "table"], width=4).collect()
+    assert {r["doc_id"]: (r["start"], r["hits"], r["snippet"]) for r in snip} \
+        == _py_best_snippet({"fast", "table"}, 4)
+    with pytest.raises(ValueError):
+        eng.search_documents_by_phrase(["zzznotaword"], 5)
+
+
 def test_indexed_phrase_topk_scores_match_raw(spark, tokens, pos_index):
     """Full indexed phrase query (pruned postings -> occurrences ->
     BM25 pseudo-term) is row- and score-identical to the raw-tokens

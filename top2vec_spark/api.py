@@ -416,6 +416,87 @@ class Top2VecSpark:
         result = self._topk(terms, (), num_docs)
         return self._project(result, return_documents)
 
+    # -- positional fulltext (beyond the reference: exact phrase,
+    #    conjunctive AND, proximity, snippets — operators/positional.py)
+    def search_documents_by_phrase(
+        self, phrase: Sequence[str], num_docs: int, return_documents: bool = True
+    ) -> DataFrame:
+        """Exact consecutive-phrase BM25 top-k (the phrase scored as
+        ONE pseudo-term). Returns (doc_id, tf, score[, text...])."""
+        from top2vec_spark.operators.positional import phrase_topk
+
+        self._validate_list_arg(phrase, "phrase", "strings")
+        self._validate_num_docs(num_docs)
+        self._validate_keywords([t.lower() for t in phrase])
+        result = phrase_topk(
+            self.tokens,
+            self.doc_stats,
+            self.globals,
+            phrase,
+            num_docs,
+            vocab=self.vocab,
+        )
+        return self._project(result, return_documents)
+
+    def search_documents_by_keywords_all(
+        self,
+        keywords: Sequence[str],
+        num_docs: int,
+        return_documents: bool = True,
+    ) -> DataFrame:
+        """Conjunctive (AND) variant of search_documents_by_keywords:
+        only documents containing ALL keywords are ranked."""
+        from top2vec_spark.operators.positional import bool_and_topk
+
+        self._validate_list_arg(keywords, "keywords", "strings")
+        self._validate_num_docs(num_docs)
+        self._validate_keywords([k.lower() for k in keywords])
+        result = bool_and_topk(
+            self.spark,
+            self.tokens,
+            self.doc_stats,
+            self.globals,
+            self.vocab,
+            keywords,
+            num_docs,
+        )
+        return self._project(result, return_documents)
+
+    def search_documents_by_proximity(
+        self,
+        keywords: Sequence[str],
+        num_docs: int,
+        return_documents: bool = True,
+    ) -> DataFrame:
+        """Documents containing ALL keywords, ranked by how tightly
+        they co-occur (minimal cover span ASC, doc_id ASC)."""
+        from top2vec_spark.operators.positional import min_cover_span
+
+        self._validate_list_arg(keywords, "keywords", "strings")
+        self._validate_num_docs(num_docs)
+        self._validate_keywords([k.lower() for k in keywords])
+        result = (
+            min_cover_span(self.tokens, keywords)
+            .orderBy(F.col("span").asc(), F.col("doc_id").asc())
+            .limit(num_docs)
+        )
+        return self._project(
+            result,
+            return_documents,
+            order=[F.col("span").asc(), F.col("doc_id").asc()],
+        )
+
+    def get_search_snippets(
+        self, keywords: Sequence[str], width: int = 8
+    ) -> DataFrame:
+        """Best-window snippet per document matching >= 1 keyword:
+        (doc_id, start, hits, snippet) — the highlighting primitive."""
+        from top2vec_spark.operators.positional import best_snippet
+
+        self._validate_list_arg(keywords, "keywords", "strings")
+        self._validate_keywords([k.lower() for k in keywords])
+        return best_snippet(self.tokens, keywords, width=width)
+
     def search_documents_by_documents(
         self,
         doc_ids: Sequence[int],
@@ -2520,7 +2601,9 @@ class Top2VecSpark:
         return out
 
     # -- helpers ------------------------------------------------------------
-    def _project(self, result: DataFrame, return_documents: bool) -> DataFrame:
+    def _project(
+        self, result: DataFrame, return_documents: bool, order=None
+    ) -> DataFrame:
         """Join back url/text like the reference returns
         (documents?, doc_scores, doc_ids) — url plays the role of
         document_ids (SURVEY.md §1.2).
@@ -2532,6 +2615,8 @@ class Top2VecSpark:
         full-table read per query at 10^12 docs. Results larger than
         _PROJECT_COLLECT_CAP fall back to the streaming join (a
         driver-side IN literal of 10^5+ ids would stall planning)."""
+        if order is None:
+            order = [F.col("score").desc(), F.col("doc_id").asc()]
         cols = ["doc_id"]
         if "url" in self.docs.columns:
             cols.append("url")
@@ -2557,16 +2642,12 @@ class Top2VecSpark:
             # topic): a driver-side IN list would blow up — fall back
             # to the streaming join, which handles any k
             self._project_persisted.append(result)
-            return result.join(self.docs.select(*cols), "doc_id").orderBy(
-                F.col("score").desc(), F.col("doc_id").asc()
-            )
+            return result.join(self.docs.select(*cols), "doc_id").orderBy(*order)
         result.unpersist()
         local = self.spark.createDataFrame(rows, result.schema)
         ids = [int(r["doc_id"]) for r in rows]
         side = self.docs.select(*cols).filter(F.col("doc_id").isin(ids))
-        return local.join(side, "doc_id").orderBy(
-            F.col("score").desc(), F.col("doc_id").asc()
-        )
+        return local.join(side, "doc_id").orderBy(*order)
 
     _PROJECT_COLLECT_CAP = 10_000  # max hits fetched via a driver IN list
 
