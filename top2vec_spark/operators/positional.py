@@ -286,42 +286,24 @@ def bool_and_topk(
     ).limit(k)
 
 
-def min_cover_span(tokens: DataFrame, terms: Sequence[str]) -> DataFrame:
-    """(doc_id, span) — the minimal positional span (max pos - min pos)
-    of any window containing at least one occurrence of EVERY query
-    term; only documents containing all terms emit a row.
+def _sweep_min_spans(pos, tid, doc_ids, need):
+    """Vectorized-boundary batch form of the classic minimal-cover
+    two-pointer: rows are (doc_id, pos, tid) sorted by (doc_id, pos);
+    one O(m) pass per doc, doc boundaries found with np.unique.
+    Returns (docs_with_all_terms, spans)."""
+    import numpy as np
 
-    The classic two-pointer sweep over each doc's position-sorted
-    query-term hits — O(m) per doc where m is that doc's query-term
-    occurrence count. The hits are one term-pruned scan; the single
-    shuffle is the groupBy(doc_id) into the Arrow kernel. (The
-    SQL-expressible alternative — min over the cross product of one
-    occurrence per term — is the small-SF DuckDB oracle; its cost is
-    the product of per-term occurrence counts, which a stopword-ish
-    term on a long page makes explosive.)
-    """
-    import pandas as pd
-
-    uniq = list(dict.fromkeys(_lower(terms)))
-    if len(uniq) < 2:
-        raise ValueError("min_cover_span needs at least 2 distinct terms")
-    need = len(uniq)
-    mapping = F.create_map(
-        *[F.lit(x) for t, i in ((t, i) for i, t in enumerate(uniq)) for x in (t, i)]
-    )
-    hits = tokens.filter(F.col("term").isin(uniq)).select(
-        "doc_id", "pos", mapping[F.col("term")].cast("int").alias("tid")
-    )
-
-    def sweep(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("pos")
-        pos = pdf["pos"].to_numpy()
-        tid = pdf["tid"].to_numpy()
+    out_docs: list[int] = []
+    out_spans: list[int] = []
+    uniq_docs, starts = np.unique(doc_ids, return_index=True)
+    bounds = list(starts) + [len(doc_ids)]
+    for gi, d in enumerate(uniq_docs):
+        lo, hi = bounds[gi], bounds[gi + 1]
         counts = [0] * need
         have = 0
-        left = 0
+        left = lo
         best = None
-        for right in range(len(pos)):
+        for right in range(lo, hi):
             t = tid[right]
             counts[t] += 1
             if counts[t] == 1:
@@ -335,15 +317,86 @@ def min_cover_span(tokens: DataFrame, terms: Sequence[str]) -> DataFrame:
                 if counts[tl] == 0:
                     have -= 1
                 left += 1
-        if best is None:
-            return pd.DataFrame({"doc_id": [], "span": []})
-        return pd.DataFrame(
-            {"doc_id": [int(pdf["doc_id"].iloc[0])], "span": [best]}
-        )
+        if best is not None:
+            out_docs.append(int(d))
+            out_spans.append(best)
+    return out_docs, out_spans
 
-    return hits.groupBy("doc_id").applyInPandas(
-        sweep, "doc_id long, span int"
+
+def min_cover_span(
+    tokens: DataFrame,
+    terms: Sequence[str],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """(doc_id, span) — the minimal positional span (max pos - min pos)
+    of any window containing at least one occurrence of EVERY query
+    term; only documents containing all terms emit a row.
+
+    The classic two-pointer sweep over each doc's position-sorted
+    query-term hits — O(m) per doc where m is that doc's query-term
+    occurrence count. (The SQL-expressible alternative — min over the
+    cross product of one occurrence per term — is the small-SF DuckDB
+    oracle; its cost is the product of per-term occurrence counts,
+    which a stopword-ish term on a long page makes explosive.)
+
+    Physical shape, measured not guessed (BENCH/POSITIONAL_SCALING):
+    ONE explicit repartition(n, doc_id) + sortWithinPartitions feeding
+    a mapInPandas sweep — one Python call per Arrow BATCH with doc
+    groups carried across batch boundaries. The first cut used
+    groupBy(doc_id).applyInPandas, which (a) paid ~1-2 ms of pandas
+    per doc group and (b) let AQE coalesce the few-MB shuffle to ONE
+    partition, serializing the kernel at every core count. The
+    explicit numPartitions is exempt from AQE coalescing — size-based
+    coalescing underestimates Python-CPU-bound exchanges.
+    """
+    import pandas as pd
+
+    uniq = list(dict.fromkeys(_lower(terms)))
+    if len(uniq) < 2:
+        raise ValueError("min_cover_span needs at least 2 distinct terms")
+    need = len(uniq)
+    mapping = F.create_map(
+        *[F.lit(x) for t, i in ((t, i) for i, t in enumerate(uniq)) for x in (t, i)]
     )
+    hits = tokens.filter(F.col("term").isin(uniq)).select(
+        "doc_id", "pos", mapping[F.col("term")].cast("int").alias("tid")
+    )
+    spark = tokens.sparkSession
+    n_part = num_partitions or spark.sparkContext.defaultParallelism * 2
+    part = hits.repartition(n_part, "doc_id").sortWithinPartitions(
+        "doc_id", "pos"
+    )
+
+    def sweep_batches(batches):
+        carry: pd.DataFrame | None = None
+
+        def emit(pdf: pd.DataFrame) -> pd.DataFrame:
+            docs, spans = _sweep_min_spans(
+                pdf["pos"].to_numpy(),
+                pdf["tid"].to_numpy(),
+                pdf["doc_id"].to_numpy(),
+                need,
+            )
+            return pd.DataFrame({"doc_id": docs, "span": spans})
+
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            if not len(pdf):
+                carry = None
+                continue
+            # rows are (doc_id, pos)-sorted within the partition, so
+            # the last doc may continue in the next batch: hold it back
+            last = pdf["doc_id"].iloc[-1]
+            mask = pdf["doc_id"].to_numpy() == last
+            carry = pdf[mask]
+            body = pdf[~mask]
+            if len(body):
+                yield emit(body)
+        if carry is not None and len(carry):
+            yield emit(carry)
+
+    return part.mapInPandas(sweep_batches, "doc_id long, span int")
 
 
 def best_snippet(
