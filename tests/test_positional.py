@@ -137,6 +137,28 @@ def test_phrase_topk_scores(tokens):
     assert scores == sorted(scores, reverse=True)
 
 
+def test_phrase_topk_reuses_tf_exchange(spark, docs):
+    """The phrase df is consumed via crossJoin(broadcast(count)) over
+    the SAME tf aggregate — the final adaptive plan must show
+    ReusedExchange nodes for the occurrence-join subtree (one
+    computation of the expensive match set, no persist, no driver
+    count action). Pinned on UNCACHED tokens: a cached input hides
+    the reuse behind the InMemoryRelation (still a single
+    computation, via the cache instead) — and the CacheManager
+    substitutes the module fixture's cached tokens into ANY matching
+    subtree, so this test uses its own distinct corpus."""
+    fresh = spark.createDataFrame(
+        [(i, t + " padding") for i, t in CORPUS], "doc_id long, text string"
+    )
+    toks = tokenize_docs(fresh, ascii_fast_path=True)  # no .cache()
+    ds = build_doc_stats(toks)
+    g = compute_globals(ds)
+    res = phrase_topk(toks, ds, g, ["fast", "table"], k=10)
+    res.collect()
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan
+
+
 def test_phrase_topk_no_match_empty(tokens):
     ds = build_doc_stats(tokens)
     g = compute_globals(ds)

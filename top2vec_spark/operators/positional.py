@@ -201,20 +201,27 @@ def phrase_topk(
     """
     occ = phrase_occurrences(tokens, phrase, vocab)
     tf = occ.groupBy("doc_id").agg(F.count(F.lit(1)).alias("tf"))
-    # persist: the df-count action and the scoring job share the match
-    # set instead of re-running the join chain (query-scoped cache,
-    # freed by the ContextCleaner with the query's plan)
-    tf = tf.persist()
-    phrase_df = tf.count()
-    if phrase_df == 0:
-        empty = tf.select(
-            "doc_id", "tf", F.lit(0.0).alias("score")
-        ).limit(0)
-        tf.unpersist()
-        return empty
+    # The phrase's df is a value of the SAME tf aggregate, consumed via
+    # crossJoin(broadcast(count)): Spark reuses the tf aggregation's
+    # exchange across both branches (ReusedExchange — pinned by test),
+    # so the match set is computed ONCE with no persist (a persist here
+    # would outlive the query: the ADVICE._project leak pattern) and no
+    # driver-side count action. idf therefore uses F.log (JVM) rather
+    # than bm25.py's driver-side math.log; the phrase pseudo-term has
+    # no WAND twin demanding bit-parity, and the 1-ulp JVM/libm
+    # divergence is absorbed by the driver rows' round(4) contract.
+    dfp = tf.agg(F.count(F.lit(1)).alias("_df"))
+    n = F.lit(float(globs.n_docs))
     scored = (
-        tf.join(doc_stats, "doc_id")
-        .withColumn("idf", F.lit(idf(globs.n_docs, phrase_df)))
+        tf.crossJoin(F.broadcast(dfp))
+        .join(doc_stats, "doc_id")
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (n - F.col("_df") + F.lit(0.5)) / (F.col("_df") + F.lit(0.5))
+            ),
+        )
         .withColumn("avgdl", F.lit(globs.avgdl))
         .withColumn("sign", F.lit(1.0))
         .select(
@@ -410,19 +417,39 @@ def best_snippet(
 
     The optimal window must start AT a hit (shifting a window right to
     its first hit never loses a hit), so candidate starts are exactly
-    the hit positions: hits self-joined per doc on
-    ``pos BETWEEN start AND start+width-1``, counted, ranked, the
-    winner joined back to the full tokens table to slice the window.
-    Snippet text is the TOKEN stream (post-tokenizer), the documented
-    delta vs raw-text highlighting.
+    the hit positions. The start-hit pairing is a WINDOW-BUCKET
+    equi-join, not a bare per-doc theta join: a hit at ``pos`` can
+    only serve starts in [pos-width+1, pos], whose floor(start/width)
+    is one of {floor(pos/width)-1, floor(pos/width)} — so each hit is
+    exploded to those two bucket keys and joined on
+    (doc_id, bucket) before the exact range filter. Candidate pairs
+    are O(hits x width) instead of the bare join's O(hits^2) per doc
+    — a stopword-ish term on a 10^5-token page makes the difference
+    between 2·10^5·w pairs and 10^10. Snippet text is the TOKEN
+    stream (post-tokenizer), the documented delta vs raw-text
+    highlighting.
     """
     if width < 1:
         raise ValueError("width must be >= 1")
     uniq = list(dict.fromkeys(_lower(terms)))
     hits = tokens.filter(F.col("term").isin(uniq)).select("doc_id", "pos")
-    starts = hits.select("doc_id", F.col("pos").alias("start"))
+    starts = hits.select(
+        "doc_id",
+        F.col("pos").alias("start"),
+        F.floor(F.col("pos") / width).alias("_b"),
+    )
+    exploded = hits.select(
+        "doc_id",
+        "pos",
+        F.explode(
+            F.array(
+                F.floor(F.col("pos") / width),
+                F.floor(F.col("pos") / width) - 1,
+            )
+        ).alias("_b"),
+    )
     counted = (
-        starts.join(hits, "doc_id")
+        starts.join(exploded, ["doc_id", "_b"])
         .filter(
             (F.col("pos") >= F.col("start"))
             & (F.col("pos") < F.col("start") + width)
