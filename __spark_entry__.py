@@ -2756,6 +2756,26 @@ def _q_phrase_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_query_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-language row: '"fast table" spark -slow' — one phrase
+    pseudo-term plus a positive and a negative bag-of-words term,
+    summed per doc; pins the parser + mixed executor end-to-end."""
+    from top2vec_spark.functions.querylang import parse_query
+    from top2vec_spark.operators.positional import mixed_query_topk
+
+    tokens = _tokens(spark, sf_dir).cache()
+    ds = build_doc_stats(tokens)
+    g = compute_globals(ds)
+    vocab = build_vocab(tokens)
+    atoms = parse_query('"fast table" spark -slow')
+    res = mixed_query_topk(spark, tokens, ds, g, vocab, atoms, k=1_000_000)
+    return (
+        res.select("doc_id", F.round("score", 4).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+
+
 def _q_snippet_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Best width-8 snippet window for {spark, query} per matching doc
     — the snippet STRING pins tokenizer, window arithmetic, and the
@@ -2878,6 +2898,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bool_and_top10": _q_bool_and,
         "prox_min_span": _q_prox_min_span,
         "snippet_best": _q_snippet_best,
+        "query_lang_top10": _q_query_lang,
     }
 
 
@@ -4982,5 +5003,50 @@ SELECT t.doc_id, cast(b.start AS int) AS start, b.hits,
 FROM tokens_pos t JOIN best b
   ON t.doc_id = b.doc_id AND t.pos >= b.start AND t.pos < b.start + 8
 GROUP BY t.doc_id, b.start, b.hits
+""",
+        "query_lang_top10": f"""
+WITH {_PTOKENS_CTE},
+doc_stats AS (SELECT doc_id, count(*) AS dl FROM tokens_pos GROUP BY doc_id),
+globals AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM doc_stats),
+occ AS (
+  SELECT a.doc_id, a.pos AS start
+  FROM tokens_pos a JOIN tokens_pos b
+    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  WHERE a.term = 'fast' AND b.term = 'table'
+),
+tfp AS (SELECT doc_id, count(*) AS tf FROM occ GROUP BY doc_id),
+dfp AS (SELECT count(*) AS df FROM tfp),
+phrase_contrib AS (
+  SELECT t.doc_id,
+         ln(1.0 + (g.n_docs - d.df + 0.5) / (d.df + 0.5))
+           * (t.tf * ({BM25_K1} + 1.0))
+           / (t.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * s.dl / g.avgdl))
+           AS contrib
+  FROM tfp t JOIN doc_stats s USING (doc_id)
+  CROSS JOIN globals g CROSS JOIN dfp d
+),
+vocab AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tokens_pos GROUP BY term
+),
+q(term, sign) AS (VALUES ('spark', 1.0), ('slow', -1.0)),
+tft AS (
+  SELECT doc_id, term, count(*) AS tf FROM tokens_pos
+  WHERE term IN (SELECT term FROM q) GROUP BY doc_id, term
+),
+term_contrib AS (
+  SELECT tft.doc_id,
+         q.sign * ln(1.0 + (globals.n_docs - vocab.df + 0.5) / (vocab.df + 0.5))
+           * (tft.tf * ({BM25_K1} + 1.0))
+           / (tft.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * doc_stats.dl / globals.avgdl))
+           AS contrib
+  FROM tft JOIN q USING (term) JOIN vocab USING (term)
+  JOIN doc_stats USING (doc_id) CROSS JOIN globals
+),
+allc AS (
+  SELECT * FROM phrase_contrib UNION ALL SELECT * FROM term_contrib
+),
+scored AS (SELECT doc_id, sum(contrib) AS score FROM allc GROUP BY doc_id)
+SELECT doc_id, round(score, 4) AS score
+FROM scored ORDER BY round(score, 4) DESC, doc_id ASC LIMIT 10
 """,
     }

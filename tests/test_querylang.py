@@ -1,0 +1,170 @@
+"""Query-language parser + mixed executor vs independent oracles."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from top2vec_spark.config import BM25Config
+from top2vec_spark.functions.querylang import parse_query
+from top2vec_spark.operators.bm25 import bm25_topk_bruteforce, idf, term_weights
+from top2vec_spark.operators.corpus_stats import (
+    build_doc_stats,
+    build_vocab,
+    compute_globals,
+)
+from top2vec_spark.operators.positional import mixed_query_topk, phrase_topk
+from top2vec_spark.operators.tokens import tokenize_docs
+
+from tests.test_positional import CORPUS, _py_phrase_occ, _pytoks
+
+
+# ---------------------------------------------------------------------------
+# Parser
+# ---------------------------------------------------------------------------
+def test_parse_terms_and_signs():
+    assert parse_query("Spark -slow") == [
+        (1.0, ("spark",)),
+        (-1.0, ("slow",)),
+    ]
+
+
+def test_parse_phrases():
+    assert parse_query('"Fast Table" scan -"slow scan"') == [
+        (1.0, ("fast", "table")),
+        (1.0, ("scan",)),
+        (-1.0, ("slow", "scan")),
+    ]
+
+
+def test_parse_duplicates_kept():
+    assert parse_query("a a") == [(1.0, ("a",)), (1.0, ("a",))]
+
+
+@pytest.mark.parametrize(
+    "bad",
+    ["", "   ", '"unclosed', '""', "- x", "-", 42],
+)
+def test_parse_errors(bad):
+    with pytest.raises(ValueError):
+        parse_query(bad)
+
+
+# ---------------------------------------------------------------------------
+# Executor
+# ---------------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def env(spark):
+    docs = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    tokens = tokenize_docs(docs, ascii_fast_path=True).cache()
+    vocab = build_vocab(tokens, min_count=0)
+    ds = build_doc_stats(tokens)
+    g = compute_globals(ds)
+    return tokens, vocab, ds, g
+
+
+def test_terms_only_equals_brute_bm25(spark, env):
+    tokens, vocab, ds, g = env
+    atoms = parse_query("fast -slow")
+    got = mixed_query_topk(spark, tokens, ds, g, vocab, atoms, 10).collect()
+    w = term_weights(spark, vocab, ["fast"], ["slow"])
+    want = bm25_topk_bruteforce(tokens, ds, g, w, 10).collect()
+    assert [(r["doc_id"], round(r["score"], 10)) for r in got] == [
+        (r["doc_id"], round(r["score"], 10)) for r in want
+    ]
+
+
+def test_phrase_only_equals_phrase_topk(spark, env):
+    tokens, vocab, ds, g = env
+    atoms = parse_query('"fast table"')
+    got = {
+        r["doc_id"]: r["score"]
+        for r in mixed_query_topk(spark, tokens, ds, g, vocab, atoms, 10).collect()
+    }
+    want = {
+        r["doc_id"]: r["score"]
+        for r in phrase_topk(tokens, ds, g, ["fast", "table"], 10).collect()
+    }
+    assert set(got) == set(want)
+    for d in want:
+        assert math.isclose(got[d], want[d], rel_tol=1e-12)
+
+
+def test_mixed_query_matches_python(spark, env):
+    tokens, vocab, ds, g = env
+    atoms = parse_query('"fast table" spark -slow')
+    rows = mixed_query_topk(spark, tokens, ds, g, vocab, atoms, 10).collect()
+    # python oracle
+    cfg = BM25Config()
+    dls = {d: len(_pytoks(t)) for d, t in CORPUS}
+    dls = {d: v for d, v in dls.items() if v > 0}
+    avgdl = sum(dls.values()) / len(dls)
+
+    def bm25(tf, df_, dl):
+        return (
+            idf(g.n_docs, df_)
+            * (tf * (cfg.k1 + 1))
+            / (tf + cfg.k1 * (1 - cfg.b + cfg.b * dl / avgdl))
+        )
+
+    exp: dict[int, float] = {}
+    occ = _py_phrase_occ(["fast", "table"])
+    by_doc: dict[int, int] = {}
+    for d, _ in occ:
+        by_doc[d] = by_doc.get(d, 0) + 1
+    for d, tf in by_doc.items():
+        exp[d] = exp.get(d, 0.0) + bm25(tf, len(by_doc), dls[d])
+    for term, sign in (("spark", 1.0), ("slow", -1.0)):
+        dfq = sum(1 for _, t in CORPUS if term in _pytoks(t))
+        for d, t in CORPUS:
+            tf = _pytoks(t).count(term)
+            if tf:
+                exp[d] = exp.get(d, 0.0) + sign * bm25(tf, dfq, dls[d])
+    got = {r["doc_id"]: r["score"] for r in rows}
+    assert set(got) == set(exp)
+    for d in exp:
+        assert math.isclose(got[d], exp[d], rel_tol=1e-9), (d, got[d], exp[d])
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_repeated_atom_boosts(spark, env):
+    tokens, vocab, ds, g = env
+    one = {
+        r["doc_id"]: r["score"]
+        for r in mixed_query_topk(
+            spark, tokens, ds, g, vocab, parse_query("fast"), 10
+        ).collect()
+    }
+    two = {
+        r["doc_id"]: r["score"]
+        for r in mixed_query_topk(
+            spark, tokens, ds, g, vocab, parse_query("fast fast"), 10
+        ).collect()
+    }
+    for d in one:
+        assert math.isclose(two[d], 2 * one[d], rel_tol=1e-12)
+
+
+def test_unknown_word_raises(spark, env):
+    tokens, vocab, ds, g = env
+    with pytest.raises(ValueError, match="not in vocabulary"):
+        mixed_query_topk(
+            spark, tokens, ds, g, vocab, parse_query('"fast zebra"'), 10
+        )
+
+
+def test_facade_search(spark):
+    from top2vec_spark.api import Top2VecSpark
+
+    docs = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    eng = Top2VecSpark(spark, docs, ascii_fast_path=True, min_count=0)
+    rows = eng.search('"fast table" spark -slow', 5, return_documents=False)
+    got = rows.collect()
+    assert got and got[0]["score"] >= got[-1]["score"]
+    with pytest.raises(ValueError):
+        eng.search("", 5)
+    with pytest.raises(ValueError):
+        eng.search('"fast zebra"', 5)

@@ -418,6 +418,31 @@ class Top2VecSpark:
 
     # -- positional fulltext (beyond the reference: exact phrase,
     #    conjunctive AND, proximity, snippets — operators/positional.py)
+    def search(
+        self, query: str, num_docs: int, return_documents: bool = True
+    ) -> DataFrame:
+        """Query-language search (functions/querylang.py): bare terms,
+        ``-`` negation, ``"quoted phrases"`` — every atom contributes
+        sign * BM25, phrases scored as exact-occurrence pseudo-terms.
+        'spark "fast table" -slow' == keywords [spark] + phrase
+        ["fast","table"] + keywords_neg [slow]."""
+        from top2vec_spark.functions.querylang import parse_query
+        from top2vec_spark.operators.positional import mixed_query_topk
+
+        atoms = parse_query(query)
+        self._validate_num_docs(num_docs)
+        self._validate_keywords([w for _, t in atoms for w in t])
+        result = mixed_query_topk(
+            self.spark,
+            self.tokens,
+            self.doc_stats,
+            self.globals,
+            self.vocab,
+            atoms,
+            num_docs,
+        )
+        return self._project(result, return_documents)
+
     def search_documents_by_phrase(
         self, phrase: Sequence[str], num_docs: int, return_documents: bool = True
     ) -> DataFrame:

@@ -40,7 +40,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from top2vec_spark.config import BM25Config
-from top2vec_spark.operators.bm25 import bm25_score_col, idf, term_weights
+from top2vec_spark.operators.bm25 import (
+    bm25_score_col,
+    idf,
+    resolve_query_terms,
+    term_weights,
+)
 from top2vec_spark.operators.corpus_stats import CorpusGlobals
 
 
@@ -328,6 +333,102 @@ def _sweep_min_spans(pos, tid, doc_ids, need):
             out_docs.append(int(d))
             out_spans.append(best)
     return out_docs, out_spans
+
+
+def mixed_query_topk(
+    spark: SparkSession,
+    tokens: DataFrame,
+    doc_stats: DataFrame,
+    globs: CorpusGlobals,
+    vocab: DataFrame,
+    atoms: Sequence[tuple[float, tuple[str, ...]]],
+    k: int,
+    cfg: BM25Config = BM25Config(),
+) -> DataFrame:
+    """Execute parsed query-language atoms (functions/querylang.py):
+    every atom contributes sign * BM25 — bag-of-words terms through
+    the brute-scorer shape, phrases as exact-occurrence pseudo-terms
+    (phrase df via the same ReusedExchange crossJoin as phrase_topk).
+
+    One contribution frame per phrase plus ONE shared frame for all
+    single terms, unioned and summed per doc with the engine's
+    deterministic accumulation contract (atom-index-sorted
+    left-to-right float64 sum). Returns (doc_id, score), score DESC /
+    doc_id ASC, k rows.
+    """
+    atoms = list(atoms)
+    if not atoms:
+        raise ValueError("query contains no terms")
+    term_atoms = [(i, s, t[0]) for i, (s, t) in enumerate(atoms) if len(t) == 1]
+    phrase_atoms = [(i, s, t) for i, (s, t) in enumerate(atoms) if len(t) > 1]
+    # vocabulary validation over EVERY word (phrase words included) —
+    # message parity with keyword validation
+    all_words = [w for _, t in atoms for w in t]
+    resolved = {
+        t: (tid, df)
+        for t, tid, df, _ in resolve_query_terms(vocab, all_words)
+    }
+    frames = []
+    if term_atoms:
+        wq = spark.createDataFrame(
+            [
+                (t, i, s, idf(globs.n_docs, resolved[t][1]))
+                for i, s, t in term_atoms
+            ],
+            "term string, atom_id int, sign double, idf double",
+        )
+        tf = (
+            tokens.filter(F.col("term").isin([t for _, _, t in term_atoms]))
+            .groupBy("doc_id", "term")
+            .agg(F.count(F.lit(1)).alias("tf"))
+        )
+        frames.append(
+            tf.join(F.broadcast(wq), "term")
+            .join(doc_stats, "doc_id")
+            .withColumn("avgdl", F.lit(globs.avgdl))
+            .select(
+                "doc_id",
+                "atom_id",
+                bm25_score_col(cfg, globs.n_docs).alias("contrib"),
+            )
+        )
+    n = F.lit(float(globs.n_docs))
+    for i, s, terms in phrase_atoms:
+        occ = phrase_occurrences(tokens, list(terms), vocab)
+        tfp = occ.groupBy("doc_id").agg(F.count(F.lit(1)).alias("tf"))
+        dfp = tfp.agg(F.count(F.lit(1)).alias("_df"))
+        frames.append(
+            tfp.crossJoin(F.broadcast(dfp))
+            .join(doc_stats, "doc_id")
+            .withColumn(
+                "idf",
+                F.log(
+                    F.lit(1.0)
+                    + (n - F.col("_df") + F.lit(0.5))
+                    / (F.col("_df") + F.lit(0.5))
+                ),
+            )
+            .withColumn("avgdl", F.lit(globs.avgdl))
+            .withColumn("sign", F.lit(float(s)))
+            .select(
+                "doc_id",
+                F.lit(i).alias("atom_id"),
+                bm25_score_col(cfg, globs.n_docs).alias("contrib"),
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    scored = out.groupBy("doc_id").agg(
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("atom_id", "contrib"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["contrib"],
+        ).alias("score")
+    )
+    return scored.orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    ).limit(k)
 
 
 def min_cover_span(
