@@ -386,6 +386,55 @@ def test_facade_positional_methods(spark, docs):
         eng.search_documents_by_phrase(["zzznotaword"], 5)
 
 
+def test_facade_sidecar_lifecycle(spark, tmp_path):
+    """store_positions=True: phrase search reads the sidecar while it
+    is fresh, falls back to raw tokens after an epoch append (stale
+    next_doc_id), and honors tombstones after a delete."""
+    from top2vec_spark.api import Top2VecSpark
+
+    docs = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    eng = Top2VecSpark(spark, docs, ascii_fast_path=True, min_count=0)
+    raw = [
+        (r["doc_id"], r["tf"], round(r["score"], 9))
+        for r in eng.search_documents_by_phrase(
+            ["fast", "table"], 5, return_documents=False
+        ).collect()
+    ]
+    eng.build_index(str(tmp_path / "idx"), store_positions=True)
+    src = eng._positional_tokens(["fast", "table"])
+    assert any("positions" in f for f in src.inputFiles())
+    via_idx = [
+        (r["doc_id"], r["tf"], round(r["score"], 9))
+        for r in eng.search_documents_by_phrase(
+            ["fast", "table"], 5, return_documents=False
+        ).collect()
+    ]
+    assert via_idx == raw
+    # delete the top phrase doc: it must drop out, later ranks move up
+    top_doc = raw[0][0]
+    eng.delete_documents([top_doc])
+    after = [
+        r["doc_id"]
+        for r in eng.search_documents_by_phrase(
+            ["fast", "table"], 5, return_documents=False
+        ).collect()
+    ]
+    assert top_doc not in after
+    assert after == [d for d, _, _ in raw if d != top_doc][: len(after)]
+    # epoch append bumps next_doc_id -> the stale sidecar is bypassed
+    new = spark.createDataFrame(
+        [(100, "fast table fast table")], "doc_id long, text string"
+    )
+    eng2 = eng.add_documents(new)
+    src2 = eng2._positional_tokens(["fast", "table"])
+    assert not any("positions" in f for f in src2.inputFiles())
+    ph2 = eng2.search_documents_by_phrase(
+        ["fast", "table"], 5, return_documents=False
+    ).collect()
+    # the appended doc (remapped id) has tf=2 and must now appear
+    assert any(r["tf"] == 2 and r["doc_id"] >= 100 for r in ph2)
+
+
 def test_indexed_phrase_topk_scores_match_raw(spark, tokens, pos_index):
     """Full indexed phrase query (pruned postings -> occurrences ->
     BM25 pseudo-term) is row- and score-identical to the raw-tokens

@@ -156,12 +156,16 @@ class Top2VecSpark:
         path: str | None = None,
         resume: bool = True,
         input_fingerprint: str | None = None,
+        store_positions: bool = False,
         **builder_kwargs,
     ):
         """Build the compressed postings index (checkpoint-resumable).
         Returns the PostingsIndex; queries automatically use WAND once
         built. ``input_fingerprint`` ties resume markers to the input
-        data identity (plans/build.IndexBuilder)."""
+        data identity (plans/build.IndexBuilder). ``store_positions``
+        also writes the positional sidecar (operators/positional.py),
+        after which phrase/proximity/query-language searches read
+        directory-pruned postings instead of re-tokenizing."""
         from top2vec_spark.plans.build import IndexBuilder
 
         builder = IndexBuilder(
@@ -176,7 +180,63 @@ class Top2VecSpark:
         )
         if hasattr(self, "_vocab_map"):
             del self._vocab_map  # re-derive from the built index vocab
+        if store_positions:
+            self.build_position_sidecar()
         return self._index
+
+    def build_position_sidecar(self, n_buckets: int = 64) -> None:
+        """Write the positional sidecar under the built index's path.
+        The stored next_doc_id makes freshness checkable: an epoch
+        append bumps the live index's next_doc_id, and a stale sidecar
+        (missing the appended docs) is then bypassed in favor of the
+        raw-tokens plans."""
+        from top2vec_spark.operators.positional import build_position_index
+
+        if getattr(self, "_index", None) is None:
+            raise ValueError("no index — build_index first")
+        build_position_index(
+            self.tokens,
+            self._index.path,
+            n_buckets=n_buckets,
+            meta_extra={"next_doc_id": int(self._index.next_doc_id())},
+        )
+
+    def _positional_tokens(self, words) -> DataFrame:
+        """(doc_id, pos, term) source for the positional operators:
+        the directory-pruned sidecar when one exists AND is fresh
+        (next_doc_id matches the live index), else the raw tokens
+        table. Both shapes are drop-in for every positional operator
+        (each filters to its query words anyway)."""
+        from top2vec_spark.operators.positional import (
+            load_position_postings,
+            position_index_meta,
+        )
+
+        idx = getattr(self, "_index", None)
+        if idx is not None:
+            meta = position_index_meta(idx.path)
+            if meta is not None and meta.get("next_doc_id") == int(
+                idx.next_doc_id()
+            ):
+                return load_position_postings(self.spark, idx.path, words)
+        return self.tokens
+
+    def _exclude_tombstones(self, result: DataFrame, k: int, order) -> DataFrame:
+        """Post-delete consistency for positional queries (which have
+        no WAND path): the over-fetch + exclude + re-limit contract —
+        ranks/scores keep the stale corpus stats exactly like the
+        tombstoned WAND path, deleted docs just drop out of the
+        result."""
+        tombs = (
+            self._index.tombstones
+            if getattr(self, "_index", None) is not None
+            else frozenset()
+        )
+        if not tombs:
+            return result.limit(k) if k is not None else result
+        out = result.filter(~F.col("doc_id").isin([int(d) for d in tombs]))
+        out = out.orderBy(*order)
+        return out.limit(k) if k is not None else out
 
     def compact_index(self):
         """Maintenance hook: fold every streamed/appended epoch and
@@ -431,15 +491,20 @@ class Top2VecSpark:
 
         atoms = parse_query(query)
         self._validate_num_docs(num_docs)
-        self._validate_keywords([w for _, t in atoms for w in t])
+        words = [w for _, t in atoms for w in t]
+        self._validate_keywords(words)
+        tombs = self._index.tombstones if getattr(self, "_index", None) else ()
         result = mixed_query_topk(
             self.spark,
-            self.tokens,
+            self._positional_tokens(words),
             self.doc_stats,
             self.globals,
             self.vocab,
             atoms,
-            num_docs,
+            num_docs + len(tombs),
+        )
+        result = self._exclude_tombstones(
+            result, num_docs, [F.col("score").desc(), F.col("doc_id").asc()]
         )
         return self._project(result, return_documents)
 
@@ -453,13 +518,17 @@ class Top2VecSpark:
         self._validate_list_arg(phrase, "phrase", "strings")
         self._validate_num_docs(num_docs)
         self._validate_keywords([t.lower() for t in phrase])
+        tombs = self._index.tombstones if getattr(self, "_index", None) else ()
         result = phrase_topk(
-            self.tokens,
+            self._positional_tokens(phrase),
             self.doc_stats,
             self.globals,
             phrase,
-            num_docs,
+            num_docs + len(tombs),
             vocab=self.vocab,
+        )
+        result = self._exclude_tombstones(
+            result, num_docs, [F.col("score").desc(), F.col("doc_id").asc()]
         )
         return self._project(result, return_documents)
 
@@ -476,14 +545,18 @@ class Top2VecSpark:
         self._validate_list_arg(keywords, "keywords", "strings")
         self._validate_num_docs(num_docs)
         self._validate_keywords([k.lower() for k in keywords])
+        tombs = self._index.tombstones if getattr(self, "_index", None) else ()
         result = bool_and_topk(
             self.spark,
-            self.tokens,
+            self._positional_tokens(keywords),
             self.doc_stats,
             self.globals,
             self.vocab,
             keywords,
-            num_docs,
+            num_docs + len(tombs),
+        )
+        result = self._exclude_tombstones(
+            result, num_docs, [F.col("score").desc(), F.col("doc_id").asc()]
         )
         return self._project(result, return_documents)
 
@@ -500,16 +573,14 @@ class Top2VecSpark:
         self._validate_list_arg(keywords, "keywords", "strings")
         self._validate_num_docs(num_docs)
         self._validate_keywords([k.lower() for k in keywords])
-        result = (
-            min_cover_span(self.tokens, keywords)
-            .orderBy(F.col("span").asc(), F.col("doc_id").asc())
-            .limit(num_docs)
+        order = [F.col("span").asc(), F.col("doc_id").asc()]
+        result = self._exclude_tombstones(
+            min_cover_span(self._positional_tokens(keywords), keywords)
+            .orderBy(*order),
+            num_docs,
+            order,
         )
-        return self._project(
-            result,
-            return_documents,
-            order=[F.col("span").asc(), F.col("doc_id").asc()],
-        )
+        return self._project(result, return_documents, order=order)
 
     def get_search_snippets(
         self, keywords: Sequence[str], width: int = 8
@@ -520,7 +591,14 @@ class Top2VecSpark:
 
         self._validate_list_arg(keywords, "keywords", "strings")
         self._validate_keywords([k.lower() for k in keywords])
-        return best_snippet(self.tokens, keywords, width=width)
+        # snippets slice the FULL token stream (non-query words in the
+        # window), so the source stays the raw tokens table; only the
+        # tombstone exclusion applies
+        return self._exclude_tombstones(
+            best_snippet(self.tokens, keywords, width=width),
+            None,
+            [F.col("doc_id").asc()],
+        )
 
     def search_documents_by_documents(
         self,

@@ -87,7 +87,10 @@ def term_buckets(spark: SparkSession, terms: Sequence[str], n_buckets: int) -> l
 
 
 def build_position_index(
-    tokens: DataFrame, path: str, n_buckets: int = 64
+    tokens: DataFrame,
+    path: str,
+    n_buckets: int = 64,
+    meta_extra: dict | None = None,
 ) -> None:
     """Write the positional sidecar under ``path``/positions.
 
@@ -115,9 +118,24 @@ def build_position_index(
         .mode("overwrite")
         .parquet(f"{path}/{POSITIONS_SUBDIR}")
     )
-    meta = {"n_buckets": n_buckets, "version": 1}
+    meta = {"n_buckets": n_buckets, "version": 1, **(meta_extra or {})}
     with open(os.path.join(path, f"{POSITIONS_SUBDIR}.json"), "w") as f:
         json.dump(meta, f)
+
+
+def position_index_meta(path: str) -> dict | None:
+    """The sidecar's meta dict, or None when no sidecar exists at
+    ``path`` — the facade's freshness check (the stored next_doc_id
+    must equal the live index's: an epoch append bumps it, which means
+    the sidecar is missing the new docs and must not serve)."""
+    import json
+    import os
+
+    mpath = os.path.join(path, f"{POSITIONS_SUBDIR}.json")
+    if not os.path.exists(mpath):
+        return None
+    with open(mpath) as f:
+        return json.load(f)
 
 
 def load_position_postings(
