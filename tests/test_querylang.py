@@ -156,6 +156,65 @@ def test_unknown_word_raises(spark, env):
         )
 
 
+def test_parse_prefix():
+    assert parse_query("St* -slow") == [(1.0, ("st*",)), (-1.0, ("slow",))]
+
+
+@pytest.mark.parametrize("bad", ["*", "-*", "a*b", '"fast ta*"', "*abc"])
+def test_parse_prefix_errors(bad):
+    with pytest.raises(ValueError):
+        parse_query(bad)
+
+
+def test_prefix_expansion_matches_manual_or(spark, env):
+    """'s*' must score exactly like spelling out every vocab term that
+    starts with s as individual atoms."""
+    tokens, vocab, ds, g = env
+    expansions = sorted(
+        r["term"]
+        for r in vocab.filter(F.col("term").startswith("s")).collect()
+    )
+    assert len(expansions) >= 3  # scan, slow, sorted, spark...
+    via_prefix = {
+        r["doc_id"]: r["score"]
+        for r in mixed_query_topk(
+            spark, tokens, ds, g, vocab, parse_query("s*"), 20
+        ).collect()
+    }
+    spelled = " ".join(expansions)
+    via_terms = {
+        r["doc_id"]: r["score"]
+        for r in mixed_query_topk(
+            spark, tokens, ds, g, vocab, parse_query(spelled), 20
+        ).collect()
+    }
+    assert set(via_prefix) == set(via_terms)
+    for d in via_terms:
+        assert math.isclose(via_prefix[d], via_terms[d], rel_tol=1e-12)
+
+
+def test_prefix_no_match_and_cap(spark, env):
+    tokens, vocab, ds, g = env
+    with pytest.raises(ValueError, match="no vocabulary terms match"):
+        mixed_query_topk(
+            spark, tokens, ds, g, vocab, parse_query("zzz*"), 5
+        )
+    with pytest.raises(ValueError, match="more than"):
+        mixed_query_topk(
+            spark, tokens, ds, g, vocab, parse_query("s*"), 5,
+            max_expansions=1,
+        )
+
+
+def test_facade_search_prefix(spark):
+    from top2vec_spark.api import Top2VecSpark
+
+    docs = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    eng = Top2VecSpark(spark, docs, ascii_fast_path=True, min_count=0)
+    rows = eng.search("fa* -slow", 5, return_documents=False).collect()
+    assert rows and all("score" in r.asDict() for r in rows)
+
+
 def test_facade_search(spark):
     from top2vec_spark.api import Top2VecSpark
 

@@ -491,12 +491,21 @@ class Top2VecSpark:
 
         atoms = parse_query(query)
         self._validate_num_docs(num_docs)
-        words = [w for _, t in atoms for w in t]
-        self._validate_keywords(words)
+        # prefix atoms (trailing *) validate at expansion time instead
+        words = [w for _, t in atoms for w in t if not w.endswith("*")]
+        if words:
+            self._validate_keywords(words)
         tombs = self._index.tombstones if getattr(self, "_index", None) else ()
+        # prefix atoms can't prune the HASH-bucketed sidecar (xxhash64
+        # buckets can't prefix-match; a term-RANGE layout could) — any
+        # prefix in the query routes to the raw tokens table
+        has_prefix = any(
+            len(t) == 1 and t[0].endswith("*") for _, t in atoms
+        )
+        src = self.tokens if has_prefix else self._positional_tokens(words)
         result = mixed_query_topk(
             self.spark,
-            self._positional_tokens(words),
+            src,
             self.doc_stats,
             self.globals,
             self.vocab,

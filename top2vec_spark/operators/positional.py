@@ -362,11 +362,18 @@ def mixed_query_topk(
     atoms: Sequence[tuple[float, tuple[str, ...]]],
     k: int,
     cfg: BM25Config = BM25Config(),
+    max_expansions: int = 128,
 ) -> DataFrame:
     """Execute parsed query-language atoms (functions/querylang.py):
     every atom contributes sign * BM25 — bag-of-words terms through
     the brute-scorer shape, phrases as exact-occurrence pseudo-terms
-    (phrase df via the same ReusedExchange crossJoin as phrase_topk).
+    (phrase df via the same ReusedExchange crossJoin as phrase_topk),
+    and trailing-* prefix atoms as the OR-sum of BM25 over their
+    vocabulary expansions (Lucene PrefixQuery shape; expansion is one
+    tiny vocab-filtered collect at planning, capped at
+    ``max_expansions`` — over the cap raises rather than silently
+    rewriting to a different scorer, the documented delta vs Lucene's
+    constant-score rewrite).
 
     One contribution frame per phrase plus ONE shared frame for all
     single terms, unioned and summed per doc with the engine's
@@ -377,26 +384,65 @@ def mixed_query_topk(
     atoms = list(atoms)
     if not atoms:
         raise ValueError("query contains no terms")
-    term_atoms = [(i, s, t[0]) for i, (s, t) in enumerate(atoms) if len(t) == 1]
+    term_atoms = [
+        (i, s, t[0])
+        for i, (s, t) in enumerate(atoms)
+        if len(t) == 1 and not t[0].endswith("*")
+    ]
+    prefix_atoms = [
+        (i, s, t[0][:-1])
+        for i, (s, t) in enumerate(atoms)
+        if len(t) == 1 and t[0].endswith("*")
+    ]
     phrase_atoms = [(i, s, t) for i, (s, t) in enumerate(atoms) if len(t) > 1]
-    # vocabulary validation over EVERY word (phrase words included) —
-    # message parity with keyword validation
-    all_words = [w for _, t in atoms for w in t]
-    resolved = {
-        t: (tid, df)
-        for t, tid, df, _ in resolve_query_terms(vocab, all_words)
-    }
+    # vocabulary validation over every NON-prefix word (phrase words
+    # included) — message parity with keyword validation
+    all_words = [
+        w for _, t in atoms for w in t if not w.endswith("*")
+    ]
+    resolved = (
+        {
+            t: (tid, df)
+            for t, tid, df, _ in resolve_query_terms(vocab, all_words)
+        }
+        if all_words
+        else {}
+    )
+    weight_rows = [
+        (t, i, s, idf(globs.n_docs, resolved[t][1])) for i, s, t in term_atoms
+    ]
+    for i, s, prefix in prefix_atoms:
+        if not prefix:
+            raise ValueError("empty prefix in query")
+        exp = (
+            vocab.filter(F.col("term").startswith(prefix))
+            .select("term", "df")
+            .orderBy(F.col("df").desc(), F.col("term").asc())
+            .limit(max_expansions + 1)
+            .collect()
+        )
+        if not exp:
+            raise ValueError(
+                f"no vocabulary terms match prefix '{prefix}*'"
+            )
+        if len(exp) > max_expansions:
+            raise ValueError(
+                f"prefix '{prefix}*' matches more than "
+                f"{max_expansions} vocabulary terms"
+            )
+        weight_rows.extend(
+            (r["term"], i, s, idf(globs.n_docs, r["df"])) for r in exp
+        )
     frames = []
-    if term_atoms:
+    if weight_rows:
         wq = spark.createDataFrame(
-            [
-                (t, i, s, idf(globs.n_docs, resolved[t][1]))
-                for i, s, t in term_atoms
-            ],
+            weight_rows,
             "term string, atom_id int, sign double, idf double",
         )
         tf = (
-            tokens.filter(F.col("term").isin([t for _, _, t in term_atoms]))
+            tokens.filter(
+                F.col("term").isin(sorted({t for t, _, _, _ in weight_rows}))
+            )
             .groupBy("doc_id", "term")
             .agg(F.count(F.lit(1)).alias("tf"))
         )
