@@ -160,6 +160,86 @@ def test_parse_prefix():
     assert parse_query("St* -slow") == [(1.0, ("st*",)), (-1.0, ("slow",))]
 
 
+def test_parse_boosts():
+    assert parse_query('Spark^2 -slow^0.5 "Fast Table"^3 st*^1.5 a^.25') == [
+        (2.0, ("spark",)),
+        (-0.5, ("slow",)),
+        (3.0, ("fast", "table")),
+        (1.5, ("st*",)),
+        (0.25, ("a",)),
+    ]
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        "a^",          # empty boost
+        "a^x",         # non-numeric
+        "a^2^3",       # double caret
+        "a^-1",        # negative
+        "a^0",         # zero (silent atom delete -> explicit error)
+        "a^1e3",       # exponent form rejected (oracle-exact decimals only)
+        "a^inf",
+        "^2",          # dangling caret
+        '"a b"x',      # junk after closing quote
+        '"a b"^',      # empty phrase boost
+        "a^2*",        # star after boost
+    ],
+)
+def test_parse_boost_errors(bad):
+    with pytest.raises(ValueError):
+        parse_query(bad)
+
+
+def test_boost_scales_scores(spark, env):
+    """'fast^2' must score exactly like 'fast fast' (Lucene repeated-
+    term additivity) and 2x 'fast'; a boosted phrase scales the same
+    way; '-slow^0.5' is half a negation."""
+    tokens, vocab, ds, g = env
+
+    def scores(q):
+        return {
+            r["doc_id"]: r["score"]
+            for r in mixed_query_topk(
+                spark, tokens, ds, g, vocab, parse_query(q), 20
+            ).collect()
+        }
+
+    one, boosted, doubled = scores("fast"), scores("fast^2"), scores("fast fast")
+    assert set(one) == set(boosted) == set(doubled)
+    for d in one:
+        assert math.isclose(boosted[d], 2 * one[d], rel_tol=1e-12)
+        assert math.isclose(boosted[d], doubled[d], rel_tol=1e-12)
+
+    p1, p3 = scores('"fast table"'), scores('"fast table"^3')
+    assert set(p1) == set(p3)
+    for d in p1:
+        assert math.isclose(p3[d], 3 * p1[d], rel_tol=1e-12)
+
+    mixed = scores('fast^2 -slow^0.5')
+    neg = scores("slow")
+    for d in mixed:
+        want = 2 * one.get(d, 0.0) - 0.5 * neg.get(d, 0.0)
+        assert math.isclose(mixed[d], want, rel_tol=1e-9), (d, mixed[d], want)
+
+
+def test_boosted_prefix_scales(spark, env):
+    tokens, vocab, ds, g = env
+
+    def scores(q):
+        return {
+            r["doc_id"]: r["score"]
+            for r in mixed_query_topk(
+                spark, tokens, ds, g, vocab, parse_query(q), 20
+            ).collect()
+        }
+
+    plain, boosted = scores("s*"), scores("s*^2")
+    assert set(plain) == set(boosted)
+    for d in plain:
+        assert math.isclose(boosted[d], 2 * plain[d], rel_tol=1e-12)
+
+
 @pytest.mark.parametrize("bad", ["*", "-*", "a*b", '"fast ta*"', "*abc"])
 def test_parse_prefix_errors(bad):
     with pytest.raises(ValueError):

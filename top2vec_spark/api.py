@@ -482,10 +482,12 @@ class Top2VecSpark:
         self, query: str, num_docs: int, return_documents: bool = True
     ) -> DataFrame:
         """Query-language search (functions/querylang.py): bare terms,
-        ``-`` negation, ``"quoted phrases"`` — every atom contributes
-        sign * BM25, phrases scored as exact-occurrence pseudo-terms.
-        'spark "fast table" -slow' == keywords [spark] + phrase
-        ["fast","table"] + keywords_neg [slow]."""
+        ``-`` negation, ``"quoted phrases"``, trailing-``*`` prefixes,
+        and ``^boost`` weights — every atom contributes
+        sign * boost * BM25, phrases scored as exact-occurrence
+        pseudo-terms. 'spark "fast table"^2 -slow' == keywords [spark]
+        + double-weighted phrase ["fast","table"] + keywords_neg
+        [slow]."""
         from top2vec_spark.functions.querylang import parse_query
         from top2vec_spark.operators.positional import mixed_query_topk
 

@@ -1,41 +1,61 @@
-"""Minimal fulltext query language: bare terms, ``-`` negation, and
-``"quoted phrases"``.
+"""Minimal fulltext query language: bare terms, ``-`` negation,
+``"quoted phrases"``, trailing-``*`` prefixes, and ``^boost`` weights.
 
 The reference exposes keyword lists (top2vec.py:2855 keywords /
 keywords_neg); production fulltext engines expose a query string. This
 parser maps one onto the engine's scorers:
 
-    'spark "fast table" -slow st*'
+    'spark "fast table"^2 -slow st*^0.5'
       -> + BM25(spark)  (bag-of-words term, sign +1)
-         + BM25("fast table" as ONE pseudo-term)  (exact phrase)
+         + 2 * BM25("fast table" as ONE pseudo-term)  (boosted phrase)
          - BM25(slow)   (negated term, the keywords_neg contract)
-         + sum of BM25 over vocabulary terms starting with 'st'
+         + 0.5 * sum of BM25 over vocabulary terms starting with 'st'
            (trailing-* prefix expansion, Lucene PrefixQuery shape;
            expansion happens at execution against the vocab table)
 
 Semantics are additive Lucene-style: every atom contributes its BM25
-score with its sign; duplicate atoms contribute once each (a repeated
-term boosts, as in Lucene). No boolean operators — conjunction is the
-separate ``search_documents_by_keywords_all`` API (F3).
+score scaled by its sign (= ±1 × boost); duplicate atoms contribute
+once each (a repeated term boosts, as in Lucene). No boolean
+operators — conjunction is the separate
+``search_documents_by_keywords_all`` API (F3).
 
 An atom is ``(sign, terms)``: ``len(terms) == 1`` is a bag-of-words
 term (a trailing ``*`` marks it a prefix atom — the star is kept in
 the term and expanded by the executor), ``> 1`` an exact consecutive
-phrase; ``*`` is only legal at the end of a bare word. Parsing lowercases (the T4
-query-time contract) but does NOT tokenize — each whitespace-separated
-word inside a phrase must already be a vocabulary term, and the
-vocabulary check happens at execution (message parity with keyword
-validation).
+phrase; ``*`` is only legal at the end of a bare word. A trailing
+``^<number>`` (after the closing quote / the star) multiplies the
+atom's sign — Lucene boost syntax; the number must be a plain
+positive decimal (``2``, ``0.5``, ``2.5`` — no exponents/inf/nan, so
+the weight survives bit-identical through SQL oracles). Parsing
+lowercases (the T4 query-time contract) but does NOT tokenize — each
+whitespace-separated word inside a phrase must already be a
+vocabulary term, and the vocabulary check happens at execution
+(message parity with keyword validation).
 """
 
 from __future__ import annotations
+
+import re
+
+_BOOST_RE = re.compile(r"^(?:\d+(?:\.\d+)?|\.\d+)$")
+
+
+def _parse_boost(text: str) -> float:
+    """Validate and parse the number after '^'. Plain positive decimal
+    only; 0 is rejected (a silent atom delete is kinder as an error)."""
+    if not _BOOST_RE.match(text):
+        raise ValueError(f"invalid boost '^{text}' in query")
+    boost = float(text)
+    if boost <= 0.0:
+        raise ValueError("boost must be > 0")
+    return boost
 
 
 def parse_query(query: str) -> list[tuple[float, tuple[str, ...]]]:
     """Parse a query string into [(sign, terms)] atoms.
 
     Raises ValueError on: non-string, empty/atom-less query, unclosed
-    quote, empty phrase (""), or a bare '-'.
+    quote, empty phrase (""), a bare '-', or a malformed '^boost'.
     """
     if not isinstance(query, str):
         raise ValueError("Query needs to be a string.")
@@ -63,13 +83,27 @@ def parse_query(query: str) -> list[tuple[float, tuple[str, ...]]]:
                 raise ValueError("empty phrase in query")
             if any("*" in w for w in words):
                 raise ValueError("wildcards are not supported inside phrases")
-            atoms.append((sign, tuple(w.lower() for w in words)))
             i = end + 1
+            if i < n and query[i] == "^":
+                j = i + 1
+                while j < n and not query[j].isspace():
+                    j += 1
+                sign *= _parse_boost(query[i + 1 : j])
+                i = j
+            elif i < n and not query[i].isspace():
+                raise ValueError("unexpected text after closing quote")
+            atoms.append((sign, tuple(w.lower() for w in words)))
         else:
             j = i
             while j < n and not query[j].isspace():
                 j += 1
             word = query[i:j]
+            caret = word.find("^")
+            if caret >= 0:
+                if caret == 0:
+                    raise ValueError("dangling '^' in query")
+                sign *= _parse_boost(word[caret + 1 :])
+                word = word[:caret]
             star = word.find("*")
             if star >= 0 and (star != len(word) - 1 or len(word) == 1):
                 raise ValueError(
