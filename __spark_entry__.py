@@ -2797,6 +2797,27 @@ def _q_query_lang_boosted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_query_lang_must(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Required-clause row: '+"fast table" +spark -slow' — Lucene must
+    semantics: every atom scores as usual but only docs containing the
+    phrase AND the term survive; pins the collect_set(atom_id) gate in
+    the mixed executor against a DuckDB IN-subquery replay."""
+    from top2vec_spark.functions.querylang import parse_query
+    from top2vec_spark.operators.positional import mixed_query_topk
+
+    tokens = _tokens(spark, sf_dir).cache()
+    ds = build_doc_stats(tokens)
+    g = compute_globals(ds)
+    vocab = build_vocab(tokens)
+    atoms = parse_query('+"fast table" +spark -slow')
+    res = mixed_query_topk(spark, tokens, ds, g, vocab, atoms, k=1_000_000)
+    return (
+        res.select("doc_id", F.round("score", 4).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+
+
 def _q_snippet_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Best width-8 snippet window for {spark, query} per matching doc
     — the snippet STRING pins tokenizer, window arithmetic, and the
@@ -2921,6 +2942,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snippet_best": _q_snippet_best,
         "query_lang_top10": _q_query_lang,
         "query_lang_boosted": _q_query_lang_boosted,
+        "query_lang_must": _q_query_lang_must,
     }
 
 
@@ -5125,5 +5147,58 @@ allc AS (
 scored AS (SELECT doc_id, sum(contrib) AS score FROM allc GROUP BY doc_id)
 SELECT doc_id, round(score, 4) AS score
 FROM scored ORDER BY round(score, 4) DESC, doc_id ASC LIMIT 10
+""",
+        # '+"fast table" +spark -slow': Lucene must clauses — identical
+        # scoring to the free query, gated to docs that contain BOTH
+        # the phrase (>=1 exact occurrence) and the required term.
+        "query_lang_must": f"""
+WITH {_PTOKENS_CTE},
+doc_stats AS (SELECT doc_id, count(*) AS dl FROM tokens_pos GROUP BY doc_id),
+globals AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM doc_stats),
+occ AS (
+  SELECT a.doc_id, a.pos AS start
+  FROM tokens_pos a JOIN tokens_pos b
+    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  WHERE a.term = 'fast' AND b.term = 'table'
+),
+tfp AS (SELECT doc_id, count(*) AS tf FROM occ GROUP BY doc_id),
+dfp AS (SELECT count(*) AS df FROM tfp),
+phrase_contrib AS (
+  SELECT t.doc_id,
+         ln(1.0 + (g.n_docs - d.df + 0.5) / (d.df + 0.5))
+           * (t.tf * ({BM25_K1} + 1.0))
+           / (t.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * s.dl / g.avgdl))
+           AS contrib
+  FROM tfp t JOIN doc_stats s USING (doc_id)
+  CROSS JOIN globals g CROSS JOIN dfp d
+),
+vocab AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tokens_pos GROUP BY term
+),
+q(term, sign) AS (VALUES ('spark', 1.0), ('slow', -1.0)),
+tft AS (
+  SELECT doc_id, term, count(*) AS tf FROM tokens_pos
+  WHERE term IN (SELECT term FROM q) GROUP BY doc_id, term
+),
+term_contrib AS (
+  SELECT tft.doc_id,
+         q.sign * ln(1.0 + (globals.n_docs - vocab.df + 0.5) / (vocab.df + 0.5))
+           * (tft.tf * ({BM25_K1} + 1.0))
+           / (tft.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * doc_stats.dl / globals.avgdl))
+           AS contrib
+  FROM tft JOIN q USING (term) JOIN vocab USING (term)
+  JOIN doc_stats USING (doc_id) CROSS JOIN globals
+),
+allc AS (
+  SELECT * FROM phrase_contrib UNION ALL SELECT * FROM term_contrib
+),
+scored AS (
+  SELECT doc_id, sum(contrib) AS score FROM allc GROUP BY doc_id
+)
+SELECT doc_id, round(score, 4) AS score
+FROM scored
+WHERE doc_id IN (SELECT doc_id FROM tfp)
+  AND doc_id IN (SELECT doc_id FROM tft WHERE term = 'spark')
+ORDER BY round(score, 4) DESC, doc_id ASC LIMIT 10
 """,
     }

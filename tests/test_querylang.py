@@ -26,21 +26,21 @@ from tests.test_positional import CORPUS, _py_phrase_occ, _pytoks
 # ---------------------------------------------------------------------------
 def test_parse_terms_and_signs():
     assert parse_query("Spark -slow") == [
-        (1.0, ("spark",)),
-        (-1.0, ("slow",)),
+        (1.0, ("spark",), False),
+        (-1.0, ("slow",), False),
     ]
 
 
 def test_parse_phrases():
     assert parse_query('"Fast Table" scan -"slow scan"') == [
-        (1.0, ("fast", "table")),
-        (1.0, ("scan",)),
-        (-1.0, ("slow", "scan")),
+        (1.0, ("fast", "table"), False),
+        (1.0, ("scan",), False),
+        (-1.0, ("slow", "scan"), False),
     ]
 
 
 def test_parse_duplicates_kept():
-    assert parse_query("a a") == [(1.0, ("a",)), (1.0, ("a",))]
+    assert parse_query("a a") == [(1.0, ("a",), False), (1.0, ("a",), False)]
 
 
 @pytest.mark.parametrize(
@@ -157,17 +157,93 @@ def test_unknown_word_raises(spark, env):
 
 
 def test_parse_prefix():
-    assert parse_query("St* -slow") == [(1.0, ("st*",)), (-1.0, ("slow",))]
+    assert parse_query("St* -slow") == [
+        (1.0, ("st*",), False),
+        (-1.0, ("slow",), False),
+    ]
 
 
 def test_parse_boosts():
     assert parse_query('Spark^2 -slow^0.5 "Fast Table"^3 st*^1.5 a^.25') == [
-        (2.0, ("spark",)),
-        (-0.5, ("slow",)),
-        (3.0, ("fast", "table")),
-        (1.5, ("st*",)),
-        (0.25, ("a",)),
+        (2.0, ("spark",), False),
+        (-0.5, ("slow",), False),
+        (3.0, ("fast", "table"), False),
+        (1.5, ("st*",), False),
+        (0.25, ("a",), False),
     ]
+
+
+def test_parse_must():
+    got = parse_query('+Spark -slow +"Fast Table"^2 +st* wb')
+    assert got == [
+        (1.0, ("spark",), True),
+        (-1.0, ("slow",), False),
+        (2.0, ("fast", "table"), True),
+        (1.0, ("st*",), True),
+        (1.0, ("wb",), False),
+    ]
+    assert [a.must for a in got] == [True, False, True, True, False]
+
+
+@pytest.mark.parametrize("bad", ["+", "+ x", "+-a", "-+a", "a +"])
+def test_parse_must_errors(bad):
+    with pytest.raises(ValueError):
+        parse_query(bad)
+
+
+def test_must_filters_but_scores_identically(spark, env):
+    """'+fast slow' returns ONLY docs containing fast, each scored
+    exactly as by the unfiltered 'fast slow'; '+fast +slow' keeps
+    exactly the docs containing both (Lucene must-clause semantics)."""
+    tokens, vocab, ds, g = env
+
+    def scores(q):
+        return {
+            r["doc_id"]: r["score"]
+            for r in mixed_query_topk(
+                spark, tokens, ds, g, vocab, parse_query(q), 50
+            ).collect()
+        }
+
+    free = scores("fast slow")
+    has_fast = {d for d, t in CORPUS if "fast" in _pytoks(t)}
+    has_slow = {d for d, t in CORPUS if "slow" in _pytoks(t)}
+    got = scores("+fast slow")
+    assert set(got) == set(free) & has_fast
+    for d in got:
+        assert math.isclose(got[d], free[d], rel_tol=1e-12)
+    both = scores("+fast +slow")
+    assert set(both) == has_fast & has_slow
+    for d in both:
+        assert math.isclose(both[d], free[d], rel_tol=1e-12)
+
+
+def test_must_phrase_and_prefix(spark, env):
+    tokens, vocab, ds, g = env
+
+    def scores(q):
+        return {
+            r["doc_id"]: r["score"]
+            for r in mixed_query_topk(
+                spark, tokens, ds, g, vocab, parse_query(q), 50
+            ).collect()
+        }
+
+    free = scores('"fast table" slow')
+    phrase_docs = {d for d, _ in _py_phrase_occ(["fast", "table"])}
+    got = scores('+"fast table" slow')
+    assert set(got) == phrase_docs
+    for d in got:
+        assert math.isclose(got[d], free[d], rel_tol=1e-12)
+    # must-prefix: any expansion of s* satisfies the clause
+    s_docs = {
+        d for d, t in CORPUS if any(w.startswith("s") for w in _pytoks(t))
+    }
+    free_p = scores("s* fast")
+    got_p = scores("+s* fast")
+    assert set(got_p) == set(free_p) & s_docs
+    for d in got_p:
+        assert math.isclose(got_p[d], free_p[d], rel_tol=1e-12)
 
 
 @pytest.mark.parametrize(
@@ -307,3 +383,7 @@ def test_facade_search(spark):
         eng.search("", 5)
     with pytest.raises(ValueError):
         eng.search('"fast zebra"', 5)
+    # + gate through the facade: every returned doc contains 'fast'
+    has_fast = {d for d, t in CORPUS if "fast" in _pytoks(t)}
+    must = eng.search("+fast slow", 5, return_documents=False).collect()
+    assert must and {r["doc_id"] for r in must} <= has_fast

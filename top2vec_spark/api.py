@@ -482,19 +482,20 @@ class Top2VecSpark:
         self, query: str, num_docs: int, return_documents: bool = True
     ) -> DataFrame:
         """Query-language search (functions/querylang.py): bare terms,
-        ``-`` negation, ``"quoted phrases"``, trailing-``*`` prefixes,
-        and ``^boost`` weights — every atom contributes
-        sign * boost * BM25, phrases scored as exact-occurrence
-        pseudo-terms. 'spark "fast table"^2 -slow' == keywords [spark]
-        + double-weighted phrase ["fast","table"] + keywords_neg
-        [slow]."""
+        ``-`` negation, ``+`` required clauses, ``"quoted phrases"``,
+        trailing-``*`` prefixes, and ``^boost`` weights — every atom
+        contributes sign * boost * BM25, phrases scored as
+        exact-occurrence pseudo-terms, and only docs matching every
+        ``+`` atom are returned. 'spark "fast table"^2 -slow' ==
+        keywords [spark] + double-weighted phrase ["fast","table"] +
+        keywords_neg [slow]."""
         from top2vec_spark.functions.querylang import parse_query
         from top2vec_spark.operators.positional import mixed_query_topk
 
         atoms = parse_query(query)
         self._validate_num_docs(num_docs)
         # prefix atoms (trailing *) validate at expansion time instead
-        words = [w for _, t in atoms for w in t if not w.endswith("*")]
+        words = [w for a in atoms for w in a.terms if not w.endswith("*")]
         if words:
             self._validate_keywords(words)
         tombs = self._index.tombstones if getattr(self, "_index", None) else ()
@@ -502,7 +503,7 @@ class Top2VecSpark:
         # buckets can't prefix-match; a term-RANGE layout could) — any
         # prefix in the query routes to the raw tokens table
         has_prefix = any(
-            len(t) == 1 and t[0].endswith("*") for _, t in atoms
+            len(a.terms) == 1 and a.terms[0].endswith("*") for a in atoms
         )
         src = self.tokens if has_prefix else self._positional_tokens(words)
         result = mixed_query_topk(

@@ -1,5 +1,6 @@
 """Minimal fulltext query language: bare terms, ``-`` negation,
-``"quoted phrases"``, trailing-``*`` prefixes, and ``^boost`` weights.
+``+`` required clauses, ``"quoted phrases"``, trailing-``*``
+prefixes, and ``^boost`` weights.
 
 The reference exposes keyword lists (top2vec.py:2855 keywords /
 keywords_neg); production fulltext engines expose a query string. This
@@ -15,8 +16,13 @@ parser maps one onto the engine's scorers:
 
 Semantics are additive Lucene-style: every atom contributes its BM25
 score scaled by its sign (= ±1 × boost); duplicate atoms contribute
-once each (a repeated term boosts, as in Lucene). No boolean
-operators — conjunction is the separate
+once each (a repeated term boosts, as in Lucene). A ``+`` prefix
+(``+spark``, ``+"fast table"``, ``+st*``) marks the atom REQUIRED:
+it scores exactly like the bare atom, but only documents matching
+every ``+`` atom appear in the result — Lucene must-clause semantics
+(``+`` and ``-`` cannot combine; bare atoms remain pure-OR
+should-clauses). Beyond that there are no boolean operators —
+all-terms conjunction is also available as the separate
 ``search_documents_by_keywords_all`` API (F3).
 
 An atom is ``(sign, terms)``: ``len(terms) == 1`` is a bag-of-words
@@ -36,8 +42,21 @@ vocabulary term, and the vocabulary check happens at execution
 from __future__ import annotations
 
 import re
+from typing import NamedTuple
 
 _BOOST_RE = re.compile(r"^(?:\d+(?:\.\d+)?|\.\d+)$")
+
+
+class Atom(NamedTuple):
+    """One parsed query atom. ``sign`` is ±1 × boost, ``terms`` is one
+    bag-of-words/prefix term or a >1-word phrase, ``must`` marks a
+    Lucene ``+``-required clause: the atom still scores normally, but
+    only documents matching EVERY must atom appear in the result
+    (bare atoms stay pure-OR, the Lucene should-clause default)."""
+
+    sign: float
+    terms: tuple[str, ...]
+    must: bool = False
 
 
 def _parse_boost(text: str) -> float:
@@ -51,15 +70,16 @@ def _parse_boost(text: str) -> float:
     return boost
 
 
-def parse_query(query: str) -> list[tuple[float, tuple[str, ...]]]:
-    """Parse a query string into [(sign, terms)] atoms.
+def parse_query(query: str) -> list[Atom]:
+    """Parse a query string into [Atom(sign, terms, must)] atoms.
 
     Raises ValueError on: non-string, empty/atom-less query, unclosed
-    quote, empty phrase (""), a bare '-', or a malformed '^boost'.
+    quote, empty phrase (""), a bare '-' or '+', a '+-' combination,
+    or a malformed '^boost'.
     """
     if not isinstance(query, str):
         raise ValueError("Query needs to be a string.")
-    atoms: list[tuple[float, tuple[str, ...]]] = []
+    atoms: list[Atom] = []
     i = 0
     n = len(query)
     while i < n:
@@ -68,12 +88,23 @@ def parse_query(query: str) -> list[tuple[float, tuple[str, ...]]]:
             i += 1
             continue
         sign = 1.0
+        must = False
+        if c == "+":
+            must = True
+            i += 1
+            if i >= n or query[i].isspace():
+                raise ValueError("dangling '+' in query")
+            c = query[i]
+            if c == "-":
+                raise ValueError("'+' and '-' cannot combine on one atom")
         if c == "-":
             sign = -1.0
             i += 1
             if i >= n or query[i].isspace():
                 raise ValueError("dangling '-' in query")
             c = query[i]
+            if c == "+":
+                raise ValueError("'+' and '-' cannot combine on one atom")
         if c == '"':
             end = query.find('"', i + 1)
             if end < 0:
@@ -92,7 +123,7 @@ def parse_query(query: str) -> list[tuple[float, tuple[str, ...]]]:
                 i = j
             elif i < n and not query[i].isspace():
                 raise ValueError("unexpected text after closing quote")
-            atoms.append((sign, tuple(w.lower() for w in words)))
+            atoms.append(Atom(sign, tuple(w.lower() for w in words), must))
         else:
             j = i
             while j < n and not query[j].isspace():
@@ -109,7 +140,7 @@ def parse_query(query: str) -> list[tuple[float, tuple[str, ...]]]:
                 raise ValueError(
                     "'*' is only supported as a trailing wildcard on a term"
                 )
-            atoms.append((sign, (word.lower(),)))
+            atoms.append(Atom(sign, (word.lower(),), must))
             i = j
     if not atoms:
         raise ValueError("query contains no terms")

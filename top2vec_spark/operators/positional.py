@@ -378,27 +378,35 @@ def mixed_query_topk(
     One contribution frame per phrase plus ONE shared frame for all
     single terms, unioned and summed per doc with the engine's
     deterministic accumulation contract (atom-index-sorted
-    left-to-right float64 sum). Returns (doc_id, score), score DESC /
-    doc_id ASC, k rows.
+    left-to-right float64 sum). ``+``-required (must) atoms score
+    identically but additionally gate the result to docs matching
+    every must atom — enforced via a collect_set(atom_id) in the same
+    aggregation. Returns (doc_id, score), score DESC / doc_id ASC,
+    k rows.
     """
-    atoms = list(atoms)
+    # atoms are querylang.Atom(sign, terms, must) — index access keeps
+    # hand-built legacy (sign, terms) 2-tuples working (must=False)
+    atoms = [(a[0], a[1], a[2] if len(a) > 2 else False) for a in atoms]
     if not atoms:
         raise ValueError("query contains no terms")
+    must_ids = [i for i, (_, _, m) in enumerate(atoms) if m]
     term_atoms = [
         (i, s, t[0])
-        for i, (s, t) in enumerate(atoms)
+        for i, (s, t, _) in enumerate(atoms)
         if len(t) == 1 and not t[0].endswith("*")
     ]
     prefix_atoms = [
         (i, s, t[0][:-1])
-        for i, (s, t) in enumerate(atoms)
+        for i, (s, t, _) in enumerate(atoms)
         if len(t) == 1 and t[0].endswith("*")
     ]
-    phrase_atoms = [(i, s, t) for i, (s, t) in enumerate(atoms) if len(t) > 1]
+    phrase_atoms = [
+        (i, s, t) for i, (s, t, _) in enumerate(atoms) if len(t) > 1
+    ]
     # vocabulary validation over every NON-prefix word (phrase words
     # included) — message parity with keyword validation
     all_words = [
-        w for _, t in atoms for w in t if not w.endswith("*")
+        w for _, t, _ in atoms for w in t if not w.endswith("*")
     ]
     resolved = (
         {
@@ -483,13 +491,32 @@ def mixed_query_topk(
     out = frames[0]
     for f in frames[1:]:
         out = out.unionByName(f)
-    scored = out.groupBy("doc_id").agg(
-        F.aggregate(
-            F.sort_array(F.collect_list(F.struct("atom_id", "contrib"))),
-            F.lit(0.0),
-            lambda acc, x: acc + x["contrib"],
-        ).alias("score")
-    )
+    sum_expr = F.aggregate(
+        F.sort_array(F.collect_list(F.struct("atom_id", "contrib"))),
+        F.lit(0.0),
+        lambda acc, x: acc + x["contrib"],
+    ).alias("score")
+    if must_ids:
+        # a doc matches must atom i iff it has a contribution row with
+        # atom_id == i (tf > 0 / a phrase occurrence / any prefix
+        # expansion) — checked inside the SAME per-doc aggregation
+        # (collect_set of atom ids), so the must filter costs one
+        # array intersect per doc, never a second scan or join
+        scored = (
+            out.groupBy("doc_id")
+            .agg(sum_expr, F.collect_set("atom_id").alias("_aids"))
+            .filter(
+                F.size(
+                    F.array_intersect(
+                        "_aids", F.array(*[F.lit(i) for i in must_ids])
+                    )
+                )
+                == len(must_ids)
+            )
+            .select("doc_id", "score")
+        )
+    else:
+        scored = out.groupBy("doc_id").agg(sum_expr)
     return scored.orderBy(
         F.col("score").desc(), F.col("doc_id").asc()
     ).limit(k)
