@@ -2818,6 +2818,53 @@ def _q_query_lang_must(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_query_lang_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy row: 'sprt~2 quary~1^2 -slow' — Lucene FuzzyQuery shape:
+    'sprt~2' expands by classic Levenshtein against the vocabulary
+    (sort=1, spark=2, part=2 at this corpus), 'quary~1' to query with
+    a 2x boost; each expansion contributes sign x boost x BM25.
+    DuckDB replays the expansion with its own levenshtein()."""
+    from top2vec_spark.functions.querylang import parse_query
+    from top2vec_spark.operators.positional import mixed_query_topk
+
+    tokens = _tokens(spark, sf_dir).cache()
+    ds = build_doc_stats(tokens)
+    g = compute_globals(ds)
+    vocab = build_vocab(tokens)
+    atoms = parse_query("sprt~2 quary~1^2 -slow")
+    res = mixed_query_topk(spark, tokens, ds, g, vocab, atoms, k=1_000_000)
+    return (
+        res.select("doc_id", F.round("score", 4).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+
+
+def _q_query_lang_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field-filter row: 'spark "fast table"^2 lang:en lang:fr
+    -source:src3' — filter-context semantics: the two lang values OR
+    together, the source exclusion ANDs in, scores are bit-identical
+    to the unfiltered query (filters gate, never score); executes as
+    ONE pushed-predicate metadata scan + a semi-join."""
+    from top2vec_spark.functions.querylang import parse_query
+    from top2vec_spark.operators.positional import mixed_query_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tokens = _tokens(spark, sf_dir).cache()
+    ds = build_doc_stats(tokens)
+    g = compute_globals(ds)
+    vocab = build_vocab(tokens)
+    atoms = parse_query('spark "fast table"^2 lang:en lang:fr -source:src3')
+    res = mixed_query_topk(
+        spark, tokens, ds, g, vocab, atoms, k=1_000_000, doc_meta=docs
+    )
+    return (
+        res.select("doc_id", F.round("score", 4).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+
+
 def _q_snippet_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Best width-8 snippet window for {spark, query} per matching doc
     — the snippet STRING pins tokenizer, window arithmetic, and the
@@ -2943,6 +2990,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_lang_top10": _q_query_lang,
         "query_lang_boosted": _q_query_lang_boosted,
         "query_lang_must": _q_query_lang_must,
+        "query_lang_fuzzy": _q_query_lang_fuzzy,
+        "query_lang_filtered": _q_query_lang_filtered,
     }
 
 
@@ -5199,6 +5248,102 @@ SELECT doc_id, round(score, 4) AS score
 FROM scored
 WHERE doc_id IN (SELECT doc_id FROM tfp)
   AND doc_id IN (SELECT doc_id FROM tft WHERE term = 'spark')
+ORDER BY round(score, 4) DESC, doc_id ASC LIMIT 10
+""",
+        # 'sprt~2 quary~1^2 -slow': fuzzy atoms expand against the
+        # vocabulary by classic Levenshtein distance — DuckDB's
+        # levenshtein() is the same classic metric as Spark's, so the
+        # expansion set (and therefore the weighted union) replays
+        # exactly. Each expansion is one (term, sign x boost) row.
+        "query_lang_fuzzy": f"""
+WITH {_PTOKENS_CTE},
+doc_stats AS (SELECT doc_id, count(*) AS dl FROM tokens_pos GROUP BY doc_id),
+globals AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM doc_stats),
+vocab AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tokens_pos GROUP BY term
+),
+q(term, sign) AS (
+  SELECT term, 1.0 FROM vocab WHERE levenshtein(term, 'sprt') <= 2
+  UNION ALL
+  SELECT term, 2.0 FROM vocab WHERE levenshtein(term, 'quary') <= 1
+  UNION ALL
+  SELECT 'slow', -1.0
+),
+tft AS (
+  SELECT doc_id, term, count(*) AS tf FROM tokens_pos
+  WHERE term IN (SELECT term FROM q) GROUP BY doc_id, term
+),
+term_contrib AS (
+  SELECT tft.doc_id,
+         q.sign * ln(1.0 + (globals.n_docs - vocab.df + 0.5) / (vocab.df + 0.5))
+           * (tft.tf * ({BM25_K1} + 1.0))
+           / (tft.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * doc_stats.dl / globals.avgdl))
+           AS contrib
+  FROM tft JOIN q USING (term) JOIN vocab USING (term)
+  JOIN doc_stats USING (doc_id) CROSS JOIN globals
+),
+scored AS (
+  SELECT doc_id, sum(contrib) AS score FROM term_contrib GROUP BY doc_id
+)
+SELECT doc_id, round(score, 4) AS score
+FROM scored ORDER BY round(score, 4) DESC, doc_id ASC LIMIT 10
+""",
+        # 'spark "fast table"^2 lang:en lang:fr -source:src3':
+        # field filters gate but never score — the oracle computes the
+        # UNFILTERED weighted union (identical to query_lang_boosted's
+        # shape) then applies the metadata gate as one IN-subquery:
+        # same-field values OR together, fields AND together,
+        # -source: excludes.
+        "query_lang_filtered": f"""
+WITH {_PTOKENS_CTE},
+doc_stats AS (SELECT doc_id, count(*) AS dl FROM tokens_pos GROUP BY doc_id),
+globals AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM doc_stats),
+occ AS (
+  SELECT a.doc_id, a.pos AS start
+  FROM tokens_pos a JOIN tokens_pos b
+    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  WHERE a.term = 'fast' AND b.term = 'table'
+),
+tfp AS (SELECT doc_id, count(*) AS tf FROM occ GROUP BY doc_id),
+dfp AS (SELECT count(*) AS df FROM tfp),
+phrase_contrib AS (
+  SELECT t.doc_id,
+         2.0 * ln(1.0 + (g.n_docs - d.df + 0.5) / (d.df + 0.5))
+           * (t.tf * ({BM25_K1} + 1.0))
+           / (t.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * s.dl / g.avgdl))
+           AS contrib
+  FROM tfp t JOIN doc_stats s USING (doc_id)
+  CROSS JOIN globals g CROSS JOIN dfp d
+),
+vocab AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tokens_pos GROUP BY term
+),
+q(term, sign) AS (VALUES ('spark', 1.0)),
+tft AS (
+  SELECT doc_id, term, count(*) AS tf FROM tokens_pos
+  WHERE term IN (SELECT term FROM q) GROUP BY doc_id, term
+),
+term_contrib AS (
+  SELECT tft.doc_id,
+         q.sign * ln(1.0 + (globals.n_docs - vocab.df + 0.5) / (vocab.df + 0.5))
+           * (tft.tf * ({BM25_K1} + 1.0))
+           / (tft.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * doc_stats.dl / globals.avgdl))
+           AS contrib
+  FROM tft JOIN q USING (term) JOIN vocab USING (term)
+  JOIN doc_stats USING (doc_id) CROSS JOIN globals
+),
+allc AS (
+  SELECT * FROM phrase_contrib UNION ALL SELECT * FROM term_contrib
+),
+scored AS (
+  SELECT doc_id, sum(contrib) AS score FROM allc GROUP BY doc_id
+)
+SELECT doc_id, round(score, 4) AS score
+FROM scored
+WHERE doc_id IN (
+  SELECT doc_id FROM documents
+  WHERE lang IN ('en', 'fr') AND source NOT IN ('src3')
+)
 ORDER BY round(score, 4) DESC, doc_id ASC LIMIT 10
 """,
     }

@@ -26,21 +26,21 @@ from tests.test_positional import CORPUS, _py_phrase_occ, _pytoks
 # ---------------------------------------------------------------------------
 def test_parse_terms_and_signs():
     assert parse_query("Spark -slow") == [
-        (1.0, ("spark",), False),
-        (-1.0, ("slow",), False),
+        (1.0, ("spark",), False, None, None),
+        (-1.0, ("slow",), False, None, None),
     ]
 
 
 def test_parse_phrases():
     assert parse_query('"Fast Table" scan -"slow scan"') == [
-        (1.0, ("fast", "table"), False),
-        (1.0, ("scan",), False),
-        (-1.0, ("slow", "scan"), False),
+        (1.0, ("fast", "table"), False, None, None),
+        (1.0, ("scan",), False, None, None),
+        (-1.0, ("slow", "scan"), False, None, None),
     ]
 
 
 def test_parse_duplicates_kept():
-    assert parse_query("a a") == [(1.0, ("a",), False), (1.0, ("a",), False)]
+    assert parse_query("a a") == [(1.0, ("a",), False, None, None), (1.0, ("a",), False, None, None)]
 
 
 @pytest.mark.parametrize(
@@ -158,29 +158,29 @@ def test_unknown_word_raises(spark, env):
 
 def test_parse_prefix():
     assert parse_query("St* -slow") == [
-        (1.0, ("st*",), False),
-        (-1.0, ("slow",), False),
+        (1.0, ("st*",), False, None, None),
+        (-1.0, ("slow",), False, None, None),
     ]
 
 
 def test_parse_boosts():
     assert parse_query('Spark^2 -slow^0.5 "Fast Table"^3 st*^1.5 a^.25') == [
-        (2.0, ("spark",), False),
-        (-0.5, ("slow",), False),
-        (3.0, ("fast", "table"), False),
-        (1.5, ("st*",), False),
-        (0.25, ("a",), False),
+        (2.0, ("spark",), False, None, None),
+        (-0.5, ("slow",), False, None, None),
+        (3.0, ("fast", "table"), False, None, None),
+        (1.5, ("st*",), False, None, None),
+        (0.25, ("a",), False, None, None),
     ]
 
 
 def test_parse_must():
     got = parse_query('+Spark -slow +"Fast Table"^2 +st* wb')
     assert got == [
-        (1.0, ("spark",), True),
-        (-1.0, ("slow",), False),
-        (2.0, ("fast", "table"), True),
-        (1.0, ("st*",), True),
-        (1.0, ("wb",), False),
+        (1.0, ("spark",), True, None, None),
+        (-1.0, ("slow",), False, None, None),
+        (2.0, ("fast", "table"), True, None, None),
+        (1.0, ("st*",), True, None, None),
+        (1.0, ("wb",), False, None, None),
     ]
     assert [a.must for a in got] == [True, False, True, True, False]
 
@@ -387,3 +387,290 @@ def test_facade_search(spark):
     has_fast = {d for d, t in CORPUS if "fast" in _pytoks(t)}
     must = eng.search("+fast slow", 5, return_documents=False).collect()
     assert must and {r["doc_id"] for r in must} <= has_fast
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy terms (~N)
+# ---------------------------------------------------------------------------
+def test_parse_fuzzy():
+    assert parse_query("sprk~ word~1 -oops~2^0.5 exact~0") == [
+        (1.0, ("sprk",), False, 2, None),
+        (1.0, ("word",), False, 1, None),
+        (-0.5, ("oops",), False, 2, None),
+        (1.0, ("exact",), False, 0, None),
+    ]
+
+
+@pytest.mark.parametrize(
+    "bad", ["a~3", "a~10", "a~x", "~1", "- a~", "st*~1", "a~1.5"]
+)
+def test_parse_fuzzy_errors(bad):
+    with pytest.raises(ValueError):
+        parse_query(bad)
+
+
+def _lev(a: str, b: str) -> int:
+    """Classic Levenshtein (insert/delete/substitute, no transposition)
+    — the independent oracle for Spark's levenshtein()."""
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+def test_fuzzy_expansion_matches_manual_or(spark, env):
+    """'sprk~2' must score exactly like spelling out every vocab term
+    within classic edit distance 2 — pinning both the expansion rule
+    and that Spark's levenshtein is the classic metric."""
+    tokens, vocab, ds, g = env
+    expansions = sorted(
+        r["term"]
+        for r in vocab.collect()
+        if _lev(r["term"], "sprk") <= 2
+    )
+    assert "spark" in expansions and len(expansions) >= 1
+    via_fuzzy = {
+        r["doc_id"]: r["score"]
+        for r in mixed_query_topk(
+            spark, tokens, ds, g, vocab, parse_query("sprk~2"), 20
+        ).collect()
+    }
+    via_terms = {
+        r["doc_id"]: r["score"]
+        for r in mixed_query_topk(
+            spark, tokens, ds, g, vocab, parse_query(" ".join(expansions)), 20
+        ).collect()
+    }
+    assert set(via_fuzzy) == set(via_terms)
+    for d in via_terms:
+        assert math.isclose(via_fuzzy[d], via_terms[d], rel_tol=1e-12)
+
+
+def test_fuzzy_zero_is_exact(spark, env):
+    tokens, vocab, ds, g = env
+    a = mixed_query_topk(
+        spark, tokens, ds, g, vocab, parse_query("fast~0"), 10
+    ).collect()
+    b = mixed_query_topk(
+        spark, tokens, ds, g, vocab, parse_query("fast"), 10
+    ).collect()
+    assert [(r["doc_id"], r["score"]) for r in a] == [
+        (r["doc_id"], r["score"]) for r in b
+    ]
+
+
+def test_fuzzy_boost_scales(spark, env):
+    tokens, vocab, ds, g = env
+    base = {
+        r["doc_id"]: r["score"]
+        for r in mixed_query_topk(
+            spark, tokens, ds, g, vocab, parse_query("sprk~2"), 20
+        ).collect()
+    }
+    boosted = {
+        r["doc_id"]: r["score"]
+        for r in mixed_query_topk(
+            spark, tokens, ds, g, vocab, parse_query("sprk~2^3"), 20
+        ).collect()
+    }
+    assert set(base) == set(boosted)
+    for d in base:
+        assert math.isclose(boosted[d], 3.0 * base[d], rel_tol=1e-12)
+
+
+def test_fuzzy_no_match_and_cap(spark, env):
+    tokens, vocab, ds, g = env
+    with pytest.raises(ValueError, match="no vocabulary terms within"):
+        mixed_query_topk(
+            spark, tokens, ds, g, vocab, parse_query("zzzzzzzzzz~1"), 5
+        )
+    with pytest.raises(ValueError, match="matches more than"):
+        mixed_query_topk(
+            spark, tokens, ds, g, vocab, parse_query("sprk~2"), 5,
+            max_expansions=0,
+        )
+
+
+def test_fuzzy_word_skips_vocab_validation(spark):
+    """A misspelled fuzzy word must NOT hit keyword validation — it
+    validates at expansion instead (that's the point of fuzzy)."""
+    from top2vec_spark.api import Top2VecSpark
+
+    docs = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    eng = Top2VecSpark(spark, docs, ascii_fast_path=True, min_count=0)
+    rows = eng.search("sprk~2 -slow", 5, return_documents=False).collect()
+    assert rows and rows[0]["score"] >= rows[-1]["score"]
+
+
+def test_fuzzy_must_gates(spark, env):
+    """'+sprk~2' gates to docs matching ANY expansion of the fuzzy
+    atom, scores unchanged."""
+    tokens, vocab, ds, g = env
+    free = {
+        r["doc_id"]: r["score"]
+        for r in mixed_query_topk(
+            spark, tokens, ds, g, vocab, parse_query("sprk~2 fast"), 20
+        ).collect()
+    }
+    gated = {
+        r["doc_id"]: r["score"]
+        for r in mixed_query_topk(
+            spark, tokens, ds, g, vocab, parse_query("+sprk~2 fast"), 20
+        ).collect()
+    }
+    expansions = {
+        r["term"] for r in vocab.collect() if _lev(r["term"], "sprk") <= 2
+    }
+    match = {d for d, t in CORPUS if expansions & set(_pytoks(t))}
+    assert set(gated) == set(free) & match
+    for d in gated:
+        assert math.isclose(gated[d], free[d], rel_tol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# field:value filters
+# ---------------------------------------------------------------------------
+META = [(d, t, ["en", "de", "en", "fr", "en", "de", "fr"][d]) for d, t in CORPUS]
+
+
+def test_parse_filters():
+    # filter VALUES keep their case (keyword-field exact match);
+    # scoring terms still lowercase (T4)
+    assert parse_query("Spark lang:EN -source:Spam") == [
+        (1.0, ("spark",), False, None, None),
+        (1.0, ("EN",), False, None, "lang"),
+        (-1.0, ("Spam",), False, None, "source"),
+    ]
+
+
+@pytest.mark.parametrize(
+    "bad",
+    ["lang:", ":en", "lang:en^2", "lang:en~1", "lang:e*", "+lang:en",
+     "lang:a:b", "0lang:en"],
+)
+def test_parse_filter_errors(bad):
+    with pytest.raises(ValueError):
+        parse_query(bad)
+
+
+@pytest.fixture(scope="module")
+def meta_env(spark):
+    docs = spark.createDataFrame(META, "doc_id long, text string, lang string")
+    tokens = tokenize_docs(docs, ascii_fast_path=True).cache()
+    vocab = build_vocab(tokens, min_count=0)
+    ds = build_doc_stats(tokens)
+    g = compute_globals(ds)
+    return docs, tokens, vocab, ds, g
+
+
+def test_filter_gates_without_scoring(spark, meta_env):
+    """lang:en restricts the result to en docs; surviving scores are
+    bit-identical to the unfiltered query (filters never score)."""
+    docs, tokens, vocab, ds, g = meta_env
+    free = {
+        r["doc_id"]: r["score"]
+        for r in mixed_query_topk(
+            spark, tokens, ds, g, vocab, parse_query("fast -slow"), 20
+        ).collect()
+    }
+    en = {d for d, _, l in META if l == "en"}
+    got = {
+        r["doc_id"]: r["score"]
+        for r in mixed_query_topk(
+            spark, tokens, ds, g, vocab,
+            parse_query("fast -slow lang:en"), 20, doc_meta=docs,
+        ).collect()
+    }
+    assert set(got) == set(free) & en
+    for d in got:
+        assert got[d] == free[d]
+
+
+def test_filter_or_within_field_and_negation(spark, meta_env):
+    docs, tokens, vocab, ds, g = meta_env
+    free = {
+        r["doc_id"]
+        for r in mixed_query_topk(
+            spark, tokens, ds, g, vocab, parse_query("fast table"), 20
+        ).collect()
+    }
+    both = {
+        r["doc_id"]
+        for r in mixed_query_topk(
+            spark, tokens, ds, g, vocab,
+            parse_query("fast table lang:en lang:fr"), 20, doc_meta=docs,
+        ).collect()
+    }
+    keep = {d for d, _, l in META if l in ("en", "fr")}
+    assert both == free & keep
+    excl = {
+        r["doc_id"]
+        for r in mixed_query_topk(
+            spark, tokens, ds, g, vocab,
+            parse_query("fast table -lang:de"), 20, doc_meta=docs,
+        ).collect()
+    }
+    assert excl == free & {d for d, _, l in META if l != "de"}
+
+
+def test_filter_exact_case(spark, meta_env):
+    """Keyword-field semantics: 'lang:EN' does NOT match 'en' metadata
+    (exact match keeps the predicate pushable into the parquet scan)."""
+    docs, tokens, vocab, ds, g = meta_env
+    got = mixed_query_topk(
+        spark, tokens, ds, g, vocab,
+        parse_query("fast lang:EN"), 20, doc_meta=docs,
+    ).collect()
+    assert got == []
+
+
+def test_filter_predicate_pushdown(spark, meta_env):
+    """The metadata predicate must stay pushable: the allowed-docs
+    branch is Filter(plain column IN ...) directly over the relation —
+    no lower()/udf wrap (which would silently block parquet pushdown
+    and force a full metadata read)."""
+    from top2vec_spark.operators.positional import _filter_allowed_docs
+
+    docs, _, _, _, _ = meta_env
+    allowed = _filter_allowed_docs(
+        docs, [(1.0, "en", "lang"), (-1.0, "de", "lang")]
+    )
+    plan = allowed._jdf.queryExecution().optimizedPlan().toString()
+    assert "lang#" in plan
+    assert "lower(" not in plan and "LOWER(" not in plan
+
+
+def test_filter_errors(spark, meta_env):
+    docs, tokens, vocab, ds, g = meta_env
+    with pytest.raises(ValueError, match="need document metadata"):
+        mixed_query_topk(
+            spark, tokens, ds, g, vocab,
+            parse_query("fast lang:en"), 5,
+        )
+    with pytest.raises(ValueError, match="unknown filter field"):
+        mixed_query_topk(
+            spark, tokens, ds, g, vocab,
+            parse_query("fast nosuch:x"), 5, doc_meta=docs,
+        )
+    with pytest.raises(ValueError, match="no scoring atoms"):
+        mixed_query_topk(
+            spark, tokens, ds, g, vocab,
+            parse_query("lang:en"), 5, doc_meta=docs,
+        )
+
+
+def test_facade_search_filtered(spark):
+    from top2vec_spark.api import Top2VecSpark
+
+    docs = spark.createDataFrame(META, "doc_id long, text string, lang string")
+    eng = Top2VecSpark(spark, docs, ascii_fast_path=True, min_count=0)
+    rows = eng.search("fast lang:en", 5, return_documents=True).collect()
+    en = {d for d, _, l in META if l == "en"}
+    assert rows and {r["doc_id"] for r in rows} <= en
+    # text projection still works alongside the filter
+    assert all(r["text"] for r in rows)

@@ -483,29 +483,45 @@ class Top2VecSpark:
     ) -> DataFrame:
         """Query-language search (functions/querylang.py): bare terms,
         ``-`` negation, ``+`` required clauses, ``"quoted phrases"``,
-        trailing-``*`` prefixes, and ``^boost`` weights — every atom
+        trailing-``*`` prefixes, ``~N`` fuzzy terms, ``field:value``
+        metadata filters, and ``^boost`` weights — every scoring atom
         contributes sign * boost * BM25, phrases scored as
-        exact-occurrence pseudo-terms, and only docs matching every
-        ``+`` atom are returned. 'spark "fast table"^2 -slow' ==
-        keywords [spark] + double-weighted phrase ["fast","table"] +
-        keywords_neg [slow]."""
+        exact-occurrence pseudo-terms, fuzzy terms expanded against
+        the vocabulary by edit distance, filters gating (never
+        scoring) against the docs DataFrame's metadata columns, and
+        only docs matching every ``+`` atom are returned.
+        'spark "fast table"^2 -slow lang:en' == keywords [spark] +
+        double-weighted phrase ["fast","table"] + keywords_neg [slow],
+        restricted to lang == 'en' documents."""
         from top2vec_spark.functions.querylang import parse_query
         from top2vec_spark.operators.positional import mixed_query_topk
 
         atoms = parse_query(query)
         self._validate_num_docs(num_docs)
-        # prefix atoms (trailing *) validate at expansion time instead
-        words = [w for a in atoms for w in a.terms if not w.endswith("*")]
+        # prefix atoms (trailing *), fuzzy atoms (~N), and field
+        # filters validate at expansion/execution time instead
+        words = [
+            w
+            for a in atoms
+            if a.field is None and a.fuzz is None
+            for w in a.terms
+            if not w.endswith("*")
+        ]
         if words:
             self._validate_keywords(words)
         tombs = self._index.tombstones if getattr(self, "_index", None) else ()
         # prefix atoms can't prune the HASH-bucketed sidecar (xxhash64
-        # buckets can't prefix-match; a term-RANGE layout could) — any
-        # prefix in the query routes to the raw tokens table
-        has_prefix = any(
-            len(a.terms) == 1 and a.terms[0].endswith("*") for a in atoms
+        # buckets can't prefix-match; a term-RANGE layout could) and
+        # fuzzy expansions aren't known until execution — either
+        # routes the query to the raw tokens table
+        has_unpruned = any(
+            len(a.terms) == 1
+            and a.field is None
+            and (a.terms[0].endswith("*") or a.fuzz is not None)
+            for a in atoms
         )
-        src = self.tokens if has_prefix else self._positional_tokens(words)
+        src = self.tokens if has_unpruned else self._positional_tokens(words)
+        has_filter = any(a.field is not None for a in atoms)
         result = mixed_query_topk(
             self.spark,
             src,
@@ -514,6 +530,7 @@ class Top2VecSpark:
             self.vocab,
             atoms,
             num_docs + len(tombs),
+            doc_meta=self.docs if has_filter else None,
         )
         result = self._exclude_tombstones(
             result, num_docs, [F.col("score").desc(), F.col("doc_id").asc()]

@@ -1,6 +1,7 @@
 """Minimal fulltext query language: bare terms, ``-`` negation,
 ``+`` required clauses, ``"quoted phrases"``, trailing-``*``
-prefixes, and ``^boost`` weights.
+prefixes, ``~N`` fuzzy terms, ``field:value`` filters, and
+``^boost`` weights.
 
 The reference exposes keyword lists (top2vec.py:2855 keywords /
 keywords_neg); production fulltext engines expose a query string. This
@@ -25,6 +26,33 @@ should-clauses). Beyond that there are no boolean operators —
 all-terms conjunction is also available as the separate
 ``search_documents_by_keywords_all`` API (F3).
 
+A ``~`` suffix on a bare word (``sprk~``, ``sprk~1``) marks the atom
+FUZZY — Lucene FuzzyQuery shape: the executor expands it against the
+vocabulary by Levenshtein edit distance (``~`` alone means distance
+2, Lucene's default; explicit ``~0``/``~1``/``~2`` allowed, > 2
+rejected exactly as Lucene's LevenshteinAutomata does), and each
+expansion contributes sign x boost x BM25 like a prefix expansion.
+Delta vs Lucene: classic Levenshtein (no transposition — Lucene's
+``transpositions=true`` default counts 'ab'->'ba' as 1 edit, we
+count 2) because Spark's ``levenshtein`` and DuckDB's
+``levenshtein`` both implement the classic metric, which keeps the
+oracle replay exact. ``~`` cannot combine with ``*`` or appear on a
+phrase.
+
+A ``field:value`` word (``lang:en``, ``-source:spam``) is a FILTER
+atom — Lucene/Elasticsearch filter-context semantics: it never
+scores, it gates the result set. Values on the SAME field OR
+together; different fields AND together; ``-field:value`` excludes.
+Boost/fuzzy/star/``+`` are rejected on filters (a filter is already
+a must). The value is matched EXACTLY (case preserved, not
+lowercased) — keyword-field semantics, the Elasticsearch norm — so
+the comparison stays a plain column predicate that pushes into the
+metadata parquet scan (a lower()/contains wrap would defeat
+PushedFilters and force a full metadata read at 10^12 docs). Delta
+vs Lucene: Lucene scores ``field:value`` term queries in should
+context; filter context (constant-score gating) is the production
+faceted-search norm and is what this language means.
+
 An atom is ``(sign, terms)``: ``len(terms) == 1`` is a bag-of-words
 term (a trailing ``*`` marks it a prefix atom — the star is kept in
 the term and expanded by the executor), ``> 1`` an exact consecutive
@@ -45,6 +73,7 @@ import re
 from typing import NamedTuple
 
 _BOOST_RE = re.compile(r"^(?:\d+(?:\.\d+)?|\.\d+)$")
+_FIELD_RE = re.compile(r"^[a-z_][a-z0-9_]*$")
 
 
 class Atom(NamedTuple):
@@ -52,11 +81,16 @@ class Atom(NamedTuple):
     bag-of-words/prefix term or a >1-word phrase, ``must`` marks a
     Lucene ``+``-required clause: the atom still scores normally, but
     only documents matching EVERY must atom appear in the result
-    (bare atoms stay pure-OR, the Lucene should-clause default)."""
+    (bare atoms stay pure-OR, the Lucene should-clause default).
+    ``fuzz`` (0-2) marks a fuzzy term expanded by Levenshtein distance
+    at execution; ``field`` marks a non-scoring metadata filter whose
+    single value is ``terms[0]`` (sign -1 = exclusion)."""
 
     sign: float
     terms: tuple[str, ...]
     must: bool = False
+    fuzz: int | None = None
+    field: str | None = None
 
 
 def _parse_boost(text: str) -> float:
@@ -129,18 +163,55 @@ def parse_query(query: str) -> list[Atom]:
             while j < n and not query[j].isspace():
                 j += 1
             word = query[i:j]
+            colon = word.find(":")
+            if colon >= 0:
+                # field:value filter atom — no boost/fuzzy/star/must
+                field, value = word[:colon], word[colon + 1 :]
+                if not _FIELD_RE.match(field):
+                    raise ValueError(f"invalid filter field '{field}'")
+                if not value:
+                    raise ValueError(f"empty value for filter field '{field}'")
+                if must:
+                    raise ValueError(
+                        "'+' is redundant on a field filter (filters always gate)"
+                    )
+                if any(ch in value for ch in "^~*:"):
+                    raise ValueError(
+                        "boost/fuzzy/wildcard are not supported on field filters"
+                    )
+                # value kept as-typed: keyword-field exact match
+                atoms.append(Atom(sign, (value,), False, None, field))
+                i = j
+                continue
             caret = word.find("^")
             if caret >= 0:
                 if caret == 0:
                     raise ValueError("dangling '^' in query")
                 sign *= _parse_boost(word[caret + 1 :])
                 word = word[:caret]
+            fuzz = None
+            tilde = word.find("~")
+            if tilde >= 0:
+                if tilde == 0:
+                    raise ValueError("dangling '~' in query")
+                suffix = word[tilde + 1 :]
+                if suffix == "":
+                    fuzz = 2  # Lucene's bare-~ default
+                elif suffix in ("0", "1", "2"):
+                    fuzz = int(suffix)
+                else:
+                    raise ValueError(
+                        f"invalid fuzzy distance '~{suffix}' (0, 1 or 2)"
+                    )
+                word = word[:tilde]
+                if "*" in word:
+                    raise ValueError("'~' cannot combine with '*'")
             star = word.find("*")
             if star >= 0 and (star != len(word) - 1 or len(word) == 1):
                 raise ValueError(
                     "'*' is only supported as a trailing wildcard on a term"
                 )
-            atoms.append(Atom(sign, (word.lower(),), must))
+            atoms.append(Atom(sign, (word.lower(),), must, fuzz))
             i = j
     if not atoms:
         raise ValueError("query contains no terms")

@@ -363,6 +363,7 @@ def mixed_query_topk(
     k: int,
     cfg: BM25Config = BM25Config(),
     max_expansions: int = 128,
+    doc_meta: DataFrame | None = None,
 ) -> DataFrame:
     """Execute parsed query-language atoms (functions/querylang.py):
     every atom contributes sign * BM25 — bag-of-words terms through
@@ -381,32 +382,73 @@ def mixed_query_topk(
     left-to-right float64 sum). ``+``-required (must) atoms score
     identically but additionally gate the result to docs matching
     every must atom — enforced via a collect_set(atom_id) in the same
-    aggregation. Returns (doc_id, score), score DESC / doc_id ASC,
+    aggregation. ``~N`` fuzzy atoms expand against the vocabulary by
+    classic Levenshtein distance (JVM ``levenshtein`` codegen over a
+    length-prefiltered vocab scan — Lucene FuzzyQuery's automaton
+    walk re-expressed columnar), each expansion contributing like a
+    prefix expansion. ``field:value`` filter atoms never score: they
+    gate the result through ONE semi-join against ``doc_meta`` with
+    the field predicates pushed into its scan (values on a field OR
+    together, fields AND together, sign<0 excludes) — the doc-values
+    filter pattern. Returns (doc_id, score), score DESC / doc_id ASC,
     k rows.
     """
-    # atoms are querylang.Atom(sign, terms, must) — index access keeps
-    # hand-built legacy (sign, terms) 2-tuples working (must=False)
-    atoms = [(a[0], a[1], a[2] if len(a) > 2 else False) for a in atoms]
+    # atoms are querylang.Atom(sign, terms, must, fuzz, field) — index
+    # access keeps hand-built legacy (sign, terms) 2-tuples working
+    atoms = [
+        (
+            a[0],
+            a[1],
+            a[2] if len(a) > 2 else False,
+            a[3] if len(a) > 3 else None,
+            a[4] if len(a) > 4 else None,
+        )
+        for a in atoms
+    ]
     if not atoms:
         raise ValueError("query contains no terms")
-    must_ids = [i for i, (_, _, m) in enumerate(atoms) if m]
+    filter_atoms = [
+        (s, t[0], fld) for s, t, _, _, fld in atoms if fld is not None
+    ]
+    scoring = [
+        (i, s, t, m, fz)
+        for i, (s, t, m, fz, fld) in enumerate(atoms)
+        if fld is None
+    ]
+    if not scoring:
+        raise ValueError("query contains no scoring atoms")
+    if filter_atoms and doc_meta is None:
+        raise ValueError(
+            "field filters in the query need document metadata "
+            "(pass doc_meta)"
+        )
+    must_ids = [i for i, _, _, m, _ in scoring if m]
     term_atoms = [
         (i, s, t[0])
-        for i, (s, t, _) in enumerate(atoms)
-        if len(t) == 1 and not t[0].endswith("*")
+        for i, s, t, _, fz in scoring
+        if len(t) == 1 and fz is None and not t[0].endswith("*")
+    ]
+    fuzzy_atoms = [
+        (i, s, t[0], fz)
+        for i, s, t, _, fz in scoring
+        if len(t) == 1 and fz is not None
     ]
     prefix_atoms = [
         (i, s, t[0][:-1])
-        for i, (s, t, _) in enumerate(atoms)
-        if len(t) == 1 and t[0].endswith("*")
+        for i, s, t, _, fz in scoring
+        if len(t) == 1 and fz is None and t[0].endswith("*")
     ]
-    phrase_atoms = [
-        (i, s, t) for i, (s, t, _) in enumerate(atoms) if len(t) > 1
-    ]
-    # vocabulary validation over every NON-prefix word (phrase words
-    # included) — message parity with keyword validation
+    phrase_atoms = [(i, s, t) for i, s, t, _, _ in scoring if len(t) > 1]
+    # vocabulary validation over every NON-prefix, NON-fuzzy word
+    # (phrase words included) — message parity with keyword validation;
+    # fuzzy words are the user's possibly-misspelled input and validate
+    # at expansion (>=1 vocabulary term within distance) instead
     all_words = [
-        w for _, t, _ in atoms for w in t if not w.endswith("*")
+        w
+        for _, _, t, _, fz in scoring
+        if fz is None
+        for w in t
+        if not w.endswith("*")
     ]
     resolved = (
         {
@@ -436,6 +478,34 @@ def mixed_query_topk(
         if len(exp) > max_expansions:
             raise ValueError(
                 f"prefix '{prefix}*' matches more than "
+                f"{max_expansions} vocabulary terms"
+            )
+        weight_rows.extend(
+            (r["term"], i, s, idf(globs.n_docs, r["df"])) for r in exp
+        )
+    for i, s, word, fz in fuzzy_atoms:
+        if not word:
+            raise ValueError("empty fuzzy term in query")
+        # length prefilter is free pruning (|len(a)-len(b)| lower-bounds
+        # Levenshtein); the distance itself is JVM codegen, no Python
+        exp = (
+            vocab.filter(
+                F.length("term").between(len(word) - fz, len(word) + fz)
+            )
+            .filter(F.levenshtein(F.col("term"), F.lit(word)) <= fz)
+            .select("term", "df")
+            .orderBy(F.col("df").desc(), F.col("term").asc())
+            .limit(max_expansions + 1)
+            .collect()
+        )
+        if not exp:
+            raise ValueError(
+                f"no vocabulary terms within edit distance {fz} "
+                f"of '{word}'"
+            )
+        if len(exp) > max_expansions:
+            raise ValueError(
+                f"fuzzy term '{word}~{fz}' matches more than "
                 f"{max_expansions} vocabulary terms"
             )
         weight_rows.extend(
@@ -517,9 +587,46 @@ def mixed_query_topk(
         )
     else:
         scored = out.groupBy("doc_id").agg(sum_expr)
+    if filter_atoms:
+        scored = scored.join(
+            _filter_allowed_docs(doc_meta, filter_atoms), "doc_id", "left_semi"
+        )
     return scored.orderBy(
         F.col("score").desc(), F.col("doc_id").asc()
     ).limit(k)
+
+
+def _filter_allowed_docs(
+    doc_meta: DataFrame, filter_atoms: Sequence[tuple[float, str, str]]
+) -> DataFrame:
+    """doc_ids passing every ``field:value`` filter atom: per field,
+    positive values OR together (isin), negative values exclude; all
+    fields AND together in ONE predicate over ONE metadata scan —
+    every conjunct is a plain column comparison, so it pushes into
+    the parquet scan (PushedFilters) and the caller's semi-join is
+    the only extra operator a filtered query pays. NULL metadata
+    never matches (neither includes nor survives an exclusion) —
+    SQL three-valued logic, documented."""
+    by_field: dict[str, tuple[list[str], list[str]]] = {}
+    for s, value, fld in filter_atoms:
+        if fld not in doc_meta.columns:
+            raise ValueError(
+                f"unknown filter field '{fld}' — not a metadata column"
+            )
+        pos, neg = by_field.setdefault(fld, ([], []))
+        (pos if s > 0 else neg).append(value)
+    pred = F.lit(True)
+    for fld, (pos, neg) in by_field.items():
+        # exact keyword-field match (case preserved): a bare column
+        # isin stays a pushable predicate — wrapping the column in
+        # lower() would silently turn the pruned metadata scan into a
+        # full read (PushedFilters drop to IsNotNull only)
+        col = F.col(fld)
+        if pos:
+            pred = pred & col.isin(pos)
+        if neg:
+            pred = pred & ~col.isin(neg)
+    return doc_meta.filter(pred).select("doc_id")
 
 
 def min_cover_span(
