@@ -2865,6 +2865,80 @@ def _q_query_lang_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_query_lang_slop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sloppy-phrase row: '"fast table"~2 spark' — unordered span-near
+    (SpanNearQuery inOrder=false): tf = hit positions whose window of
+    width len+slop contains every phrase term, scored as ONE
+    pseudo-term; DuckDB replays the window join + HAVING count
+    (DISTINCT term) and the identical BM25 arithmetic."""
+    from top2vec_spark.functions.querylang import parse_query
+    from top2vec_spark.operators.positional import mixed_query_topk
+
+    tokens = _tokens(spark, sf_dir).cache()
+    ds = build_doc_stats(tokens)
+    g = compute_globals(ds)
+    vocab = build_vocab(tokens)
+    atoms = parse_query('"fast table"~2 spark')
+    res = mixed_query_topk(spark, tokens, ds, g, vocab, atoms, k=1_000_000)
+    return (
+        res.select("doc_id", F.round("score", 4).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+
+
+def _q_query_lang_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-filter row: 'spark "fast table" n_chars:[200 TO 900]
+    -source:{src1 TO src3]' — a numeric inclusive range ANDed with a
+    lexicographic half-open string-range exclusion; filters gate
+    (scores bit-identical to the unfiltered query), predicates stay
+    typed bare comparisons pushed into the metadata scan."""
+    from top2vec_spark.functions.querylang import parse_query
+    from top2vec_spark.operators.positional import mixed_query_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tokens = _tokens(spark, sf_dir).cache()
+    ds = build_doc_stats(tokens)
+    g = compute_globals(ds)
+    vocab = build_vocab(tokens)
+    atoms = parse_query(
+        'spark "fast table" n_chars:[200 TO 900] -source:{src1 TO src3]'
+    )
+    res = mixed_query_topk(
+        spark, tokens, ds, g, vocab, atoms, k=1_000_000, doc_meta=docs
+    )
+    return (
+        res.select("doc_id", F.round("score", 4).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+
+
+def _q_facet_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Facet row: terms-aggregation buckets (ES shape) over the FULL
+    match set of 'spark "fast table"' — every matching doc bucketed
+    by its source, (key, doc_count), doc_count DESC / key ASC, top
+    10; DuckDB replays the match union then a plain GROUP BY."""
+    from top2vec_spark.functions.querylang import parse_query
+    from top2vec_spark.operators.positional import mixed_query_scores
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tokens = _tokens(spark, sf_dir).cache()
+    ds = build_doc_stats(tokens)
+    g = compute_globals(ds)
+    vocab = build_vocab(tokens)
+    atoms = parse_query('spark "fast table"')
+    scored = mixed_query_scores(spark, tokens, ds, g, vocab, atoms)
+    return (
+        scored.join(docs.select("doc_id", "source"), "doc_id")
+        .filter(F.col("source").isNotNull())
+        .groupBy(F.col("source").alias("key"))
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+        .orderBy(F.col("doc_count").desc(), F.col("key").asc())
+        .limit(10)
+    )
+
+
 def _q_snippet_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Best width-8 snippet window for {spark, query} per matching doc
     — the snippet STRING pins tokenizer, window arithmetic, and the
@@ -2992,6 +3066,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_lang_must": _q_query_lang_must,
         "query_lang_fuzzy": _q_query_lang_fuzzy,
         "query_lang_filtered": _q_query_lang_filtered,
+        "query_lang_slop": _q_query_lang_slop,
+        "query_lang_range": _q_query_lang_range,
+        "facet_counts_source": _q_facet_counts,
     }
 
 
@@ -5345,5 +5422,133 @@ WHERE doc_id IN (
   WHERE lang IN ('en', 'fr') AND source NOT IN ('src3')
 )
 ORDER BY round(score, 4) DESC, doc_id ASC LIMIT 10
+""",
+        # '"fast table"~2 spark': unordered span-near — a start
+        # position qualifies iff the width-(2-1+2+1) window holds BOTH
+        # terms; tf = qualifying starts, scored as one pseudo-term
+        "query_lang_slop": f"""
+WITH {_PTOKENS_CTE},
+doc_stats AS (SELECT doc_id, count(*) AS dl FROM tokens_pos GROUP BY doc_id),
+globals AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM doc_stats),
+hits AS (
+  SELECT doc_id, pos, term FROM tokens_pos WHERE term IN ('fast', 'table')
+),
+qual AS (
+  SELECT s.doc_id, s.pos AS start
+  FROM hits s JOIN hits h
+    ON h.doc_id = s.doc_id AND h.pos >= s.pos AND h.pos <= s.pos + 3
+  GROUP BY s.doc_id, s.pos
+  HAVING count(DISTINCT h.term) = 2
+),
+tfp AS (SELECT doc_id, count(*) AS tf FROM qual GROUP BY doc_id),
+dfp AS (SELECT count(*) AS df FROM tfp),
+phrase_contrib AS (
+  SELECT t.doc_id,
+         ln(1.0 + (g.n_docs - d.df + 0.5) / (d.df + 0.5))
+           * (t.tf * ({BM25_K1} + 1.0))
+           / (t.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * s.dl / g.avgdl))
+           AS contrib
+  FROM tfp t JOIN doc_stats s USING (doc_id)
+  CROSS JOIN globals g CROSS JOIN dfp d
+),
+vocab AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tokens_pos GROUP BY term
+),
+q(term, sign) AS (VALUES ('spark', 1.0)),
+tft AS (
+  SELECT doc_id, term, count(*) AS tf FROM tokens_pos
+  WHERE term IN (SELECT term FROM q) GROUP BY doc_id, term
+),
+term_contrib AS (
+  SELECT tft.doc_id,
+         q.sign * ln(1.0 + (globals.n_docs - vocab.df + 0.5) / (vocab.df + 0.5))
+           * (tft.tf * ({BM25_K1} + 1.0))
+           / (tft.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * doc_stats.dl / globals.avgdl))
+           AS contrib
+  FROM tft JOIN q USING (term) JOIN vocab USING (term)
+  JOIN doc_stats USING (doc_id) CROSS JOIN globals
+),
+allc AS (
+  SELECT * FROM phrase_contrib UNION ALL SELECT * FROM term_contrib
+),
+scored AS (SELECT doc_id, sum(contrib) AS score FROM allc GROUP BY doc_id)
+SELECT doc_id, round(score, 4) AS score
+FROM scored ORDER BY round(score, 4) DESC, doc_id ASC LIMIT 10
+""",
+        # 'spark "fast table" n_chars:[200 TO 900] -source:{src1 TO src3]':
+        # filters gate, never score — the unfiltered scoring union plus
+        # ONE metadata IN-subquery with the same typed predicates
+        "query_lang_range": f"""
+WITH {_PTOKENS_CTE},
+doc_stats AS (SELECT doc_id, count(*) AS dl FROM tokens_pos GROUP BY doc_id),
+globals AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM doc_stats),
+occ AS (
+  SELECT a.doc_id, a.pos AS start
+  FROM tokens_pos a JOIN tokens_pos b
+    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  WHERE a.term = 'fast' AND b.term = 'table'
+),
+tfp AS (SELECT doc_id, count(*) AS tf FROM occ GROUP BY doc_id),
+dfp AS (SELECT count(*) AS df FROM tfp),
+phrase_contrib AS (
+  SELECT t.doc_id,
+         ln(1.0 + (g.n_docs - d.df + 0.5) / (d.df + 0.5))
+           * (t.tf * ({BM25_K1} + 1.0))
+           / (t.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * s.dl / g.avgdl))
+           AS contrib
+  FROM tfp t JOIN doc_stats s USING (doc_id)
+  CROSS JOIN globals g CROSS JOIN dfp d
+),
+vocab AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tokens_pos GROUP BY term
+),
+q(term, sign) AS (VALUES ('spark', 1.0)),
+tft AS (
+  SELECT doc_id, term, count(*) AS tf FROM tokens_pos
+  WHERE term IN (SELECT term FROM q) GROUP BY doc_id, term
+),
+term_contrib AS (
+  SELECT tft.doc_id,
+         q.sign * ln(1.0 + (globals.n_docs - vocab.df + 0.5) / (vocab.df + 0.5))
+           * (tft.tf * ({BM25_K1} + 1.0))
+           / (tft.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * doc_stats.dl / globals.avgdl))
+           AS contrib
+  FROM tft JOIN q USING (term) JOIN vocab USING (term)
+  JOIN doc_stats USING (doc_id) CROSS JOIN globals
+),
+allc AS (
+  SELECT * FROM phrase_contrib UNION ALL SELECT * FROM term_contrib
+),
+scored AS (SELECT doc_id, sum(contrib) AS score FROM allc GROUP BY doc_id)
+SELECT doc_id, round(score, 4) AS score
+FROM scored
+WHERE doc_id IN (
+  SELECT doc_id FROM documents
+  WHERE n_chars >= 200 AND n_chars <= 900
+    AND source IS NOT NULL
+    AND NOT (source > 'src1' AND source <= 'src3')
+)
+ORDER BY round(score, 4) DESC, doc_id ASC LIMIT 10
+""",
+        # facets over the FULL match set of 'spark "fast table"':
+        # every doc with a scoring contribution, bucketed by source
+        "facet_counts_source": f"""
+WITH {_PTOKENS_CTE},
+occ AS (
+  SELECT a.doc_id, a.pos AS start
+  FROM tokens_pos a JOIN tokens_pos b
+    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  WHERE a.term = 'fast' AND b.term = 'table'
+),
+matched AS (
+  SELECT doc_id FROM tokens_pos WHERE term = 'spark'
+  UNION
+  SELECT doc_id FROM occ
+)
+SELECT d.source AS key, count(*) AS doc_count
+FROM matched m JOIN documents d USING (doc_id)
+WHERE d.source IS NOT NULL
+GROUP BY d.source
+ORDER BY doc_count DESC, key ASC LIMIT 10
 """,
     }

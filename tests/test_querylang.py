@@ -26,21 +26,21 @@ from tests.test_positional import CORPUS, _py_phrase_occ, _pytoks
 # ---------------------------------------------------------------------------
 def test_parse_terms_and_signs():
     assert parse_query("Spark -slow") == [
-        (1.0, ("spark",), False, None, None),
-        (-1.0, ("slow",), False, None, None),
+        (1.0, ("spark",), False, None, None, None, None),
+        (-1.0, ("slow",), False, None, None, None, None),
     ]
 
 
 def test_parse_phrases():
     assert parse_query('"Fast Table" scan -"slow scan"') == [
-        (1.0, ("fast", "table"), False, None, None),
-        (1.0, ("scan",), False, None, None),
-        (-1.0, ("slow", "scan"), False, None, None),
+        (1.0, ("fast", "table"), False, None, None, None, None),
+        (1.0, ("scan",), False, None, None, None, None),
+        (-1.0, ("slow", "scan"), False, None, None, None, None),
     ]
 
 
 def test_parse_duplicates_kept():
-    assert parse_query("a a") == [(1.0, ("a",), False, None, None), (1.0, ("a",), False, None, None)]
+    assert parse_query("a a") == [(1.0, ("a",), False, None, None, None, None), (1.0, ("a",), False, None, None, None, None)]
 
 
 @pytest.mark.parametrize(
@@ -158,29 +158,29 @@ def test_unknown_word_raises(spark, env):
 
 def test_parse_prefix():
     assert parse_query("St* -slow") == [
-        (1.0, ("st*",), False, None, None),
-        (-1.0, ("slow",), False, None, None),
+        (1.0, ("st*",), False, None, None, None, None),
+        (-1.0, ("slow",), False, None, None, None, None),
     ]
 
 
 def test_parse_boosts():
     assert parse_query('Spark^2 -slow^0.5 "Fast Table"^3 st*^1.5 a^.25') == [
-        (2.0, ("spark",), False, None, None),
-        (-0.5, ("slow",), False, None, None),
-        (3.0, ("fast", "table"), False, None, None),
-        (1.5, ("st*",), False, None, None),
-        (0.25, ("a",), False, None, None),
+        (2.0, ("spark",), False, None, None, None, None),
+        (-0.5, ("slow",), False, None, None, None, None),
+        (3.0, ("fast", "table"), False, None, None, None, None),
+        (1.5, ("st*",), False, None, None, None, None),
+        (0.25, ("a",), False, None, None, None, None),
     ]
 
 
 def test_parse_must():
     got = parse_query('+Spark -slow +"Fast Table"^2 +st* wb')
     assert got == [
-        (1.0, ("spark",), True, None, None),
-        (-1.0, ("slow",), False, None, None),
-        (2.0, ("fast", "table"), True, None, None),
-        (1.0, ("st*",), True, None, None),
-        (1.0, ("wb",), False, None, None),
+        (1.0, ("spark",), True, None, None, None, None),
+        (-1.0, ("slow",), False, None, None, None, None),
+        (2.0, ("fast", "table"), True, None, None, None, None),
+        (1.0, ("st*",), True, None, None, None, None),
+        (1.0, ("wb",), False, None, None, None, None),
     ]
     assert [a.must for a in got] == [True, False, True, True, False]
 
@@ -394,10 +394,10 @@ def test_facade_search(spark):
 # ---------------------------------------------------------------------------
 def test_parse_fuzzy():
     assert parse_query("sprk~ word~1 -oops~2^0.5 exact~0") == [
-        (1.0, ("sprk",), False, 2, None),
-        (1.0, ("word",), False, 1, None),
-        (-0.5, ("oops",), False, 2, None),
-        (1.0, ("exact",), False, 0, None),
+        (1.0, ("sprk",), False, 2, None, None, None),
+        (1.0, ("word",), False, 1, None, None, None),
+        (-0.5, ("oops",), False, 2, None, None, None),
+        (1.0, ("exact",), False, 0, None, None, None),
     ]
 
 
@@ -542,9 +542,9 @@ def test_parse_filters():
     # filter VALUES keep their case (keyword-field exact match);
     # scoring terms still lowercase (T4)
     assert parse_query("Spark lang:EN -source:Spam") == [
-        (1.0, ("spark",), False, None, None),
-        (1.0, ("EN",), False, None, "lang"),
-        (-1.0, ("Spam",), False, None, "source"),
+        (1.0, ("spark",), False, None, None, None, None),
+        (1.0, ("EN",), False, None, "lang", None, None),
+        (-1.0, ("Spam",), False, None, "source", None, None),
     ]
 
 
@@ -674,3 +674,357 @@ def test_facade_search_filtered(spark):
     assert rows and {r["doc_id"] for r in rows} <= en
     # text projection still works alongside the filter
     assert all(r["text"] for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# Sloppy phrases ("a b"~N — unordered span-near)
+# ---------------------------------------------------------------------------
+def test_parse_slop():
+    assert parse_query('"Fast Table"~2 -"slow scan"~0^1.5 "a b"~10') == [
+        (1.0, ("fast", "table"), False, None, None, 2, None),
+        (-1.5, ("slow", "scan"), False, None, None, 0, None),
+        (1.0, ("a", "b"), False, None, None, 10, None),
+    ]
+    # must combines with slop; exact phrase stays slop=None
+    got = parse_query('+"fast table"~1 "fast table"')
+    assert got[0].must and got[0].slop == 1
+    assert got[1].slop is None
+
+
+@pytest.mark.parametrize(
+    "bad",
+    ['"a b"~', '"a b"~x', '"a b"~1.5', '"a b"~2x', '"a b"~-1', '"a b"~2~3'],
+)
+def test_parse_slop_errors(bad):
+    with pytest.raises(ValueError):
+        parse_query(bad)
+
+
+def _py_span_near_tf(terms, slop):
+    """Brute oracle: tf per doc = count of hit positions p whose
+    window [p, p+limit] contains every distinct term."""
+    uniq = list(dict.fromkeys(terms))
+    limit = len(uniq) - 1 + slop
+    out = {}
+    for doc_id, text in CORPUS:
+        toks = _pytoks(text)
+        hits = [i for i, t in enumerate(toks) if t in uniq]
+        tf = 0
+        for p in hits:
+            window = set(toks[p : p + limit + 1])
+            if all(t in window for t in uniq):
+                tf += 1
+        if tf:
+            out[doc_id] = tf
+    return out
+
+
+@pytest.mark.parametrize(
+    "terms,slop",
+    [
+        (["fast", "table"], 0),
+        (["fast", "table"], 1),
+        (["fast", "table"], 2),
+        (["fast", "table", "scan"], 1),
+        (["fast", "table", "scan"], 3),
+        (["window", "merge"], 0),
+        (["spark"], 2),
+    ],
+)
+def test_span_near_tf_matches_brute(spark, env, terms, slop):
+    from top2vec_spark.operators.positional import span_near_tf
+
+    tokens, vocab, ds, g = env
+    got = {
+        r["doc_id"]: r["tf"]
+        for r in span_near_tf(tokens, terms, slop).collect()
+    }
+    assert got == _py_span_near_tf(terms, slop)
+
+
+def test_slop_zero_is_unordered_adjacency(spark, env):
+    """Documented delta vs Lucene: slop 0 means "adjacent in any
+    order" (SpanNear inOrder=false), so '"merge window"~0' counts
+    windows the exact phrase scan does not."""
+    from top2vec_spark.operators.positional import span_near_tf
+
+    tokens, vocab, ds, g = env
+    # doc 4 = "window merge window merge spark spark"
+    near = {
+        r["doc_id"]: r["tf"]
+        for r in span_near_tf(tokens, ["merge", "window"], 0).collect()
+    }
+    occ = _py_phrase_occ(["merge", "window"])
+    assert near[4] == 3  # starts at 0, 1, 2
+    assert [p for d, p in occ if d == 4] == [1]  # exact ordered scan
+
+
+def test_slop_scoring_matches_python(spark, env):
+    """'"fast table"~1' scores as ONE pseudo-term with tf = span-near
+    match count and df over matching docs — recompute the BM25 sum in
+    plain Python."""
+    tokens, vocab, ds, g = env
+    cfg = BM25Config()
+    tfs = _py_span_near_tf(["fast", "table"], 1)
+    dls = {d: len(_pytoks(t)) for d, t in CORPUS}
+    n = len(CORPUS)
+    avgdl = sum(dls.values()) / n
+    df = len(tfs)
+    w = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    want = {
+        d: w * (tf * (cfg.k1 + 1)) / (tf + cfg.k1 * (1 - cfg.b + cfg.b * dls[d] / avgdl))
+        for d, tf in tfs.items()
+    }
+    got = {
+        r["doc_id"]: r["score"]
+        for r in mixed_query_topk(
+            spark, tokens, ds, g, vocab, parse_query('"fast table"~1'), 10
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for d in got:
+        assert got[d] == pytest.approx(want[d], rel=1e-12)
+
+
+def test_slop_boost_and_must(spark, env):
+    tokens, vocab, ds, g = env
+    base = {
+        r["doc_id"]: r["score"]
+        for r in mixed_query_topk(
+            spark, tokens, ds, g, vocab, parse_query('"fast table"~1 spark'), 10
+        ).collect()
+    }
+    boosted = {
+        r["doc_id"]: r["score"]
+        for r in mixed_query_topk(
+            spark, tokens, ds, g, vocab,
+            parse_query('"fast table"~1^2 spark'), 10,
+        ).collect()
+    }
+    slop_docs = set(_py_span_near_tf(["fast", "table"], 1))
+    # boost only scales the sloppy-phrase contribution
+    for d in base:
+        if d not in slop_docs:
+            assert boosted[d] == pytest.approx(base[d], rel=1e-12)
+    gated = {
+        r["doc_id"]
+        for r in mixed_query_topk(
+            spark, tokens, ds, g, vocab,
+            parse_query('+"fast table"~1 spark'), 10,
+        ).collect()
+    }
+    assert gated == slop_docs
+
+
+# ---------------------------------------------------------------------------
+# Range filters (field:[lo TO hi])
+# ---------------------------------------------------------------------------
+def test_parse_ranges():
+    got = parse_query("spark n_chars:[100 TO 900] -source:{srcA TO srcB] lang:[* TO en}")
+    assert got[1] == (1.0, (), False, None, "n_chars", None, ("100", "900", True, True))
+    assert got[2] == (-1.0, (), False, None, "source", None, ("srcA", "srcB", False, True))
+    assert got[3] == (1.0, (), False, None, "lang", None, (None, "en", True, False))
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        "f:[1 TO ]", "f:[ TO 2]", "f:[1 to 2]", "f:[1 TO 2]x", "f:[1 TO 2",
+        "f:[1]", "+f:[1 TO 2]", "f:[a* TO b]", 'f:[a" TO b]', "f:[1 TO 2 TO 3]",
+    ],
+)
+def test_parse_range_errors(bad):
+    with pytest.raises(ValueError):
+        parse_query(bad)
+
+
+@pytest.fixture(scope="module")
+def range_env(spark):
+    rows = [
+        (d, t, ["en", "de", "en", "fr", "en", None, "fr"][d], len(t))
+        for d, t in CORPUS
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, n_chars long"
+    )
+    tokens = tokenize_docs(docs, ascii_fast_path=True).cache()
+    vocab = build_vocab(tokens, min_count=0)
+    ds = build_doc_stats(tokens)
+    g = compute_globals(ds)
+    return rows, docs, tokens, vocab, ds, g
+
+
+def test_range_numeric_gates_without_scoring(spark, range_env):
+    rows, docs, tokens, vocab, ds, g = range_env
+    free = {
+        r["doc_id"]: r["score"]
+        for r in mixed_query_topk(
+            spark, tokens, ds, g, vocab, parse_query("fast table"), 20
+        ).collect()
+    }
+    got = {
+        r["doc_id"]: r["score"]
+        for r in mixed_query_topk(
+            spark, tokens, ds, g, vocab,
+            parse_query("fast table n_chars:[20 TO 40]"), 20, doc_meta=docs,
+        ).collect()
+    }
+    keep = {d for d, t, _, nc in rows if 20 <= nc <= 40}
+    assert set(got) == set(free) & keep
+    for d in got:
+        assert got[d] == free[d]
+
+
+def test_range_string_lex_and_exclusive(spark, range_env):
+    rows, docs, tokens, vocab, ds, g = range_env
+    free = {
+        r["doc_id"]
+        for r in mixed_query_topk(
+            spark, tokens, ds, g, vocab, parse_query("fast table"), 20
+        ).collect()
+    }
+    langs = {d: l for d, _, l, _ in rows}
+    incl = {
+        r["doc_id"]
+        for r in mixed_query_topk(
+            spark, tokens, ds, g, vocab,
+            parse_query("fast table lang:[de TO en]"), 20, doc_meta=docs,
+        ).collect()
+    }
+    assert incl == {d for d in free if langs[d] in ("de", "en")}
+    excl = {
+        r["doc_id"]
+        for r in mixed_query_topk(
+            spark, tokens, ds, g, vocab,
+            parse_query("fast table lang:{de TO fr}"), 20, doc_meta=docs,
+        ).collect()
+    }
+    assert excl == {d for d in free if langs[d] == "en"}
+
+
+def test_range_open_ends_and_exists(spark, range_env):
+    rows, docs, tokens, vocab, ds, g = range_env
+    free = {
+        r["doc_id"]
+        for r in mixed_query_topk(
+            spark, tokens, ds, g, vocab, parse_query("fast table"), 20
+        ).collect()
+    }
+    langs = {d: l for d, _, l, _ in rows}
+    upto = {
+        r["doc_id"]
+        for r in mixed_query_topk(
+            spark, tokens, ds, g, vocab,
+            parse_query("fast table lang:[* TO en]"), 20, doc_meta=docs,
+        ).collect()
+    }
+    assert upto == {d for d in free if langs[d] in ("de", "en")}
+    # [* TO *] = field exists (NULL lang excluded)
+    exists = {
+        r["doc_id"]
+        for r in mixed_query_topk(
+            spark, tokens, ds, g, vocab,
+            parse_query("fast table lang:[* TO *]"), 20, doc_meta=docs,
+        ).collect()
+    }
+    assert exists == {d for d in free if langs[d] is not None}
+    # NULL never survives an exclusion either: -lang:[* TO *] keeps
+    # nothing with NULL lang (and drops every lang'd doc)
+    not_exists = {
+        r["doc_id"]
+        for r in mixed_query_topk(
+            spark, tokens, ds, g, vocab,
+            parse_query("fast table -lang:[* TO *]"), 20, doc_meta=docs,
+        ).collect()
+    }
+    assert not_exists == set()
+
+
+def test_range_mixed_with_exact_ors_within_field(spark, range_env):
+    """An exact value and a range on the SAME field OR together."""
+    rows, docs, tokens, vocab, ds, g = range_env
+    free = {
+        r["doc_id"]
+        for r in mixed_query_topk(
+            spark, tokens, ds, g, vocab, parse_query("fast table"), 20
+        ).collect()
+    }
+    langs = {d: l for d, _, l, _ in rows}
+    got = {
+        r["doc_id"]
+        for r in mixed_query_topk(
+            spark, tokens, ds, g, vocab,
+            parse_query("fast table lang:fr lang:[de TO de]"), 20,
+            doc_meta=docs,
+        ).collect()
+    }
+    assert got == {d for d in free if langs[d] in ("fr", "de")}
+
+
+def test_range_type_errors(spark, range_env):
+    rows, docs, tokens, vocab, ds, g = range_env
+    with pytest.raises(ValueError, match="not an integer"):
+        mixed_query_topk(
+            spark, tokens, ds, g, vocab,
+            parse_query("fast n_chars:[a TO 5]"), 5, doc_meta=docs,
+        ).collect()
+    with pytest.raises(ValueError, match="unknown filter field"):
+        mixed_query_topk(
+            spark, tokens, ds, g, vocab,
+            parse_query("fast nosuch:[1 TO 5]"), 5, doc_meta=docs,
+        ).collect()
+
+
+def test_range_predicate_pushdown(spark, range_env):
+    from top2vec_spark.operators.positional import _filter_allowed_docs
+
+    rows, docs, tokens, vocab, ds, g = range_env
+    allowed = _filter_allowed_docs(
+        docs,
+        [(1.0, None, "n_chars", ("20", "40", True, False)),
+         (-1.0, "de", "lang", None)],
+    )
+    plan = allowed._jdf.queryExecution().optimizedPlan().toString()
+    assert "n_chars#" in plan and "lang#" in plan
+    # numeric bounds became typed literals — no string-cast wrap on
+    # the column (which would block parquet pushdown)
+    assert "cast(n_chars" not in plan.lower()
+    assert "lower(" not in plan.lower()
+
+
+# ---------------------------------------------------------------------------
+# facet_counts (ES terms-aggregation shape)
+# ---------------------------------------------------------------------------
+def test_facet_counts_matches_python(spark, range_env):
+    from top2vec_spark.api import Top2VecSpark
+
+    rows, docs, _, _, _, _ = range_env
+    eng = Top2VecSpark(spark, docs, ascii_fast_path=True, min_count=0)
+    matched = {
+        r["doc_id"]
+        for r in eng.search("fast table", 7, return_documents=False).collect()
+    }
+    langs = {d: l for d, _, l, _ in rows}
+    from collections import Counter
+
+    want = Counter(langs[d] for d in matched if langs[d] is not None)
+    got = eng.facet_counts("fast table", "lang", 10).collect()
+    assert [(r["key"], r["doc_count"]) for r in got] == sorted(
+        want.items(), key=lambda kv: (-kv[1], kv[0])
+    )
+
+
+def test_facet_counts_respects_filters_and_errors(spark, range_env):
+    from top2vec_spark.api import Top2VecSpark
+
+    rows, docs, _, _, _, _ = range_env
+    eng = Top2VecSpark(spark, docs, ascii_fast_path=True, min_count=0)
+    got = {
+        r["key"]: r["doc_count"]
+        for r in eng.facet_counts("fast table lang:[de TO en]", "lang", 10).collect()
+    }
+    assert set(got) <= {"de", "en"}
+    with pytest.raises(ValueError, match="unknown facet field"):
+        eng.facet_counts("fast", "nosuch", 5)
+    with pytest.raises(ValueError):
+        eng.facet_counts("fast", "lang", 0)

@@ -483,21 +483,39 @@ class Top2VecSpark:
     ) -> DataFrame:
         """Query-language search (functions/querylang.py): bare terms,
         ``-`` negation, ``+`` required clauses, ``"quoted phrases"``,
-        trailing-``*`` prefixes, ``~N`` fuzzy terms, ``field:value``
-        metadata filters, and ``^boost`` weights — every scoring atom
-        contributes sign * boost * BM25, phrases scored as
-        exact-occurrence pseudo-terms, fuzzy terms expanded against
-        the vocabulary by edit distance, filters gating (never
-        scoring) against the docs DataFrame's metadata columns, and
-        only docs matching every ``+`` atom are returned.
-        'spark "fast table"^2 -slow lang:en' == keywords [spark] +
-        double-weighted phrase ["fast","table"] + keywords_neg [slow],
-        restricted to lang == 'en' documents."""
+        ``"sloppy phrases"~N`` (unordered span-near), trailing-``*``
+        prefixes, ``~N`` fuzzy terms, ``field:value`` metadata
+        filters, ``field:[lo TO hi]`` range filters, and ``^boost``
+        weights — every scoring atom contributes sign * boost * BM25,
+        phrases scored as exact-occurrence pseudo-terms, sloppy
+        phrases as span-near match counts, fuzzy terms expanded
+        against the vocabulary by edit distance, filters gating
+        (never scoring) against the docs DataFrame's metadata
+        columns, and only docs matching every ``+`` atom are
+        returned. 'spark "fast table"^2 -slow lang:en
+        n_chars:[100 TO 900]' == keywords [spark] + double-weighted
+        phrase ["fast","table"] + keywords_neg [slow], restricted to
+        lang == 'en' documents of 100-900 chars."""
+        self._validate_num_docs(num_docs)
+        tombs = self._index.tombstones if getattr(self, "_index", None) else ()
+        scored = self._query_match_scores(query)
+        result = scored.orderBy(
+            F.col("score").desc(), F.col("doc_id").asc()
+        ).limit(num_docs + len(tombs))
+        result = self._exclude_tombstones(
+            result, num_docs, [F.col("score").desc(), F.col("doc_id").asc()]
+        )
+        return self._project(result, return_documents)
+
+    def _query_match_scores(self, query: str) -> DataFrame:
+        """Parse + validate a query-language string and return its
+        FULL match set as (doc_id, score) — the shared front half of
+        :meth:`search` (which ranks and limits it) and
+        :meth:`facet_counts` (which aggregates it whole)."""
         from top2vec_spark.functions.querylang import parse_query
-        from top2vec_spark.operators.positional import mixed_query_topk
+        from top2vec_spark.operators.positional import mixed_query_scores
 
         atoms = parse_query(query)
-        self._validate_num_docs(num_docs)
         # prefix atoms (trailing *), fuzzy atoms (~N), and field
         # filters validate at expansion/execution time instead
         words = [
@@ -509,7 +527,6 @@ class Top2VecSpark:
         ]
         if words:
             self._validate_keywords(words)
-        tombs = self._index.tombstones if getattr(self, "_index", None) else ()
         # prefix atoms can't prune the HASH-bucketed sidecar (xxhash64
         # buckets can't prefix-match; a term-RANGE layout could) and
         # fuzzy expansions aren't known until execution — either
@@ -522,20 +539,45 @@ class Top2VecSpark:
         )
         src = self.tokens if has_unpruned else self._positional_tokens(words)
         has_filter = any(a.field is not None for a in atoms)
-        result = mixed_query_topk(
+        return mixed_query_scores(
             self.spark,
             src,
             self.doc_stats,
             self.globals,
             self.vocab,
             atoms,
-            num_docs + len(tombs),
             doc_meta=self.docs if has_filter else None,
         )
-        result = self._exclude_tombstones(
-            result, num_docs, [F.col("score").desc(), F.col("doc_id").asc()]
+
+    def facet_counts(
+        self, query: str, field: str, num_facets: int = 10
+    ) -> DataFrame:
+        """Terms-aggregation facets over a query's FULL match set —
+        the Elasticsearch terms-bucket shape: run the query-language
+        match (every scoring/filter/must rule of :meth:`search`, but
+        unranked and unlimited), bucket the matching documents by a
+        metadata column, and return the top ``num_facets`` buckets as
+        (key, doc_count), doc_count DESC / key ASC. NULL metadata
+        forms no bucket (ES's missing-bucket default). Tombstoned
+        documents are excluded before bucketing, so facet counts
+        always agree with what a paging user can retrieve."""
+        if field not in self.docs.columns:
+            raise ValueError(
+                f"unknown facet field '{field}' — not a metadata column"
+            )
+        self._validate_num(num_facets, "num_facets")
+        scored = self._query_match_scores(query)
+        tombs = self._index.tombstones if getattr(self, "_index", None) else ()
+        if tombs:
+            scored = scored.filter(~F.col("doc_id").isin(list(tombs)))
+        return (
+            scored.join(self.docs.select("doc_id", field), "doc_id")
+            .filter(F.col(field).isNotNull())
+            .groupBy(F.col(field).alias("key"))
+            .agg(F.count(F.lit(1)).alias("doc_count"))
+            .orderBy(F.col("doc_count").desc(), F.col("key").asc())
+            .limit(num_facets)
         )
-        return self._project(result, return_documents)
 
     def search_documents_by_phrase(
         self, phrase: Sequence[str], num_docs: int, return_documents: bool = True

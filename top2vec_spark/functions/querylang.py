@@ -84,13 +84,18 @@ class Atom(NamedTuple):
     (bare atoms stay pure-OR, the Lucene should-clause default).
     ``fuzz`` (0-2) marks a fuzzy term expanded by Levenshtein distance
     at execution; ``field`` marks a non-scoring metadata filter whose
-    single value is ``terms[0]`` (sign -1 = exclusion)."""
+    single value is ``terms[0]`` (sign -1 = exclusion); ``slop`` on a
+    phrase marks it a sloppy phrase (unordered span-near with that
+    slop); ``rng`` on a filter atom is a range filter
+    ``(lo, hi, lo_inc, hi_inc)`` with ``None`` for an open end."""
 
     sign: float
     terms: tuple[str, ...]
     must: bool = False
     fuzz: int | None = None
     field: str | None = None
+    slop: int | None = None
+    rng: tuple | None = None
 
 
 def _parse_boost(text: str) -> float:
@@ -149,6 +154,18 @@ def parse_query(query: str) -> list[Atom]:
             if any("*" in w for w in words):
                 raise ValueError("wildcards are not supported inside phrases")
             i = end + 1
+            slop = None
+            if i < n and query[i] == "~":
+                j = i + 1
+                while j < n and query[j].isdigit():
+                    j += 1
+                if j == i + 1:
+                    raise ValueError(
+                        "phrase slop needs an explicit number"
+                        ' (e.g. "a b"~2)'
+                    )
+                slop = int(query[i + 1 : j])
+                i = j
             if i < n and query[i] == "^":
                 j = i + 1
                 while j < n and not query[j].isspace():
@@ -157,7 +174,9 @@ def parse_query(query: str) -> list[Atom]:
                 i = j
             elif i < n and not query[i].isspace():
                 raise ValueError("unexpected text after closing quote")
-            atoms.append(Atom(sign, tuple(w.lower() for w in words), must))
+            atoms.append(
+                Atom(sign, tuple(w.lower() for w in words), must, slop=slop)
+            )
         else:
             j = i
             while j < n and not query[j].isspace():
@@ -169,12 +188,66 @@ def parse_query(query: str) -> list[Atom]:
                 field, value = word[:colon], word[colon + 1 :]
                 if not _FIELD_RE.match(field):
                     raise ValueError(f"invalid filter field '{field}'")
-                if not value:
-                    raise ValueError(f"empty value for filter field '{field}'")
                 if must:
                     raise ValueError(
                         "'+' is redundant on a field filter (filters always gate)"
                     )
+                if value[:1] in ("[", "{"):
+                    # field:[lo TO hi] range filter — the bounds may
+                    # span whitespace, so re-scan the raw query for the
+                    # closing bracket (Lucene range syntax: [] = both
+                    # ends inclusive, {} exclusive, mixed allowed, '*'
+                    # = open end)
+                    open_pos = i + colon + 1
+                    close_pos = -1
+                    for jj in range(open_pos + 1, n):
+                        if query[jj] in "]}":
+                            close_pos = jj
+                            break
+                    if close_pos < 0:
+                        raise ValueError(
+                            f"unclosed range bracket on field '{field}'"
+                        )
+                    if close_pos + 1 < n and not query[close_pos + 1].isspace():
+                        raise ValueError(
+                            "unexpected text after range bracket"
+                        )
+                    body = query[open_pos + 1 : close_pos]
+                    parts = body.split(" TO ")
+                    if len(parts) != 2:
+                        raise ValueError(
+                            f"range on field '{field}' must be "
+                            "[lo TO hi] (uppercase TO)"
+                        )
+                    lo, hi = parts[0].strip(), parts[1].strip()
+                    if not lo or not hi:
+                        raise ValueError(
+                            f"empty range bound on field '{field}' "
+                            "(use '*' for an open end)"
+                        )
+                    if any(ch in lo + hi for ch in '^~:"[]{}'):
+                        raise ValueError(
+                            f"invalid character in range bound on "
+                            f"field '{field}'"
+                        )
+                    if ("*" in lo and lo != "*") or ("*" in hi and hi != "*"):
+                        raise ValueError(
+                            "'*' in a range bound must stand alone "
+                            "(open end)"
+                        )
+                    rng = (
+                        None if lo == "*" else lo,
+                        None if hi == "*" else hi,
+                        query[open_pos] == "[",
+                        query[close_pos] == "]",
+                    )
+                    atoms.append(
+                        Atom(sign, (), False, None, field, rng=rng)
+                    )
+                    i = close_pos + 1
+                    continue
+                if not value:
+                    raise ValueError(f"empty value for filter field '{field}'")
                 if any(ch in value for ch in "^~*:"):
                     raise ValueError(
                         "boost/fuzzy/wildcard are not supported on field filters"

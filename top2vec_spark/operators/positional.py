@@ -353,14 +353,74 @@ def _sweep_min_spans(pos, tid, doc_ids, need):
     return out_docs, out_spans
 
 
-def mixed_query_topk(
+def span_near_tf(
+    tokens: DataFrame, terms: Sequence[str], slop: int
+) -> DataFrame:
+    """(doc_id, tf) for an UNORDERED span-near match — the executor
+    behind ``"a b"~N`` sloppy phrases (Lucene SpanNearQuery with
+    inOrder=false). A hit position ``p`` qualifies iff the window
+    ``[p, p + limit]`` with ``limit = n_distinct_terms - 1 + slop``
+    contains at least one occurrence of EVERY phrase term; ``tf`` is
+    the count of qualifying start positions. ``slop=0`` therefore
+    means "all terms adjacent in any order" — the documented delta vs
+    Lucene's ordered sloppy freq (which weights each match by
+    1/(1+matchLength)); match-counting keeps the engine score the
+    same BM25 shape as exact phrases and replays exactly in SQL.
+
+    Physical shape mirrors best_snippet's WINDOW-BUCKET equi-join:
+    candidate (start, hit) pairs come from a (doc_id, bucket)
+    equi-join where each hit explodes to the 2 width-(limit+1)
+    buckets it can serve, never a per-doc theta join — O(hits x
+    limit) pairs instead of O(hits^2), the difference that keeps a
+    stopword-ish term on a 10^5-token page from going quadratic."""
+    if slop < 0:
+        raise ValueError("slop must be >= 0")
+    uniq = list(dict.fromkeys(_lower(terms)))
+    need = len(uniq)
+    limit = need - 1 + slop
+    w = limit + 1
+    mapping = F.create_map(
+        *[F.lit(x) for t, i in ((t, i) for i, t in enumerate(uniq)) for x in (t, i)]
+    )
+    hits = tokens.filter(F.col("term").isin(uniq)).select(
+        "doc_id", "pos", mapping[F.col("term")].cast("int").alias("tid")
+    )
+    starts = hits.select(
+        "doc_id",
+        F.col("pos").alias("start"),
+        F.floor(F.col("pos") / w).alias("_b"),
+    )
+    exploded = hits.select(
+        "doc_id",
+        "pos",
+        "tid",
+        F.explode(
+            F.array(
+                F.floor(F.col("pos") / w),
+                F.floor(F.col("pos") / w) - 1,
+            )
+        ).alias("_b"),
+    )
+    qualifying = (
+        starts.join(exploded, ["doc_id", "_b"])
+        .filter(
+            (F.col("pos") >= F.col("start"))
+            & (F.col("pos") <= F.col("start") + limit)
+        )
+        .groupBy("doc_id", "start")
+        .agg(F.count_distinct("tid").alias("_nt"))
+        .filter(F.col("_nt") == need)
+    )
+    return qualifying.groupBy("doc_id").agg(F.count(F.lit(1)).alias("tf"))
+
+
+def mixed_query_scores(
     spark: SparkSession,
     tokens: DataFrame,
     doc_stats: DataFrame,
     globs: CorpusGlobals,
     vocab: DataFrame,
     atoms: Sequence[tuple[float, tuple[str, ...]]],
-    k: int,
     cfg: BM25Config = BM25Config(),
     max_expansions: int = 128,
     doc_meta: DataFrame | None = None,
@@ -388,13 +448,17 @@ def mixed_query_topk(
     walk re-expressed columnar), each expansion contributing like a
     prefix expansion. ``field:value`` filter atoms never score: they
     gate the result through ONE semi-join against ``doc_meta`` with
-    the field predicates pushed into its scan (values on a field OR
-    together, fields AND together, sign<0 excludes) — the doc-values
-    filter pattern. Returns (doc_id, score), score DESC / doc_id ASC,
-    k rows.
+    the field predicates pushed into its scan (values and ranges on a
+    field OR together, fields AND together, sign<0 excludes) — the
+    doc-values filter pattern. ``"a b"~N`` sloppy phrases score as
+    unordered span-near pseudo-terms (see :func:`span_near_tf`).
+    Returns the FULL match set as (doc_id, score) — unordered,
+    unlimited; facet aggregation consumes it whole, ranked retrieval
+    goes through :func:`mixed_query_topk`.
     """
-    # atoms are querylang.Atom(sign, terms, must, fuzz, field) — index
-    # access keeps hand-built legacy (sign, terms) 2-tuples working
+    # atoms are querylang.Atom(sign, terms, must, fuzz, field, slop,
+    # rng) — index access keeps hand-built legacy (sign, terms)
+    # 2-tuples working
     atoms = [
         (
             a[0],
@@ -402,17 +466,21 @@ def mixed_query_topk(
             a[2] if len(a) > 2 else False,
             a[3] if len(a) > 3 else None,
             a[4] if len(a) > 4 else None,
+            a[5] if len(a) > 5 else None,
+            a[6] if len(a) > 6 else None,
         )
         for a in atoms
     ]
     if not atoms:
         raise ValueError("query contains no terms")
     filter_atoms = [
-        (s, t[0], fld) for s, t, _, _, fld in atoms if fld is not None
+        (s, t[0] if t else None, fld, rng)
+        for s, t, _, _, fld, _, rng in atoms
+        if fld is not None
     ]
     scoring = [
-        (i, s, t, m, fz)
-        for i, (s, t, m, fz, fld) in enumerate(atoms)
+        (i, s, t, m, fz, sl)
+        for i, (s, t, m, fz, fld, sl, _) in enumerate(atoms)
         if fld is None
     ]
     if not scoring:
@@ -422,30 +490,35 @@ def mixed_query_topk(
             "field filters in the query need document metadata "
             "(pass doc_meta)"
         )
-    must_ids = [i for i, _, _, m, _ in scoring if m]
+    must_ids = [i for i, _, _, m, _, _ in scoring if m]
     term_atoms = [
         (i, s, t[0])
-        for i, s, t, _, fz in scoring
-        if len(t) == 1 and fz is None and not t[0].endswith("*")
+        for i, s, t, _, fz, sl in scoring
+        if len(t) == 1 and fz is None and sl is None and not t[0].endswith("*")
     ]
     fuzzy_atoms = [
         (i, s, t[0], fz)
-        for i, s, t, _, fz in scoring
+        for i, s, t, _, fz, _ in scoring
         if len(t) == 1 and fz is not None
     ]
     prefix_atoms = [
         (i, s, t[0][:-1])
-        for i, s, t, _, fz in scoring
-        if len(t) == 1 and fz is None and t[0].endswith("*")
+        for i, s, t, _, fz, sl in scoring
+        if len(t) == 1 and fz is None and sl is None and t[0].endswith("*")
     ]
-    phrase_atoms = [(i, s, t) for i, s, t, _, _ in scoring if len(t) > 1]
+    phrase_atoms = [
+        (i, s, t) for i, s, t, _, _, sl in scoring if len(t) > 1 and sl is None
+    ]
+    slop_atoms = [
+        (i, s, t, sl) for i, s, t, _, _, sl in scoring if sl is not None
+    ]
     # vocabulary validation over every NON-prefix, NON-fuzzy word
     # (phrase words included) — message parity with keyword validation;
     # fuzzy words are the user's possibly-misspelled input and validate
     # at expansion (>=1 vocabulary term within distance) instead
     all_words = [
         w
-        for _, _, t, _, fz in scoring
+        for _, _, t, _, fz, _ in scoring
         if fz is None
         for w in t
         if not w.endswith("*")
@@ -558,6 +631,31 @@ def mixed_query_topk(
                 bm25_score_col(cfg, globs.n_docs).alias("contrib"),
             )
         )
+    for i, s, terms, sl in slop_atoms:
+        # sloppy phrase: tf = unordered span-near match count, scored
+        # as ONE pseudo-term exactly like an exact phrase (df over the
+        # matching docs via the same ReusedExchange crossJoin shape)
+        tfs = span_near_tf(tokens, list(terms), sl)
+        dfs = tfs.agg(F.count(F.lit(1)).alias("_df"))
+        frames.append(
+            tfs.crossJoin(F.broadcast(dfs))
+            .join(doc_stats, "doc_id")
+            .withColumn(
+                "idf",
+                F.log(
+                    F.lit(1.0)
+                    + (n - F.col("_df") + F.lit(0.5))
+                    / (F.col("_df") + F.lit(0.5))
+                ),
+            )
+            .withColumn("avgdl", F.lit(globs.avgdl))
+            .withColumn("sign", F.lit(float(s)))
+            .select(
+                "doc_id",
+                F.lit(i).alias("atom_id"),
+                bm25_score_col(cfg, globs.n_docs).alias("contrib"),
+            )
+        )
     out = frames[0]
     for f in frames[1:]:
         out = out.unionByName(f)
@@ -591,41 +689,139 @@ def mixed_query_topk(
         scored = scored.join(
             _filter_allowed_docs(doc_meta, filter_atoms), "doc_id", "left_semi"
         )
-    return scored.orderBy(
-        F.col("score").desc(), F.col("doc_id").asc()
-    ).limit(k)
+    return scored
+
+
+def mixed_query_topk(
+    spark: SparkSession,
+    tokens: DataFrame,
+    doc_stats: DataFrame,
+    globs: CorpusGlobals,
+    vocab: DataFrame,
+    atoms: Sequence[tuple[float, tuple[str, ...]]],
+    k: int,
+    cfg: BM25Config = BM25Config(),
+    max_expansions: int = 128,
+    doc_meta: DataFrame | None = None,
+) -> DataFrame:
+    """Top-k over :func:`mixed_query_scores` — (doc_id, score), score
+    DESC / doc_id ASC, k rows (TakeOrderedAndProject, never a global
+    sort)."""
+    return (
+        mixed_query_scores(
+            spark,
+            tokens,
+            doc_stats,
+            globs,
+            vocab,
+            atoms,
+            cfg=cfg,
+            max_expansions=max_expansions,
+            doc_meta=doc_meta,
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+
+
+def _range_bound(doc_meta: DataFrame, fld: str, text: str):
+    """Type a range bound to the metadata column: numeric columns get
+    a numeric literal (a string literal against a numeric column
+    would force a cast that kills parquet predicate pushdown), string
+    columns keep the text (lexicographic keyword comparison)."""
+    dtype = doc_meta.schema[fld].dataType.simpleString()
+    if dtype in ("tinyint", "smallint", "int", "bigint"):
+        try:
+            return int(text)
+        except ValueError:
+            raise ValueError(
+                f"range bound '{text}' is not an integer "
+                f"(field '{fld}' is {dtype})"
+            ) from None
+    if dtype in ("float", "double") or dtype.startswith("decimal"):
+        try:
+            return float(text)
+        except ValueError:
+            raise ValueError(
+                f"range bound '{text}' is not a number "
+                f"(field '{fld}' is {dtype})"
+            ) from None
+    if dtype == "string":
+        return text
+    raise ValueError(
+        f"field '{fld}' ({dtype}) does not support range filters"
+    )
+
+
+def _range_pred(doc_meta: DataFrame, fld: str, rng: tuple):
+    """Column predicate for one [lo TO hi] range atom — bare typed
+    comparisons so the conjunct pushes into the parquet scan;
+    [* TO *] degenerates to IS NOT NULL (Lucene's field-exists
+    query)."""
+    lo, hi, lo_inc, hi_inc = rng
+    col = F.col(fld)
+    if lo is None and hi is None:
+        return col.isNotNull()
+    pred = None
+    if lo is not None:
+        b = _range_bound(doc_meta, fld, lo)
+        p = col >= F.lit(b) if lo_inc else col > F.lit(b)
+        pred = p
+    if hi is not None:
+        b = _range_bound(doc_meta, fld, hi)
+        p = col <= F.lit(b) if hi_inc else col < F.lit(b)
+        pred = p if pred is None else (pred & p)
+    return pred
 
 
 def _filter_allowed_docs(
-    doc_meta: DataFrame, filter_atoms: Sequence[tuple[float, str, str]]
+    doc_meta: DataFrame,
+    filter_atoms: Sequence[tuple[float, str | None, str, tuple | None]],
 ) -> DataFrame:
-    """doc_ids passing every ``field:value`` filter atom: per field,
-    positive values OR together (isin), negative values exclude; all
-    fields AND together in ONE predicate over ONE metadata scan —
-    every conjunct is a plain column comparison, so it pushes into
-    the parquet scan (PushedFilters) and the caller's semi-join is
-    the only extra operator a filtered query pays. NULL metadata
-    never matches (neither includes nor survives an exclusion) —
-    SQL three-valued logic, documented."""
-    by_field: dict[str, tuple[list[str], list[str]]] = {}
-    for s, value, fld in filter_atoms:
+    """doc_ids passing every ``field:value`` / ``field:[lo TO hi]``
+    filter atom: per field, positive values and ranges OR together,
+    negative atoms exclude; all fields AND together in ONE predicate
+    over ONE metadata scan — every conjunct is a plain (typed) column
+    comparison, so it pushes into the parquet scan (PushedFilters)
+    and the caller's semi-join is the only extra operator a filtered
+    query pays. NULL metadata never matches (neither includes nor
+    survives an exclusion — an explicit IS NOT NULL guards the
+    negative-only case) — SQL three-valued logic, documented."""
+    by_field: dict[str, tuple[list, list]] = {}
+    for a in filter_atoms:
+        s, value, fld = a[0], a[1], a[2]
+        rng = a[3] if len(a) > 3 else None
         if fld not in doc_meta.columns:
             raise ValueError(
                 f"unknown filter field '{fld}' — not a metadata column"
             )
         pos, neg = by_field.setdefault(fld, ([], []))
-        (pos if s > 0 else neg).append(value)
+        atom_pred = (
+            _range_pred(doc_meta, fld, rng)
+            if rng is not None
+            # exact keyword-field match (case preserved): a bare
+            # column comparison stays a pushable predicate — wrapping
+            # the column in lower() would silently turn the pruned
+            # metadata scan into a full read (PushedFilters drop to
+            # IsNotNull only)
+            else (F.col(fld) == F.lit(value))
+        )
+        (pos if s > 0 else neg).append(atom_pred)
     pred = F.lit(True)
     for fld, (pos, neg) in by_field.items():
-        # exact keyword-field match (case preserved): a bare column
-        # isin stays a pushable predicate — wrapping the column in
-        # lower() would silently turn the pruned metadata scan into a
-        # full read (PushedFilters drop to IsNotNull only)
-        col = F.col(fld)
         if pos:
-            pred = pred & col.isin(pos)
+            ored = pos[0]
+            for p in pos[1:]:
+                ored = ored | p
+            pred = pred & ored
         if neg:
-            pred = pred & ~col.isin(neg)
+            # IS NOT NULL keeps the documented NULL-never-matches rule
+            # when a field carries only exclusions (NOT(x) over NULL
+            # is NULL and would otherwise drop the row anyway — but
+            # NOT(IS NOT NULL ranges) like -f:[* TO *] would flip it)
+            pred = pred & F.col(fld).isNotNull()
+            for p in neg:
+                pred = pred & ~p
     return doc_meta.filter(pred).select("doc_id")
 
 
