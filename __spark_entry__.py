@@ -64,6 +64,7 @@ def _bm25_oracle_sql(
     exclude: tuple[int, ...] = (),
     skip_ranks: int = 0,
     q_from_doc_ids: tuple[int, ...] = (),
+    q_mlt: tuple[int, int] | None = None,
 ) -> str:
     """Full-corpus BM25 ranking oracle. ``q_from_doc_ids`` replaces the
     keyword list with the DISTINCT terms of the given docs (the
@@ -72,7 +73,26 @@ def _bm25_oracle_sql(
     ``skip_ranks`` drops the top-N ranked rows (the delete-oracle: mark
     -deleted docs keep contributing to corpus stats, so the post-delete
     top-k is exactly the full ranking minus the deleted ranks)."""
-    if q_from_doc_ids:
+    if q_mlt is not None:
+        # MoreLikeThis selection: top max_terms of the source doc by
+        # tf x idf ROUNDED to 6 decimals (the Spark side rounds the
+        # same way, so a 1-ulp ln() divergence cannot flip the
+        # cutoff), ties term ASC — q_cte sits after _STATS_CTES so it
+        # can read tokens/vocab/globals
+        mlt_doc, mlt_max = q_mlt
+        q_cte = f"""q(term, sign) AS (
+  SELECT term, 1.0 FROM (
+    SELECT s.term,
+           row_number() OVER (
+             ORDER BY round(s.tf * ln(1.0 + (g.n_docs - v.df + 0.5)
+                                        / (v.df + 0.5)), 6) DESC,
+                      s.term ASC) AS rn
+    FROM (SELECT term, count(*) AS tf FROM tokens
+          WHERE doc_id = {int(mlt_doc)} GROUP BY term) s
+    JOIN vocab v USING (term) CROSS JOIN globals g
+  ) WHERE rn <= {int(mlt_max)}
+)"""
+    elif q_from_doc_ids:
         ids = ", ".join(str(int(i)) for i in q_from_doc_ids)
         q_cte = (
             "q(term, sign) AS ("
@@ -2939,6 +2959,46 @@ def _q_facet_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MoreLikeThis row: top-25 tf-x-idf terms of doc 0 (weight
+    rounded to 6 decimals before the cutoff so a 1-ulp ln divergence
+    cannot flip term selection; ties term ASC) run as a bag-of-words
+    OR query, source doc excluded — Lucene MLT shape
+    (maxQueryTerms=25). DuckDB replays the selection with row_number
+    over the same rounded weight, then the standard BM25 union."""
+    from top2vec_spark.operators.bm25 import (
+        bm25_topk_bruteforce,
+        mlt_top_terms,
+        term_weights,
+    )
+
+    tokens = _tokens(spark, sf_dir).cache()
+    ds = build_doc_stats(tokens)
+    g = compute_globals(ds)
+    vocab = build_vocab(tokens)
+    terms = mlt_top_terms(tokens, vocab, g, doc_id=0, max_terms=25)
+    w = term_weights(spark, vocab, terms)
+    res = bm25_topk_bruteforce(tokens, ds, g, w, 10, exclude_doc_ids=[0])
+    return res.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def _q_query_match_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total-hits row: the size of the FULL match set of
+    'spark "fast table" -slow' (every doc with any scoring
+    contribution — the engine's keywords_neg contract counts
+    negative-only matches too, exactly as search ranks them)."""
+    from top2vec_spark.functions.querylang import parse_query
+    from top2vec_spark.operators.positional import mixed_query_scores
+
+    tokens = _tokens(spark, sf_dir).cache()
+    ds = build_doc_stats(tokens)
+    g = compute_globals(ds)
+    vocab = build_vocab(tokens)
+    atoms = parse_query('spark "fast table" -slow')
+    scored = mixed_query_scores(spark, tokens, ds, g, vocab, atoms)
+    return scored.agg(F.count(F.lit(1)).alias("n_matches"))
+
+
 def _q_snippet_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Best width-8 snippet window for {spark, query} per matching doc
     — the snippet STRING pins tokenizer, window arithmetic, and the
@@ -3069,6 +3129,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_lang_slop": _q_query_lang_slop,
         "query_lang_range": _q_query_lang_range,
         "facet_counts_source": _q_facet_counts,
+        "more_like_this_top10": _q_more_like_this,
+        "query_match_count": _q_query_match_count,
     }
 
 
@@ -5550,5 +5612,26 @@ FROM matched m JOIN documents d USING (doc_id)
 WHERE d.source IS NOT NULL
 GROUP BY d.source
 ORDER BY doc_count DESC, key ASC LIMIT 10
+""",
+        "more_like_this_top10": _bm25_oracle_sql(
+            [], [], 10, exclude=(0,), q_mlt=(0, 25)
+        ),
+        # total hits of 'spark "fast table" -slow': every doc with ANY
+        # scoring contribution (negative-only matches count, the
+        # engine's keywords_neg ranking contract)
+        "query_match_count": f"""
+WITH {_PTOKENS_CTE},
+occ AS (
+  SELECT a.doc_id
+  FROM tokens_pos a JOIN tokens_pos b
+    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  WHERE a.term = 'fast' AND b.term = 'table'
+),
+matched AS (
+  SELECT doc_id FROM tokens_pos WHERE term IN ('spark', 'slow')
+  UNION
+  SELECT doc_id FROM occ
+)
+SELECT count(*) AS n_matches FROM matched
 """,
     }

@@ -1028,3 +1028,98 @@ def test_facet_counts_respects_filters_and_errors(spark, range_env):
         eng.facet_counts("fast", "nosuch", 5)
     with pytest.raises(ValueError):
         eng.facet_counts("fast", "lang", 0)
+
+
+# ---------------------------------------------------------------------------
+# more_like_this (Lucene MLT) and count_matches (total hits)
+# ---------------------------------------------------------------------------
+def _py_mlt_terms(doc_id, max_terms):
+    """Brute MLT selection: tf x idf rounded to 6, ties term ASC."""
+    dls = {d: _pytoks(t) for d, t in CORPUS}
+    n = len(CORPUS)
+    dfs = {}
+    for toks in dls.values():
+        for t in set(toks):
+            dfs[t] = dfs.get(t, 0) + 1
+    from collections import Counter
+
+    tfs = Counter(dls[doc_id])
+    ranked = sorted(
+        (
+            (-round(tf * math.log(1.0 + (n - dfs[t] + 0.5) / (dfs[t] + 0.5)), 6), t)
+            for t, tf in tfs.items()
+        ),
+    )
+    return [t for _, t in ranked[:max_terms]]
+
+
+def test_mlt_top_terms_matches_python(spark, env):
+    from top2vec_spark.operators.bm25 import mlt_top_terms
+
+    tokens, vocab, ds, g = env
+    for doc_id in (0, 2, 4):
+        for cap in (2, 5, 25):
+            got = mlt_top_terms(tokens, vocab, g, doc_id, cap)
+            assert got == _py_mlt_terms(doc_id, cap), (doc_id, cap)
+
+
+def test_more_like_this_excludes_source(spark):
+    from top2vec_spark.api import Top2VecSpark
+
+    docs = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    eng = Top2VecSpark(spark, docs, ascii_fast_path=True, min_count=0)
+    rows = eng.more_like_this(0, 5, return_documents=False).collect()
+    assert rows and all(r["doc_id"] != 0 for r in rows)
+    # MLT over doc 0's selected terms == keyword search over the same
+    # terms with doc 0 excluded
+    terms = _py_mlt_terms(0, 25)
+    want = [
+        (r["doc_id"], r["score"])
+        for r in eng.search_documents_by_keywords(
+            terms, 6, return_documents=False
+        ).collect()
+        if r["doc_id"] != 0
+    ][:5]
+    assert [(r["doc_id"], r["score"]) for r in rows] == want
+    with pytest.raises(ValueError):
+        eng.more_like_this(999, 5)
+    with pytest.raises(ValueError, match="max_terms"):
+        eng.more_like_this(0, 5, max_terms=0)
+
+
+def test_more_like_this_cap_binds(spark):
+    from top2vec_spark.api import Top2VecSpark
+
+    docs = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    eng = Top2VecSpark(spark, docs, ascii_fast_path=True, min_count=0)
+    got = {
+        r["doc_id"]
+        for r in eng.more_like_this(0, 6, max_terms=1, return_documents=False).collect()
+    }
+    # with only the single most distinctive term, the match set is
+    # exactly the other docs containing that term
+    term = _py_mlt_terms(0, 1)[0]
+    want = {d for d, t in CORPUS if term in _pytoks(t) and d != 0}
+    assert got == want
+
+
+def test_count_matches(spark, range_env):
+    from top2vec_spark.api import Top2VecSpark
+
+    rows, docs, _, _, _, _ = range_env
+    eng = Top2VecSpark(spark, docs, ascii_fast_path=True, min_count=0)
+    toks = {d: _pytoks(t) for d, t in CORPUS}
+    # bag-of-words OR (negative-only matches count: keywords_neg
+    # ranking contract)
+    assert eng.count_matches("fast -slow") == len(
+        {d for d, ts in toks.items() if "fast" in ts or "slow" in ts}
+    )
+    # must gates
+    assert eng.count_matches("+fast slow") == len(
+        {d for d, ts in toks.items() if "fast" in ts}
+    )
+    # filters gate
+    langs = {d: l for d, _, l, _ in rows}
+    assert eng.count_matches("fast lang:en") == len(
+        {d for d, ts in toks.items() if "fast" in ts and langs[d] == "en"}
+    )

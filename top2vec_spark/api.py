@@ -696,6 +696,44 @@ class Top2VecSpark:
         ).limit(num_docs)
         return self._project(result, return_documents)
 
+    def more_like_this(
+        self,
+        doc_id,
+        num_docs: int,
+        max_terms: int = 25,
+        return_documents: bool = True,
+    ) -> DataFrame:
+        """Lucene MoreLikeThis: rank the source document's terms by
+        tf x idf, keep the top ``max_terms`` (MLT maxQueryTerms
+        default 25), run them as a bag-of-words OR query, and exclude
+        the source document itself (over-fetch + exclude + re-limit,
+        the P4/P5 arithmetic). Differs from
+        :meth:`search_documents_by_documents`, which uses ALL the
+        source doc's terms — MLT's cap is what keeps the query cheap
+        when the source document is a 10^5-token page."""
+        from top2vec_spark.operators.bm25 import mlt_top_terms
+
+        self._validate_num_docs(num_docs)
+        self._validate_doc_ids([doc_id])
+        terms = mlt_top_terms(
+            self.tokens, self.vocab, self.globals, doc_id, max_terms
+        )
+        result = self._topk(
+            terms, [], num_docs + 1, exclude_doc_ids=[doc_id]
+        ).limit(num_docs)
+        return self._project(result, return_documents)
+
+    def count_matches(self, query: str) -> int:
+        """Total-hits count for a query-language string: the size of
+        the FULL match set :meth:`search` ranks (every scoring,
+        filter, and must rule applied; tombstones excluded) — the
+        Lucene TotalHitCountCollector / ES track_total_hits shape."""
+        scored = self._query_match_scores(query)
+        tombs = self._index.tombstones if getattr(self, "_index", None) else ()
+        if tombs:
+            scored = scored.filter(~F.col("doc_id").isin(list(tombs)))
+        return scored.count()
+
     def search_words_by_keywords(
         self,
         keywords: Sequence[str],

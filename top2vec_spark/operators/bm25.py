@@ -182,3 +182,47 @@ def bm25_topk_bruteforce(
     if exclude_doc_ids:
         scored = scored.filter(~F.col("doc_id").isin(list(exclude_doc_ids)))
     return scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
+
+
+def mlt_top_terms(
+    tokens: DataFrame,
+    vocab: DataFrame,
+    globs: CorpusGlobals,
+    doc_id: int,
+    max_terms: int = 25,
+) -> list[str]:
+    """Lucene MoreLikeThis interesting-term selection (MLT
+    maxQueryTerms default 25): rank the source document's terms by
+    tf x idf ("frequent here, rare in the corpus") and keep the top
+    ``max_terms``. The weight is ROUNDED to 6 decimals before ranking
+    so the cutoff cannot flip on a 1-ulp ln() divergence between
+    engines (the WAND bit-parity lesson applied to term selection);
+    ties break term ASC. One planning-time collect of <= max_terms
+    tiny rows — same budget class as a prefix expansion."""
+    if max_terms < 1:
+        raise ValueError("max_terms must be >= 1")
+    n = F.lit(float(globs.n_docs))
+    ranked = (
+        tokens.filter(F.col("doc_id") == doc_id)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .join(vocab.select("term", "df"), "term")
+        .withColumn(
+            "tw",
+            F.round(
+                F.col("tf")
+                * F.log(
+                    F.lit(1.0)
+                    + (n - F.col("df") + F.lit(0.5))
+                    / (F.col("df") + F.lit(0.5))
+                ),
+                6,
+            ),
+        )
+        .orderBy(F.col("tw").desc(), F.col("term").asc())
+        .limit(max_terms)
+        .collect()
+    )
+    if not ranked:
+        raise ValueError(f"document {doc_id} has no vocabulary terms")
+    return [r["term"] for r in ranked]
