@@ -2959,6 +2959,28 @@ def _q_facet_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_query_lang_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean-keyword row: 'fast AND spark OR window NOT slow' —
+    Lucene QueryParser clause conversion: AND upgrades both
+    neighbors to must, OR is the default-operator no-op, NOT
+    prohibits; identical scoring union to '+fast +spark window
+    -slow', gated to docs containing fast AND spark."""
+    from top2vec_spark.functions.querylang import parse_query
+    from top2vec_spark.operators.positional import mixed_query_topk
+
+    tokens = _tokens(spark, sf_dir).cache()
+    ds = build_doc_stats(tokens)
+    g = compute_globals(ds)
+    vocab = build_vocab(tokens)
+    atoms = parse_query("fast AND spark OR window NOT slow")
+    res = mixed_query_topk(spark, tokens, ds, g, vocab, atoms, k=1_000_000)
+    return (
+        res.select("doc_id", F.round("score", 4).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+
+
 def _q_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MoreLikeThis row: top-25 tf-x-idf terms of doc 0 (weight
     rounded to 6 decimals before the cutoff so a 1-ulp ln divergence
@@ -3131,6 +3153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_counts_source": _q_facet_counts,
         "more_like_this_top10": _q_more_like_this,
         "query_match_count": _q_query_match_count,
+        "query_lang_bool": _q_query_lang_bool,
     }
 
 
@@ -5633,5 +5656,37 @@ matched AS (
   SELECT doc_id FROM occ
 )
 SELECT count(*) AS n_matches FROM matched
+""",
+        # 'fast AND spark OR window NOT slow' == '+fast +spark window
+        # -slow': pure-term scoring union gated by the two must terms
+        "query_lang_bool": f"""
+WITH {_PTOKENS_CTE},
+doc_stats AS (SELECT doc_id, count(*) AS dl FROM tokens_pos GROUP BY doc_id),
+globals AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM doc_stats),
+vocab AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tokens_pos GROUP BY term
+),
+q(term, sign) AS (
+  VALUES ('fast', 1.0), ('spark', 1.0), ('window', 1.0), ('slow', -1.0)
+),
+tft AS (
+  SELECT doc_id, term, count(*) AS tf FROM tokens_pos
+  WHERE term IN (SELECT term FROM q) GROUP BY doc_id, term
+),
+term_contrib AS (
+  SELECT tft.doc_id,
+         q.sign * ln(1.0 + (globals.n_docs - vocab.df + 0.5) / (vocab.df + 0.5))
+           * (tft.tf * ({BM25_K1} + 1.0))
+           / (tft.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * doc_stats.dl / globals.avgdl))
+           AS contrib
+  FROM tft JOIN q USING (term) JOIN vocab USING (term)
+  JOIN doc_stats USING (doc_id) CROSS JOIN globals
+),
+scored AS (SELECT doc_id, sum(contrib) AS score FROM term_contrib GROUP BY doc_id)
+SELECT doc_id, round(score, 4) AS score
+FROM scored
+WHERE doc_id IN (SELECT doc_id FROM tft WHERE term = 'fast')
+  AND doc_id IN (SELECT doc_id FROM tft WHERE term = 'spark')
+ORDER BY round(score, 4) DESC, doc_id ASC LIMIT 10
 """,
     }

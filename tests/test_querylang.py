@@ -1123,3 +1123,52 @@ def test_count_matches(spark, range_env):
     assert eng.count_matches("fast lang:en") == len(
         {d for d, ts in toks.items() if "fast" in ts and langs[d] == "en"}
     )
+
+
+# ---------------------------------------------------------------------------
+# Boolean operator keywords (UPPERCASE AND / OR / NOT)
+# ---------------------------------------------------------------------------
+def test_parse_boolean_keywords():
+    assert parse_query("a AND b") == parse_query("+a +b")
+    assert parse_query("a OR b") == parse_query("a b")
+    assert parse_query("NOT b a") == parse_query("-b a")
+    assert parse_query("a AND NOT b") == parse_query("+a -b")
+    assert parse_query('a AND "x y"^2') == parse_query('+a +"x y"^2')
+    assert parse_query("NOT lang:en a") == parse_query("-lang:en a")
+    # AND next to a filter: the filter is left as-is (always gates),
+    # the scoring side is upgraded
+    got = parse_query("a AND lang:en")
+    assert got[0].must and got[1].field == "lang" and not got[1].must
+    # prohibited neighbors stay prohibited (Lucene clause conversion)
+    got = parse_query("-a AND b")
+    assert got[0].sign == -1.0 and not got[0].must and got[1].must
+    # lowercase forms are ordinary terms
+    assert [a.terms for a in parse_query("and or not")] == [
+        ("and",), ("or",), ("not",)
+    ]
+
+
+@pytest.mark.parametrize(
+    "bad",
+    ["AND a", "a AND", "a OR", "OR a", "NOT", "a NOT", "NOT NOT a",
+     "a AND AND b", "a OR OR b", "a OR AND b", "a AND OR b", "NOT -a",
+     "NOT +a", "a NOT AND b"],
+)
+def test_parse_boolean_errors(bad):
+    with pytest.raises(ValueError):
+        parse_query(bad)
+
+
+def test_boolean_keywords_execute_like_explicit(spark, env):
+    tokens, vocab, ds, g = env
+
+    def run(q):
+        return [
+            (r["doc_id"], round(r["score"], 10))
+            for r in mixed_query_topk(
+                spark, tokens, ds, g, vocab, parse_query(q), 10
+            ).collect()
+        ]
+
+    assert run("fast AND table NOT slow") == run("+fast +table -slow")
+    assert run("fast OR spark") == run("fast spark")

@@ -22,9 +22,17 @@ once each (a repeated term boosts, as in Lucene). A ``+`` prefix
 it scores exactly like the bare atom, but only documents matching
 every ``+`` atom appear in the result — Lucene must-clause semantics
 (``+`` and ``-`` cannot combine; bare atoms remain pure-OR
-should-clauses). Beyond that there are no boolean operators —
-all-terms conjunction is also available as the separate
-``search_documents_by_keywords_all`` API (F3).
+should-clauses).
+
+UPPERCASE ``AND`` / ``OR`` / ``NOT`` keywords are accepted with
+Lucene QueryParser semantics (lowercase forms stay ordinary terms):
+``OR`` is the default operator (a validated no-op), ``NOT x`` ==
+``-x``, and ``a AND b`` upgrades BOTH neighbors to must clauses —
+prohibited (``-``) neighbors stay prohibited and filter atoms are
+left as-is (they always gate), exactly Lucene's clause-conversion
+rules. There is no grouping: parentheses are not supported
+(documented delta); all-terms conjunction is also available as the
+separate ``search_documents_by_keywords_all`` API (F3).
 
 A ``~`` suffix on a bare word (``sprk~``, ``sprk~1``) marks the atom
 FUZZY — Lucene FuzzyQuery shape: the executor expands it against the
@@ -121,13 +129,61 @@ def parse_query(query: str) -> list[Atom]:
     atoms: list[Atom] = []
     i = 0
     n = len(query)
+    # pending boolean-operator state (Lucene QueryParser keywords:
+    # UPPERCASE-only; lowercase 'and'/'or'/'not' stay ordinary terms)
+    pending_not = False  # NOT: negate the next atom
+    pending_and = False  # AND: next scoring atom becomes must
+    pending_or = False  # OR: an atom must still follow
+
+    def _retro_must() -> None:
+        # AND retro-applies must to the PREVIOUS atom — Lucene keeps
+        # prohibited (-) clauses prohibited and filters already gate,
+        # so only a positive scoring atom is upgraded
+        if not atoms:
+            raise ValueError("'AND' needs an atom on both sides")
+        last = atoms[-1]
+        if last.field is None and last.sign > 0:
+            atoms[-1] = last._replace(must=True)
+
     while i < n:
         c = query[i]
         if c.isspace():
             i += 1
             continue
+        # standalone UPPERCASE boolean keywords (never inside quotes:
+        # the phrase branch consumes those characters wholesale)
+        if c in "AON":
+            j = i
+            while j < n and not query[j].isspace():
+                j += 1
+            word = query[i:j]
+            if word in ("AND", "OR", "NOT"):
+                if word == "OR":
+                    # OR is the default operator — a validated no-op
+                    if not atoms or pending_not or pending_and or pending_or:
+                        raise ValueError("'OR' needs an atom on both sides")
+                    pending_or = True
+                elif word == "NOT":
+                    if pending_not:
+                        raise ValueError("'NOT NOT' is not supported")
+                    pending_not = True
+                else:  # AND
+                    if pending_not or pending_and or pending_or:
+                        raise ValueError(
+                            f"'{word}' cannot follow another operator"
+                        )
+                    _retro_must()
+                    pending_and = True
+                i = j
+                continue
         sign = 1.0
         must = False
+        if pending_not:
+            pending_not = False
+            if c == "-" or c == "+":
+                raise ValueError("'NOT' cannot combine with '-' or '+'")
+            sign = -1.0
+            # fall through: the atom parses normally with sign flipped
         if c == "+":
             must = True
             i += 1
@@ -144,6 +200,11 @@ def parse_query(query: str) -> list[Atom]:
             c = query[i]
             if c == "+":
                 raise ValueError("'+' and '-' cannot combine on one atom")
+        # AND upgrades this atom to must — unless it is prohibited
+        # (Lucene keeps MUST_NOT) or a filter (filters always gate)
+        and_must = pending_and
+        pending_and = False
+        pending_or = False  # an atom follows — the OR is satisfied
         if c == '"':
             end = query.find('"', i + 1)
             if end < 0:
@@ -175,7 +236,12 @@ def parse_query(query: str) -> list[Atom]:
             elif i < n and not query[i].isspace():
                 raise ValueError("unexpected text after closing quote")
             atoms.append(
-                Atom(sign, tuple(w.lower() for w in words), must, slop=slop)
+                Atom(
+                    sign,
+                    tuple(w.lower() for w in words),
+                    must or (and_must and sign > 0),
+                    slop=slop,
+                )
             )
         else:
             j = i
@@ -284,8 +350,16 @@ def parse_query(query: str) -> list[Atom]:
                 raise ValueError(
                     "'*' is only supported as a trailing wildcard on a term"
                 )
-            atoms.append(Atom(sign, (word.lower(),), must, fuzz))
+            atoms.append(
+                Atom(sign, (word.lower(),), must or (and_must and sign > 0), fuzz)
+            )
             i = j
+    if pending_not:
+        raise ValueError("dangling 'NOT' in query")
+    if pending_and or pending_or:
+        raise ValueError(
+            f"'{'AND' if pending_and else 'OR'}' needs an atom on both sides"
+        )
     if not atoms:
         raise ValueError("query contains no terms")
     return atoms
