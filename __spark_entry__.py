@@ -2981,6 +2981,68 @@ def _q_query_lang_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_query_lang_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parenthesized-group row: '+(spark "fast table")^2 sort -slow'
+    — the group's ^2 boost distributes into both members at parse
+    time and the '+' makes the group a DISJUNCTIVE must (a doc needs
+    spark OR the phrase, Lucene's nested-BooleanQuery match rule for
+    a should group in must position). DuckDB replays the identical
+    weighted union, then gates with a UNION of the two member match
+    sets."""
+    from top2vec_spark.functions.querylang import parse_query
+    from top2vec_spark.operators.positional import mixed_query_topk
+
+    tokens = _tokens(spark, sf_dir).cache()
+    ds = build_doc_stats(tokens)
+    g = compute_globals(ds)
+    vocab = build_vocab(tokens)
+    atoms = parse_query('+(spark "fast table")^2 sort -slow')
+    res = mixed_query_topk(spark, tokens, ds, g, vocab, atoms, k=1_000_000)
+    return (
+        res.select("doc_id", F.round("score", 4).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+
+
+def _q_query_lang_page2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cursor-pagination row (ES search_after): rank 'spark fast
+    -slow', take page 1 (top-10), then ask for the 10 rows strictly
+    after page 1's last (score, doc_id) in the global (score DESC,
+    doc_id ASC) order — the same one-pass top-k plan as page 1 over
+    the cursor-filtered match set, never a from+size re-scan. DuckDB
+    replays with row_number over the RAW score (the engine's ranking
+    key) and returns ranks 11-20."""
+    from top2vec_spark.functions.querylang import parse_query
+    from top2vec_spark.operators.positional import mixed_query_scores
+
+    tokens = _tokens(spark, sf_dir).cache()
+    ds = build_doc_stats(tokens)
+    g = compute_globals(ds)
+    vocab = build_vocab(tokens)
+    scored = mixed_query_scores(
+        spark, tokens, ds, g, vocab, parse_query("spark fast -slow")
+    ).persist()
+    page1 = (
+        scored.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(10)
+        .collect()
+    )
+    cur_s, cur_d = float(page1[-1]["score"]), int(page1[-1]["doc_id"])
+    page2 = (
+        scored.filter(
+            (F.col("score") < F.lit(cur_s))
+            | (
+                (F.col("score") == F.lit(cur_s))
+                & (F.col("doc_id") > F.lit(cur_d))
+            )
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+    return page2.select("doc_id", F.round("score", 4).alias("score"))
+
+
 def _q_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MoreLikeThis row: top-25 tf-x-idf terms of doc 0 (weight
     rounded to 6 decimals before the cutoff so a 1-ulp ln divergence
@@ -3154,6 +3216,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "more_like_this_top10": _q_more_like_this,
         "query_match_count": _q_query_match_count,
         "query_lang_bool": _q_query_lang_bool,
+        "query_lang_group": _q_query_lang_group,
+        "query_lang_page2": _q_query_lang_page2,
     }
 
 
@@ -5411,6 +5475,96 @@ FROM scored
 WHERE doc_id IN (SELECT doc_id FROM tfp)
   AND doc_id IN (SELECT doc_id FROM tft WHERE term = 'spark')
 ORDER BY round(score, 4) DESC, doc_id ASC LIMIT 10
+""",
+        # '+(spark "fast table")^2 sort -slow': the group lowers at
+        # parse time — ^2 distributes into spark and the phrase, '+'
+        # on the group gates DISJUNCTIVELY (spark OR the phrase). The
+        # replay is the same weighted union as query_lang_must with
+        # the boosted weights, gated by a UNION of the member match
+        # sets instead of an intersection.
+        "query_lang_group": f"""
+WITH {_PTOKENS_CTE},
+doc_stats AS (SELECT doc_id, count(*) AS dl FROM tokens_pos GROUP BY doc_id),
+globals AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM doc_stats),
+occ AS (
+  SELECT a.doc_id, a.pos AS start
+  FROM tokens_pos a JOIN tokens_pos b
+    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  WHERE a.term = 'fast' AND b.term = 'table'
+),
+tfp AS (SELECT doc_id, count(*) AS tf FROM occ GROUP BY doc_id),
+dfp AS (SELECT count(*) AS df FROM tfp),
+phrase_contrib AS (
+  SELECT t.doc_id,
+         2.0 * ln(1.0 + (g.n_docs - d.df + 0.5) / (d.df + 0.5))
+           * (t.tf * ({BM25_K1} + 1.0))
+           / (t.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * s.dl / g.avgdl))
+           AS contrib
+  FROM tfp t JOIN doc_stats s USING (doc_id)
+  CROSS JOIN globals g CROSS JOIN dfp d
+),
+vocab AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tokens_pos GROUP BY term
+),
+q(term, sign) AS (VALUES ('spark', 2.0), ('sort', 1.0), ('slow', -1.0)),
+tft AS (
+  SELECT doc_id, term, count(*) AS tf FROM tokens_pos
+  WHERE term IN (SELECT term FROM q) GROUP BY doc_id, term
+),
+term_contrib AS (
+  SELECT tft.doc_id,
+         q.sign * ln(1.0 + (globals.n_docs - vocab.df + 0.5) / (vocab.df + 0.5))
+           * (tft.tf * ({BM25_K1} + 1.0))
+           / (tft.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * doc_stats.dl / globals.avgdl))
+           AS contrib
+  FROM tft JOIN q USING (term) JOIN vocab USING (term)
+  JOIN doc_stats USING (doc_id) CROSS JOIN globals
+),
+allc AS (
+  SELECT * FROM phrase_contrib UNION ALL SELECT * FROM term_contrib
+),
+scored AS (
+  SELECT doc_id, sum(contrib) AS score FROM allc GROUP BY doc_id
+)
+SELECT doc_id, round(score, 4) AS score
+FROM scored
+WHERE doc_id IN (
+  SELECT doc_id FROM tft WHERE term = 'spark'
+  UNION SELECT doc_id FROM tfp
+)
+ORDER BY round(score, 4) DESC, doc_id ASC LIMIT 10
+""",
+        # cursor pagination: ranks 11-20 of 'spark fast -slow' by the
+        # RAW float64 score (the engine's ranking key; rounding only
+        # in the projection) — the search_after contract replayed as
+        # one row_number window.
+        "query_lang_page2": f"""
+WITH {_STATS_CTES},
+q(term, sign) AS (VALUES ('spark', 1.0), ('fast', 1.0), ('slow', -1.0)),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tokens
+  WHERE term IN (SELECT term FROM q) GROUP BY doc_id, term
+),
+scored AS (
+  SELECT tf.doc_id,
+         sum(q.sign
+             * ln(1.0 + (globals.n_docs - vocab.df + 0.5) / (vocab.df + 0.5))
+             * (tf.tf * ({BM25_K1} + 1.0))
+             / (tf.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * doc_stats.dl / globals.avgdl))
+         ) AS score
+  FROM tf
+  JOIN q USING (term) JOIN vocab USING (term) JOIN doc_stats USING (doc_id)
+  CROSS JOIN globals
+  GROUP BY tf.doc_id
+),
+ranked AS (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rn
+  FROM scored
+)
+SELECT doc_id, round(score, 4) AS score
+FROM ranked WHERE rn > 10 AND rn <= 20
+ORDER BY score DESC, doc_id ASC
 """,
         # 'sprt~2 quary~1^2 -slow': fuzzy atoms expand against the
         # vocabulary by classic Levenshtein distance — DuckDB's

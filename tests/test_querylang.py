@@ -26,21 +26,21 @@ from tests.test_positional import CORPUS, _py_phrase_occ, _pytoks
 # ---------------------------------------------------------------------------
 def test_parse_terms_and_signs():
     assert parse_query("Spark -slow") == [
-        (1.0, ("spark",), False, None, None, None, None),
-        (-1.0, ("slow",), False, None, None, None, None),
+        (1.0, ("spark",), False, None, None, None, None, None),
+        (-1.0, ("slow",), False, None, None, None, None, None),
     ]
 
 
 def test_parse_phrases():
     assert parse_query('"Fast Table" scan -"slow scan"') == [
-        (1.0, ("fast", "table"), False, None, None, None, None),
-        (1.0, ("scan",), False, None, None, None, None),
-        (-1.0, ("slow", "scan"), False, None, None, None, None),
+        (1.0, ("fast", "table"), False, None, None, None, None, None),
+        (1.0, ("scan",), False, None, None, None, None, None),
+        (-1.0, ("slow", "scan"), False, None, None, None, None, None),
     ]
 
 
 def test_parse_duplicates_kept():
-    assert parse_query("a a") == [(1.0, ("a",), False, None, None, None, None), (1.0, ("a",), False, None, None, None, None)]
+    assert parse_query("a a") == [(1.0, ("a",), False, None, None, None, None, None), (1.0, ("a",), False, None, None, None, None, None)]
 
 
 @pytest.mark.parametrize(
@@ -158,29 +158,29 @@ def test_unknown_word_raises(spark, env):
 
 def test_parse_prefix():
     assert parse_query("St* -slow") == [
-        (1.0, ("st*",), False, None, None, None, None),
-        (-1.0, ("slow",), False, None, None, None, None),
+        (1.0, ("st*",), False, None, None, None, None, None),
+        (-1.0, ("slow",), False, None, None, None, None, None),
     ]
 
 
 def test_parse_boosts():
     assert parse_query('Spark^2 -slow^0.5 "Fast Table"^3 st*^1.5 a^.25') == [
-        (2.0, ("spark",), False, None, None, None, None),
-        (-0.5, ("slow",), False, None, None, None, None),
-        (3.0, ("fast", "table"), False, None, None, None, None),
-        (1.5, ("st*",), False, None, None, None, None),
-        (0.25, ("a",), False, None, None, None, None),
+        (2.0, ("spark",), False, None, None, None, None, None),
+        (-0.5, ("slow",), False, None, None, None, None, None),
+        (3.0, ("fast", "table"), False, None, None, None, None, None),
+        (1.5, ("st*",), False, None, None, None, None, None),
+        (0.25, ("a",), False, None, None, None, None, None),
     ]
 
 
 def test_parse_must():
     got = parse_query('+Spark -slow +"Fast Table"^2 +st* wb')
     assert got == [
-        (1.0, ("spark",), True, None, None, None, None),
-        (-1.0, ("slow",), False, None, None, None, None),
-        (2.0, ("fast", "table"), True, None, None, None, None),
-        (1.0, ("st*",), True, None, None, None, None),
-        (1.0, ("wb",), False, None, None, None, None),
+        (1.0, ("spark",), True, None, None, None, None, None),
+        (-1.0, ("slow",), False, None, None, None, None, None),
+        (2.0, ("fast", "table"), True, None, None, None, None, None),
+        (1.0, ("st*",), True, None, None, None, None, None),
+        (1.0, ("wb",), False, None, None, None, None, None),
     ]
     assert [a.must for a in got] == [True, False, True, True, False]
 
@@ -394,10 +394,10 @@ def test_facade_search(spark):
 # ---------------------------------------------------------------------------
 def test_parse_fuzzy():
     assert parse_query("sprk~ word~1 -oops~2^0.5 exact~0") == [
-        (1.0, ("sprk",), False, 2, None, None, None),
-        (1.0, ("word",), False, 1, None, None, None),
-        (-0.5, ("oops",), False, 2, None, None, None),
-        (1.0, ("exact",), False, 0, None, None, None),
+        (1.0, ("sprk",), False, 2, None, None, None, None),
+        (1.0, ("word",), False, 1, None, None, None, None),
+        (-0.5, ("oops",), False, 2, None, None, None, None),
+        (1.0, ("exact",), False, 0, None, None, None, None),
     ]
 
 
@@ -542,9 +542,9 @@ def test_parse_filters():
     # filter VALUES keep their case (keyword-field exact match);
     # scoring terms still lowercase (T4)
     assert parse_query("Spark lang:EN -source:Spam") == [
-        (1.0, ("spark",), False, None, None, None, None),
-        (1.0, ("EN",), False, None, "lang", None, None),
-        (-1.0, ("Spam",), False, None, "source", None, None),
+        (1.0, ("spark",), False, None, None, None, None, None),
+        (1.0, ("EN",), False, None, "lang", None, None, None),
+        (-1.0, ("Spam",), False, None, "source", None, None, None),
     ]
 
 
@@ -681,9 +681,9 @@ def test_facade_search_filtered(spark):
 # ---------------------------------------------------------------------------
 def test_parse_slop():
     assert parse_query('"Fast Table"~2 -"slow scan"~0^1.5 "a b"~10') == [
-        (1.0, ("fast", "table"), False, None, None, 2, None),
-        (-1.5, ("slow", "scan"), False, None, None, 0, None),
-        (1.0, ("a", "b"), False, None, None, 10, None),
+        (1.0, ("fast", "table"), False, None, None, 2, None, None),
+        (-1.5, ("slow", "scan"), False, None, None, 0, None, None),
+        (1.0, ("a", "b"), False, None, None, 10, None, None),
     ]
     # must combines with slop; exact phrase stays slop=None
     got = parse_query('+"fast table"~1 "fast table"')
@@ -821,9 +821,9 @@ def test_slop_boost_and_must(spark, env):
 # ---------------------------------------------------------------------------
 def test_parse_ranges():
     got = parse_query("spark n_chars:[100 TO 900] -source:{srcA TO srcB] lang:[* TO en}")
-    assert got[1] == (1.0, (), False, None, "n_chars", None, ("100", "900", True, True))
-    assert got[2] == (-1.0, (), False, None, "source", None, ("srcA", "srcB", False, True))
-    assert got[3] == (1.0, (), False, None, "lang", None, (None, "en", True, False))
+    assert got[1] == (1.0, (), False, None, "n_chars", None, ("100", "900", True, True), None)
+    assert got[2] == (-1.0, (), False, None, "source", None, ("srcA", "srcB", False, True), None)
+    assert got[3] == (1.0, (), False, None, "lang", None, (None, "en", True, False), None)
 
 
 @pytest.mark.parametrize(
@@ -1172,3 +1172,168 @@ def test_boolean_keywords_execute_like_explicit(spark, env):
 
     assert run("fast AND table NOT slow") == run("+fast +table -slow")
     assert run("fast OR spark") == run("fast spark")
+
+
+# ---------------------------------------------------------------------------
+# Parenthesized groups (parse-time lowering)
+# ---------------------------------------------------------------------------
+def test_parse_group_distribution():
+    # boost and sign distribute multiplicatively into every member
+    assert parse_query("(a b)^2") == parse_query("a^2 b^2")
+    assert parse_query("-(a b)") == parse_query("-a -b")
+    assert parse_query("NOT (a b)") == parse_query("-a -b")
+    assert parse_query('-("x y"^2 a)^0.5') == parse_query('-"x y"^1.0 -a^0.5')
+    # nesting composes: ((a b)^2 c)^3 -> a,b x6, c x3
+    assert parse_query("((a b)^2 c)^3") == parse_query("a^6 b^6 c^3")
+    # inner atom kinds survive grouping untouched
+    got = parse_query('(sprk~1 st* "p q"~2 f:[1 TO 2])^2')
+    assert got[0].fuzz == 1 and got[0].sign == 2.0
+    assert got[1].terms == ("st*",) and got[1].sign == 2.0
+    assert got[2].slop == 2 and got[2].sign == 2.0
+    # filters never score: sign distributes (an exclusion under -),
+    # but boost has no scoring meaning on them — parity with bare atoms
+    assert got[3].field == "f" and got[3].rng == ("1", "2", True, True)
+    # a singleton group is transparent
+    assert parse_query("(a) (b)^2") == parse_query("a b^2")
+
+
+def test_parse_group_must():
+    # +(...) = disjunctive must: members share ONE group id
+    got = parse_query("+(a b) c")
+    assert got[0].group == got[1].group == 0
+    assert not got[0].must and not got[1].must and got[2].group is None
+    # a singleton required group degenerates to a plain must
+    assert parse_query("+(a) b") == parse_query("+a b")
+    # AND adjacency requires a group exactly like '+'
+    assert parse_query("(a b) AND c") == parse_query("+(a b) +c")
+    assert parse_query("a AND (b c)") == parse_query("+a +(b c)")
+    # retro-apply onto an already-required group is a no-op
+    assert parse_query("+(a b) AND c") == parse_query("+(a b) +c")
+    # two required groups get distinct ids
+    got = parse_query("+(a b) +(c d)")
+    assert got[0].group == 0 and got[2].group == 1
+    # prohibited members stay prohibited, only positives join the group
+    got = parse_query("+(a -b c)")
+    assert got[0].group == 0 and got[2].group == 0
+    assert got[1].sign == -1.0 and got[1].group is None
+    # field grouping: field:(v1 v2) == field:v1 field:v2
+    assert parse_query("lang:(en fr) a") == parse_query("lang:en lang:fr a")
+    assert parse_query("-lang:(en fr) a") == parse_query("-lang:en -lang:fr a")
+
+
+@pytest.mark.parametrize(
+    "bad",
+    ["(", ")", "()", "( )", "(a", "a)", "(a))", "(a)x", "(a)^x", "(a)^0",
+     "(+a b)", "(a AND b)", "((a b) AND c)", "+(lang:en)", "+(-a)",
+     "lang:()", "lang:(en", "lang:(en fr)x", "lang:(e*)", "(a OR)",
+     "(OR a)", "(NOT)", '("unclosed)', "fast(slow)", "f:[a( TO b]"],
+)
+def test_parse_group_errors(bad):
+    with pytest.raises(ValueError):
+        parse_query(bad)
+
+
+def test_group_scoring_matches_distributed(spark, env):
+    """(fast table)^2 -(slow scan) scores bit-identically to the
+    hand-distributed query — grouping is pure parse-time lowering."""
+    tokens, vocab, ds, g = env
+
+    def run(q):
+        return [
+            (r["doc_id"], r["score"])
+            for r in mixed_query_topk(
+                spark, tokens, ds, g, vocab, parse_query(q), 10
+            ).collect()
+        ]
+
+    assert run("(fast table)^2 -(slow scan)") == run("fast^2 table^2 -slow -scan")
+    assert run('("fast table" spark)^0.5') == run('"fast table"^0.5 spark^0.5')
+
+
+def test_group_must_gates_disjunctively(spark, env):
+    """+(fast wb) keeps every doc matching fast OR wb (scored like the
+    ungated query), drops the rest; contrast with +fast +wb (AND)."""
+    tokens, vocab, ds, g = env
+
+    def run(q):
+        return {
+            r["doc_id"]: round(r["score"], 10)
+            for r in mixed_query_topk(
+                spark, tokens, ds, g, vocab, parse_query(q), 100
+            ).collect()
+        }
+
+    free = run("fast window slow")
+    either = run("+(fast window) slow")
+    both = run("+fast +window slow")
+    fast_docs = {r["doc_id"] for r in tokens.filter(F.col("term") == "fast").select("doc_id").distinct().collect()}
+    win_docs = {r["doc_id"] for r in tokens.filter(F.col("term") == "window").select("doc_id").distinct().collect()}
+    assert set(either) == (fast_docs | win_docs) & set(free)
+    assert set(both) == fast_docs & win_docs & set(free)
+    for d, s in either.items():
+        assert s == free[d]  # gating never changes scores
+    # two groups AND together
+    two = run("+(fast window) +(slow fast) table")
+    assert set(two) <= set(either)
+
+
+def test_group_facade_and_keywords(spark):
+    """The facade search accepts grouped queries end-to-end."""
+    from top2vec_spark.api import Top2VecSpark
+
+    docs = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    eng = Top2VecSpark(spark, docs, ascii_fast_path=True, min_count=0)
+    got = eng.search("(fast table)^2 AND spark", 5, return_documents=False)
+    want = eng.search("fast^2 table^2 AND spark", 5, return_documents=False)
+    assert [r.asDict() for r in got.collect()] == [
+        r.asDict() for r in want.collect()
+    ]
+
+
+# ---------------------------------------------------------------------------
+# Cursor pagination (ES search_after)
+# ---------------------------------------------------------------------------
+def test_search_after_pages_partition_the_ranking(spark):
+    """Pages chain with no overlap and no gap: page1 ++ page2 ++ page3
+    == the one-shot top-7, scores identical; past the end -> empty."""
+    from tests.test_positional import CORPUS
+    from top2vec_spark.api import Top2VecSpark
+
+    docs = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    eng = Top2VecSpark(spark, docs, ascii_fast_path=True, min_count=0)
+    q = "fast table -slow"
+    full = eng.search(q, 7, return_documents=False).collect()
+    pages = []
+    cursor = None
+    for _ in range(3):
+        rows = eng.search(
+            q, 3, return_documents=False, search_after=cursor
+        ).collect()
+        if not rows:
+            break
+        pages.extend(rows)
+        cursor = (rows[-1]["score"], rows[-1]["doc_id"])
+    assert [(r["doc_id"], r["score"]) for r in pages] == [
+        (r["doc_id"], r["score"]) for r in full
+    ]
+    # cursor past the last row -> empty page, not an error
+    last = full[-1]
+    assert (
+        eng.search(
+            q, 3, return_documents=False,
+            search_after=(last["score"], last["doc_id"]),
+        ).count()
+        == 0
+        or len(full) < 7  # corpus smaller than 7 matches: already drained
+    )
+
+
+def test_search_after_validates_cursor(spark):
+    from tests.test_positional import CORPUS
+    from top2vec_spark.api import Top2VecSpark
+
+    docs = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    eng = Top2VecSpark(spark, docs, ascii_fast_path=True, min_count=0)
+    for bad in [(1.0,), "cursor", (1.0, 2, 3)]:
+        with pytest.raises(ValueError):
+            eng.search("fast", 3, search_after=bad)

@@ -479,7 +479,11 @@ class Top2VecSpark:
     # -- positional fulltext (beyond the reference: exact phrase,
     #    conjunctive AND, proximity, snippets — operators/positional.py)
     def search(
-        self, query: str, num_docs: int, return_documents: bool = True
+        self,
+        query: str,
+        num_docs: int,
+        return_documents: bool = True,
+        search_after: tuple | None = None,
     ) -> DataFrame:
         """Query-language search (functions/querylang.py): bare terms,
         ``-`` negation, ``+`` required clauses, ``"quoted phrases"``,
@@ -495,10 +499,44 @@ class Top2VecSpark:
         returned. 'spark "fast table"^2 -slow lang:en
         n_chars:[100 TO 900]' == keywords [spark] + double-weighted
         phrase ["fast","table"] + keywords_neg [slow], restricted to
-        lang == 'en' documents of 100-900 chars."""
+        lang == 'en' documents of 100-900 chars. Parenthesized
+        groups distribute ``-``/``NOT``/``^boost`` into their
+        members, a required group (``+(a b)`` or ``AND`` adjacency)
+        gates disjunctively (match at least one member), and
+        ``field:(v1 v2)`` is field-grouping sugar; ``+``/``AND``
+        INSIDE a group are rejected (documented delta — see
+        functions/querylang.py).
+
+        ``search_after=(score, doc_id)`` is cursor pagination — the
+        Elasticsearch search_after shape: pass the LAST row of the
+        previous page and only strictly-later rows in the global
+        (score DESC, doc_id ASC) order are returned. A cursor filter
+        composes with ranking inside one plan (still
+        TakeOrderedAndProject over the pre-filtered match set), so
+        deep paging never pays the from+size re-scan-and-discard
+        cost: page N is the same one-pass top-k as page 1. The
+        cursor values must come from a previous page verbatim
+        (engine-computed float64 score + doc_id)."""
         self._validate_num_docs(num_docs)
         tombs = self._index.tombstones if getattr(self, "_index", None) else ()
         scored = self._query_match_scores(query)
+        if search_after is not None:
+            if (
+                not isinstance(search_after, (tuple, list))
+                or len(search_after) != 2
+            ):
+                raise ValueError(
+                    "search_after must be a (score, doc_id) pair "
+                    "from the previous page's last row"
+                )
+            s_after, d_after = float(search_after[0]), int(search_after[1])
+            scored = scored.filter(
+                (F.col("score") < F.lit(s_after))
+                | (
+                    (F.col("score") == F.lit(s_after))
+                    & (F.col("doc_id") > F.lit(d_after))
+                )
+            )
         result = scored.orderBy(
             F.col("score").desc(), F.col("doc_id").asc()
         ).limit(num_docs + len(tombs))

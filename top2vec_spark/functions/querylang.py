@@ -30,9 +30,26 @@ Lucene QueryParser semantics (lowercase forms stay ordinary terms):
 ``-x``, and ``a AND b`` upgrades BOTH neighbors to must clauses —
 prohibited (``-``) neighbors stay prohibited and filter atoms are
 left as-is (they always gate), exactly Lucene's clause-conversion
-rules. There is no grouping: parentheses are not supported
-(documented delta); all-terms conjunction is also available as the
-separate ``search_documents_by_keywords_all`` API (F3).
+rules. All-terms conjunction is also available as the separate
+``search_documents_by_keywords_all`` API (F3).
+
+Parenthesized GROUPS are supported and lower at parse time —
+``(a b)`` groups clauses; a prefix ``-``/``NOT`` and a suffix
+``^boost`` distribute multiplicatively into every member (nesting
+composes: ``((a b)^2 c)^3`` weights a,b by 6 and c by 3), and a
+required group (``+(a b)``, or adjacency to ``AND``) becomes a
+DISJUNCTIVE must: the document must match at least one positive
+scoring member (Lucene's nested-BooleanQuery match rule for a pure
+should group in must position). ``field:(v1 v2)`` is Lucene field
+grouping — sugar for ``field:v1 field:v2`` (same-field values OR
+together; a ``-`` prefix excludes each). Documented deltas vs
+Lucene's QueryParser: ``+`` and ``AND`` are rejected INSIDE a group
+— an inner must clause makes the group's score conditional on a
+subset of its members (Lucene scores the nested BooleanQuery only
+when its inner musts match), which the engine's flat
+sum-of-contributions model deliberately does not express; spell the
+requirement at the top level instead (``a AND (b c)``). ``OR`` and
+``NOT`` inside groups work normally.
 
 A ``~`` suffix on a bare word (``sprk~``, ``sprk~1``) marks the atom
 FUZZY — Lucene FuzzyQuery shape: the executor expands it against the
@@ -95,7 +112,10 @@ class Atom(NamedTuple):
     single value is ``terms[0]`` (sign -1 = exclusion); ``slop`` on a
     phrase marks it a sloppy phrase (unordered span-near with that
     slop); ``rng`` on a filter atom is a range filter
-    ``(lo, hi, lo_inc, hi_inc)`` with ``None`` for an open end."""
+    ``(lo, hi, lo_inc, hi_inc)`` with ``None`` for an open end;
+    ``group`` is a must-group id: atoms sharing a group id come from
+    one required ``(...)`` group and a document must match AT LEAST
+    ONE of them (the disjunctive counterpart of ``must``)."""
 
     sign: float
     terms: tuple[str, ...]
@@ -104,6 +124,7 @@ class Atom(NamedTuple):
     field: str | None = None
     slop: int | None = None
     rng: tuple | None = None
+    group: int | None = None
 
 
 def _parse_boost(text: str) -> float:
@@ -117,33 +138,95 @@ def _parse_boost(text: str) -> float:
     return boost
 
 
+
+def _matching_paren(query: str, open_pos: int, limit: int) -> int:
+    """Index of the ')' matching the '(' at ``open_pos``, respecting
+    nesting and skipping quoted phrases (a ')' inside a phrase is
+    text, not structure)."""
+    depth = 0
+    j = open_pos
+    while j < limit:
+        c = query[j]
+        if c == '"':
+            end = query.find('"', j + 1)
+            if end < 0 or end >= limit:
+                raise ValueError("unclosed quote in query")
+            j = end + 1
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                return j
+        j += 1
+    raise ValueError("unclosed '(' in query")
+
+
+def _require_span(
+    atoms: list, start: int, end: int, gid: list, explicit: bool
+) -> None:
+    """Mark the clause spanning ``atoms[start:end]`` required — Lucene
+    clause conversion: only positive scoring members are upgraded
+    (prohibited members stay prohibited, filters already gate). A
+    single member becomes a plain ``must``; several become one
+    disjunctive must-GROUP (the document must match at least one).
+    ``explicit`` distinguishes ``+(...)`` (an empty upgrade is a user
+    error) from ``AND`` adjacency (Lucene silently keeps a prohibited
+    neighbor prohibited)."""
+    members = [
+        k
+        for k in range(start, end)
+        if atoms[k].field is None and atoms[k].sign > 0
+    ]
+    if not members:
+        if explicit:
+            raise ValueError(
+                "a required group needs at least one positive scoring atom"
+            )
+        return
+    if all(atoms[k].must or atoms[k].group is not None for k in members):
+        return  # already required (e.g. '+(a b) AND c' retro-applies)
+    if len(members) == 1:
+        atoms[members[0]] = atoms[members[0]]._replace(must=True)
+        return
+    g = gid[0]
+    gid[0] += 1
+    for k in members:
+        atoms[k] = atoms[k]._replace(group=g)
+
+
 def parse_query(query: str) -> list[Atom]:
-    """Parse a query string into [Atom(sign, terms, must)] atoms.
+    """Parse a query string into a flat [Atom] list (groups lower to
+    sign/boost distribution + must-group ids at parse time).
 
     Raises ValueError on: non-string, empty/atom-less query, unclosed
-    quote, empty phrase (""), a bare '-' or '+', a '+-' combination,
-    or a malformed '^boost'.
+    quote or paren, empty phrase ("") or group (), a bare '-' or '+',
+    a '+-' combination, a malformed '^boost', or '+'/'AND' inside a
+    group (documented delta — see the module docstring).
     """
     if not isinstance(query, str):
         raise ValueError("Query needs to be a string.")
     atoms: list[Atom] = []
-    i = 0
-    n = len(query)
+    _parse_clauses(query, 0, len(query), 0, atoms, [0])
+    if not atoms:
+        raise ValueError("query contains no terms")
+    return atoms
+
+
+def _parse_clauses(
+    query: str, i: int, limit: int, depth: int, atoms: list, gid: list
+) -> None:
+    """Parse one nesting level of ``query[i:limit]``, appending Atoms.
+    ``depth`` > 0 means inside a group: '+' and 'AND' are rejected
+    there (inner must clauses — documented delta), '(' recurses."""
+    n = limit
     # pending boolean-operator state (Lucene QueryParser keywords:
     # UPPERCASE-only; lowercase 'and'/'or'/'not' stay ordinary terms)
     pending_not = False  # NOT: negate the next atom
     pending_and = False  # AND: next scoring atom becomes must
     pending_or = False  # OR: an atom must still follow
-
-    def _retro_must() -> None:
-        # AND retro-applies must to the PREVIOUS atom — Lucene keeps
-        # prohibited (-) clauses prohibited and filters already gate,
-        # so only a positive scoring atom is upgraded
-        if not atoms:
-            raise ValueError("'AND' needs an atom on both sides")
-        last = atoms[-1]
-        if last.field is None and last.sign > 0:
-            atoms[-1] = last._replace(must=True)
+    last_span: tuple[int, int] | None = None  # previous clause's atoms
 
     while i < n:
         c = query[i]
@@ -154,13 +237,13 @@ def parse_query(query: str) -> list[Atom]:
         # the phrase branch consumes those characters wholesale)
         if c in "AON":
             j = i
-            while j < n and not query[j].isspace():
+            while j < n and not query[j].isspace() and query[j] != ")":
                 j += 1
             word = query[i:j]
             if word in ("AND", "OR", "NOT"):
                 if word == "OR":
                     # OR is the default operator — a validated no-op
-                    if not atoms or pending_not or pending_and or pending_or:
+                    if last_span is None or pending_not or pending_and or pending_or:
                         raise ValueError("'OR' needs an atom on both sides")
                     pending_or = True
                 elif word == "NOT":
@@ -168,11 +251,18 @@ def parse_query(query: str) -> list[Atom]:
                         raise ValueError("'NOT NOT' is not supported")
                     pending_not = True
                 else:  # AND
+                    if depth > 0:
+                        raise ValueError(
+                            "'AND' inside a group is not supported "
+                            "(inner must clauses — use top-level AND)"
+                        )
                     if pending_not or pending_and or pending_or:
                         raise ValueError(
                             f"'{word}' cannot follow another operator"
                         )
-                    _retro_must()
+                    if last_span is None:
+                        raise ValueError("'AND' needs an atom on both sides")
+                    _require_span(atoms, *last_span, gid, explicit=False)
                     pending_and = True
                 i = j
                 continue
@@ -185,6 +275,11 @@ def parse_query(query: str) -> list[Atom]:
             sign = -1.0
             # fall through: the atom parses normally with sign flipped
         if c == "+":
+            if depth > 0:
+                raise ValueError(
+                    "'+' inside a group is not supported "
+                    "(inner must clauses — use top-level AND)"
+                )
             must = True
             i += 1
             if i >= n or query[i].isspace():
@@ -205,9 +300,35 @@ def parse_query(query: str) -> list[Atom]:
         and_must = pending_and
         pending_and = False
         pending_or = False  # an atom follows — the OR is satisfied
+        if c == ")":
+            raise ValueError("unmatched ')' in query")
+        if c == "(":
+            close = _matching_paren(query, i, n)
+            start = len(atoms)
+            _parse_clauses(query, i + 1, close, depth + 1, atoms, gid)
+            if len(atoms) == start:
+                raise ValueError("empty group '()' in query")
+            i = close + 1
+            boost = 1.0
+            if i < n and query[i] == "^":
+                j = i + 1
+                while j < n and not query[j].isspace():
+                    j += 1
+                boost = _parse_boost(query[i + 1 : j])
+                i = j
+            elif i < n and not query[i].isspace():
+                raise ValueError("unexpected text after ')'")
+            factor = sign * boost
+            if factor != 1.0:
+                for k in range(start, len(atoms)):
+                    atoms[k] = atoms[k]._replace(sign=atoms[k].sign * factor)
+            if must or and_must:
+                _require_span(atoms, start, len(atoms), gid, explicit=must)
+            last_span = (start, len(atoms))
+            continue
         if c == '"':
             end = query.find('"', i + 1)
-            if end < 0:
+            if end < 0 or end >= n:
                 raise ValueError("unclosed quote in query")
             words = query[i + 1 : end].split()
             if not words:
@@ -229,11 +350,11 @@ def parse_query(query: str) -> list[Atom]:
                 i = j
             if i < n and query[i] == "^":
                 j = i + 1
-                while j < n and not query[j].isspace():
+                while j < n and not query[j].isspace() and query[j] != ")":
                     j += 1
                 sign *= _parse_boost(query[i + 1 : j])
                 i = j
-            elif i < n and not query[i].isspace():
+            elif i < n and not query[i].isspace() and query[i] != ")":
                 raise ValueError("unexpected text after closing quote")
             atoms.append(
                 Atom(
@@ -243,9 +364,10 @@ def parse_query(query: str) -> list[Atom]:
                     slop=slop,
                 )
             )
+            last_span = (len(atoms) - 1, len(atoms))
         else:
             j = i
-            while j < n and not query[j].isspace():
+            while j < n and not query[j].isspace() and query[j] != ")":
                 j += 1
             word = query[i:j]
             colon = word.find(":")
@@ -274,7 +396,11 @@ def parse_query(query: str) -> list[Atom]:
                         raise ValueError(
                             f"unclosed range bracket on field '{field}'"
                         )
-                    if close_pos + 1 < n and not query[close_pos + 1].isspace():
+                    if (
+                        close_pos + 1 < n
+                        and not query[close_pos + 1].isspace()
+                        and query[close_pos + 1] != ")"
+                    ):
                         raise ValueError(
                             "unexpected text after range bracket"
                         )
@@ -291,7 +417,7 @@ def parse_query(query: str) -> list[Atom]:
                             f"empty range bound on field '{field}' "
                             "(use '*' for an open end)"
                         )
-                    if any(ch in lo + hi for ch in '^~:"[]{}'):
+                    if any(ch in lo + hi for ch in '^~:"[]{}()'):
                         raise ValueError(
                             f"invalid character in range bound on "
                             f"field '{field}'"
@@ -310,6 +436,37 @@ def parse_query(query: str) -> list[Atom]:
                     atoms.append(
                         Atom(sign, (), False, None, field, rng=rng)
                     )
+                    last_span = (len(atoms) - 1, len(atoms))
+                    i = close_pos + 1
+                    continue
+                if value[:1] == "(":
+                    # field:(v1 v2) value group — Lucene field
+                    # grouping, sugar for field:v1 field:v2 (same
+                    # sign on each; same-field values OR together)
+                    open_pos = i + colon + 1
+                    close_pos = query.find(")", open_pos + 1, n)
+                    if close_pos < 0:
+                        raise ValueError(
+                            f"unclosed value group on field '{field}'"
+                        )
+                    if close_pos + 1 < n and not query[close_pos + 1].isspace():
+                        raise ValueError(
+                            "unexpected text after value group"
+                        )
+                    vals = query[open_pos + 1 : close_pos].split()
+                    if not vals:
+                        raise ValueError(
+                            f"empty value group on field '{field}'"
+                        )
+                    start = len(atoms)
+                    for v in vals:
+                        if any(ch in v for ch in '^~*:"(){}[]'):
+                            raise ValueError(
+                                "boost/fuzzy/wildcard are not supported "
+                                "on field filters"
+                            )
+                        atoms.append(Atom(sign, (v,), False, None, field))
+                    last_span = (start, len(atoms))
                     i = close_pos + 1
                     continue
                 if not value:
@@ -320,6 +477,7 @@ def parse_query(query: str) -> list[Atom]:
                     )
                 # value kept as-typed: keyword-field exact match
                 atoms.append(Atom(sign, (value,), False, None, field))
+                last_span = (len(atoms) - 1, len(atoms))
                 i = j
                 continue
             caret = word.find("^")
@@ -350,9 +508,14 @@ def parse_query(query: str) -> list[Atom]:
                 raise ValueError(
                     "'*' is only supported as a trailing wildcard on a term"
                 )
+            if "(" in word:
+                raise ValueError(
+                    f"'(' must start a group, not appear inside '{word}'"
+                )
             atoms.append(
                 Atom(sign, (word.lower(),), must or (and_must and sign > 0), fuzz)
             )
+            last_span = (len(atoms) - 1, len(atoms))
             i = j
     if pending_not:
         raise ValueError("dangling 'NOT' in query")
@@ -360,6 +523,3 @@ def parse_query(query: str) -> list[Atom]:
         raise ValueError(
             f"'{'AND' if pending_and else 'OR'}' needs an atom on both sides"
         )
-    if not atoms:
-        raise ValueError("query contains no terms")
-    return atoms

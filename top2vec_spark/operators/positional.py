@@ -452,12 +452,17 @@ def mixed_query_scores(
     field OR together, fields AND together, sign<0 excludes) — the
     doc-values filter pattern. ``"a b"~N`` sloppy phrases score as
     unordered span-near pseudo-terms (see :func:`span_near_tf`).
+    Parenthesized groups were already lowered by the parser — boosts
+    and signs arrive distributed into member atoms; a required group
+    arrives as a shared ``group`` id and gates disjunctively (the doc
+    must match >= 1 member) via an ``arrays_overlap`` against the same
+    collect_set(atom_id) the singleton must gate uses.
     Returns the FULL match set as (doc_id, score) — unordered,
     unlimited; facet aggregation consumes it whole, ranked retrieval
     goes through :func:`mixed_query_topk`.
     """
     # atoms are querylang.Atom(sign, terms, must, fuzz, field, slop,
-    # rng) — index access keeps hand-built legacy (sign, terms)
+    # rng, group) — index access keeps hand-built legacy (sign, terms)
     # 2-tuples working
     atoms = [
         (
@@ -468,6 +473,7 @@ def mixed_query_scores(
             a[4] if len(a) > 4 else None,
             a[5] if len(a) > 5 else None,
             a[6] if len(a) > 6 else None,
+            a[7] if len(a) > 7 else None,
         )
         for a in atoms
     ]
@@ -475,12 +481,12 @@ def mixed_query_scores(
         raise ValueError("query contains no terms")
     filter_atoms = [
         (s, t[0] if t else None, fld, rng)
-        for s, t, _, _, fld, _, rng in atoms
+        for s, t, _, _, fld, _, rng, _ in atoms
         if fld is not None
     ]
     scoring = [
-        (i, s, t, m, fz, sl)
-        for i, (s, t, m, fz, fld, sl, _) in enumerate(atoms)
+        (i, s, t, m, fz, sl, grp)
+        for i, (s, t, m, fz, fld, sl, _, grp) in enumerate(atoms)
         if fld is None
     ]
     if not scoring:
@@ -490,27 +496,35 @@ def mixed_query_scores(
             "field filters in the query need document metadata "
             "(pass doc_meta)"
         )
-    must_ids = [i for i, _, _, m, _, _ in scoring if m]
+    must_ids = [i for i, _, _, m, _, _, _ in scoring if m]
+    # disjunctive must-groups (a required (...) group): a doc must
+    # match >= 1 member of each group — gid -> member atom ids
+    must_groups: dict[int, list[int]] = {}
+    for i, _, _, _, _, _, grp in scoring:
+        if grp is not None:
+            must_groups.setdefault(grp, []).append(i)
     term_atoms = [
         (i, s, t[0])
-        for i, s, t, _, fz, sl in scoring
+        for i, s, t, _, fz, sl, _ in scoring
         if len(t) == 1 and fz is None and sl is None and not t[0].endswith("*")
     ]
     fuzzy_atoms = [
         (i, s, t[0], fz)
-        for i, s, t, _, fz, _ in scoring
+        for i, s, t, _, fz, _, _ in scoring
         if len(t) == 1 and fz is not None
     ]
     prefix_atoms = [
         (i, s, t[0][:-1])
-        for i, s, t, _, fz, sl in scoring
+        for i, s, t, _, fz, sl, _ in scoring
         if len(t) == 1 and fz is None and sl is None and t[0].endswith("*")
     ]
     phrase_atoms = [
-        (i, s, t) for i, s, t, _, _, sl in scoring if len(t) > 1 and sl is None
+        (i, s, t)
+        for i, s, t, _, _, sl, _ in scoring
+        if len(t) > 1 and sl is None
     ]
     slop_atoms = [
-        (i, s, t, sl) for i, s, t, _, _, sl in scoring if sl is not None
+        (i, s, t, sl) for i, s, t, _, _, sl, _ in scoring if sl is not None
     ]
     # vocabulary validation over every NON-prefix, NON-fuzzy word
     # (phrase words included) — message parity with keyword validation;
@@ -518,7 +532,7 @@ def mixed_query_scores(
     # at expansion (>=1 vocabulary term within distance) instead
     all_words = [
         w
-        for _, _, t, _, fz, _ in scoring
+        for _, _, t, _, fz, _, _ in scoring
         if fz is None
         for w in t
         if not w.endswith("*")
@@ -664,16 +678,17 @@ def mixed_query_scores(
         F.lit(0.0),
         lambda acc, x: acc + x["contrib"],
     ).alias("score")
-    if must_ids:
+    if must_ids or must_groups:
         # a doc matches must atom i iff it has a contribution row with
         # atom_id == i (tf > 0 / a phrase occurrence / any prefix
         # expansion) — checked inside the SAME per-doc aggregation
         # (collect_set of atom ids), so the must filter costs one
-        # array intersect per doc, never a second scan or join
-        scored = (
-            out.groupBy("doc_id")
-            .agg(sum_expr, F.collect_set("atom_id").alias("_aids"))
-            .filter(
+        # array intersect per doc, never a second scan or join; a
+        # required (...) GROUP is the disjunctive twin: arrays_overlap
+        # with the group's member ids (>= 1 member must match)
+        cond = None
+        if must_ids:
+            cond = (
                 F.size(
                     F.array_intersect(
                         "_aids", F.array(*[F.lit(i) for i in must_ids])
@@ -681,6 +696,15 @@ def mixed_query_scores(
                 )
                 == len(must_ids)
             )
+        for grp in sorted(must_groups):
+            over = F.arrays_overlap(
+                "_aids", F.array(*[F.lit(i) for i in must_groups[grp]])
+            )
+            cond = over if cond is None else cond & over
+        scored = (
+            out.groupBy("doc_id")
+            .agg(sum_expr, F.collect_set("atom_id").alias("_aids"))
+            .filter(cond)
             .select("doc_id", "score")
         )
     else:
