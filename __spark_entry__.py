@@ -2885,6 +2885,28 @@ def _q_query_lang_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_query_lang_filter_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-only row: 'lang:(en fr) n_chars:[200 TO 900]' — ES
+    bool-filter context: a query with no scoring atoms is match_all
+    gated by the metadata filters, every match at constant score 0.0
+    (ranking degenerates to doc_id ASC); field value-group sugar ORs
+    the two langs, the range ANDs in. No token scan at all — one
+    pruned metadata read. DuckDB replays as a plain WHERE."""
+    from top2vec_spark.functions.querylang import parse_query
+    from top2vec_spark.operators.positional import mixed_query_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tokens = _tokens(spark, sf_dir).cache()
+    ds = build_doc_stats(tokens)
+    g = compute_globals(ds)
+    vocab = build_vocab(tokens)
+    atoms = parse_query("lang:(en fr) n_chars:[200 TO 900]")
+    res = mixed_query_topk(
+        spark, tokens, ds, g, vocab, atoms, k=1_000_000, doc_meta=docs
+    )
+    return res.select("doc_id", "score").orderBy(F.col("doc_id").asc()).limit(50)
+
+
 def _q_query_lang_slop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sloppy-phrase row: '"fast table"~2 spark' — unordered span-near
     (SpanNearQuery inOrder=false): tf = hit positions whose window of
@@ -3218,6 +3240,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_lang_bool": _q_query_lang_bool,
         "query_lang_group": _q_query_lang_group,
         "query_lang_page2": _q_query_lang_page2,
+        "query_lang_filter_only": _q_query_lang_filter_only,
     }
 
 
@@ -5565,6 +5588,15 @@ ranked AS (
 SELECT doc_id, round(score, 4) AS score
 FROM ranked WHERE rn > 10 AND rn <= 20
 ORDER BY score DESC, doc_id ASC
+""",
+        # filter-only (ES bool-filter context): match_all gated by the
+        # metadata filters at constant score 0.0 — a plain WHERE over
+        # the documents table, no token CTE at all.
+        "query_lang_filter_only": """
+SELECT doc_id, CAST(0.0 AS DOUBLE) AS score
+FROM documents
+WHERE lang IN ('en', 'fr') AND n_chars BETWEEN 200 AND 900
+ORDER BY doc_id ASC LIMIT 50
 """,
         # 'sprt~2 quary~1^2 -slow': fuzzy atoms expand against the
         # vocabulary by classic Levenshtein distance — DuckDB's

@@ -657,11 +657,34 @@ def test_filter_errors(spark, meta_env):
             spark, tokens, ds, g, vocab,
             parse_query("fast nosuch:x"), 5, doc_meta=docs,
         )
-    with pytest.raises(ValueError, match="no scoring atoms"):
+    # filter-only queries without metadata still need doc_meta
+    with pytest.raises(ValueError, match="need document metadata"):
         mixed_query_topk(
-            spark, tokens, ds, g, vocab,
-            parse_query("lang:en"), 5, doc_meta=docs,
+            spark, tokens, ds, g, vocab, parse_query("lang:en"), 5
         )
+
+
+def test_filter_only_query_is_filter_context(spark, meta_env):
+    """A query of ONLY filters is ES bool-filter context: every doc
+    passing the filters matches at constant score 0.0 (match_all
+    gated by metadata) — no token scan, ranking degenerates to
+    doc_id ASC."""
+    docs, tokens, vocab, ds, g = meta_env
+    got = mixed_query_topk(
+        spark, tokens, ds, g, vocab,
+        parse_query("lang:en"), 20, doc_meta=docs,
+    ).collect()
+    en = sorted(d for d, _, l in META if l == "en")
+    assert [r["doc_id"] for r in got] == en
+    assert all(r["score"] == 0.0 for r in got)
+    # value-group sugar composes: lang:(en de) = lang:en OR lang:de
+    got2 = mixed_query_topk(
+        spark, tokens, ds, g, vocab,
+        parse_query("lang:(en de)"), 20, doc_meta=docs,
+    ).collect()
+    assert [r["doc_id"] for r in got2] == sorted(
+        d for d, _, l in META if l in ("en", "de")
+    )
 
 
 def test_facade_search_filtered(spark):
@@ -674,6 +697,16 @@ def test_facade_search_filtered(spark):
     assert rows and {r["doc_id"] for r in rows} <= en
     # text projection still works alongside the filter
     assert all(r["text"] for r in rows)
+    # filter-only search through the facade: match_all gated by lang
+    only = eng.search("lang:en", 3, return_documents=False).collect()
+    assert [r["doc_id"] for r in only] == sorted(en)[:3]
+    assert all(r["score"] == 0.0 for r in only)
+    # facets over a filter-only query (the classic ES drill-down)
+    fc = {r["key"]: r["doc_count"] for r in
+          eng.facet_counts("lang:(en de)", "lang", 10).collect()}
+    from collections import Counter
+    want = Counter(l for _, _, l in META if l in ("en", "de"))
+    assert fc == dict(want)
 
 
 # ---------------------------------------------------------------------------

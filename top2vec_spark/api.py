@@ -575,7 +575,12 @@ class Top2VecSpark:
             and (a.terms[0].endswith("*") or a.fuzz is not None)
             for a in atoms
         )
-        src = self.tokens if has_unpruned else self._positional_tokens(words)
+        has_scoring = any(a.field is None for a in atoms)
+        src = (
+            self.tokens
+            if has_unpruned or not has_scoring  # filter-only: src unused
+            else self._positional_tokens(words)
+        )
         has_filter = any(a.field is not None for a in atoms)
         return mixed_query_scores(
             self.spark,

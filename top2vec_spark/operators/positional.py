@@ -489,12 +489,18 @@ def mixed_query_scores(
         for i, (s, t, m, fz, fld, sl, _, grp) in enumerate(atoms)
         if fld is None
     ]
-    if not scoring:
-        raise ValueError("query contains no scoring atoms")
     if filter_atoms and doc_meta is None:
         raise ValueError(
             "field filters in the query need document metadata "
             "(pass doc_meta)"
+        )
+    if not scoring:
+        # filter-only query — ES bool-filter context: every document
+        # passing the filters matches with constant score 0.0
+        # (match_all gated by filters; ranking degenerates to doc_id
+        # ASC). One pruned metadata scan, no token scan at all.
+        return _filter_allowed_docs(doc_meta, filter_atoms).select(
+            "doc_id", F.lit(0.0).alias("score")
         )
     must_ids = [i for i, _, _, m, _, _, _ in scoring if m]
     # disjunctive must-groups (a required (...) group): a doc must
