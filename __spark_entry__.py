@@ -3065,6 +3065,34 @@ def _q_query_lang_page2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return page2.select("doc_id", F.round("score", 4).alias("score"))
 
 
+def _q_query_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explain row (Lucene IndexSearcher.explain parity): rank
+    '+spark "fast table" s* -slow', take the top doc, and return its
+    per-atom BM25 contribution breakdown — (atom_id, n_terms,
+    contrib): the must term, the phrase pseudo-term, the s* prefix
+    expansion (n_terms = matching expansions), and the negation.
+    DuckDB replays the atom-tagged contribution union, re-ranks to
+    find the same top doc, then aggregates per atom."""
+    from top2vec_spark.functions.querylang import parse_query
+    from top2vec_spark.operators.positional import (
+        mixed_query_explain,
+        mixed_query_topk,
+    )
+
+    tokens = _tokens(spark, sf_dir).cache()
+    ds = build_doc_stats(tokens)
+    g = compute_globals(ds)
+    vocab = build_vocab(tokens)
+    atoms = parse_query('+spark "fast table" s* -slow')
+    top = mixed_query_topk(spark, tokens, ds, g, vocab, atoms, k=1).collect()
+    res = mixed_query_explain(
+        spark, tokens, ds, g, vocab, atoms, int(top[0]["doc_id"])
+    )
+    return res.select(
+        "atom_id", "n_terms", F.round("contrib", 4).alias("contrib")
+    ).orderBy("atom_id")
+
+
 def _q_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MoreLikeThis row: top-25 tf-x-idf terms of doc 0 (weight
     rounded to 6 decimals before the cutoff so a 1-ulp ln divergence
@@ -3241,6 +3269,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_lang_group": _q_query_lang_group,
         "query_lang_page2": _q_query_lang_page2,
         "query_lang_filter_only": _q_query_lang_filter_only,
+        "query_explain": _q_query_explain,
     }
 
 
@@ -5597,6 +5626,65 @@ SELECT doc_id, CAST(0.0 AS DOUBLE) AS score
 FROM documents
 WHERE lang IN ('en', 'fr') AND n_chars BETWEEN 200 AND 900
 ORDER BY doc_id ASC LIMIT 50
+""",
+        # explain: atom-tagged contribution union for
+        # '+spark "fast table" s* -slow', ranked (must-gated) to find
+        # the engine's top doc, then per-atom (count, sum) for it.
+        "query_explain": f"""
+WITH {_PTOKENS_CTE},
+doc_stats AS (SELECT doc_id, count(*) AS dl FROM tokens_pos GROUP BY doc_id),
+globals AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM doc_stats),
+occ AS (
+  SELECT a.doc_id, a.pos AS start
+  FROM tokens_pos a JOIN tokens_pos b
+    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  WHERE a.term = 'fast' AND b.term = 'table'
+),
+tfp AS (SELECT doc_id, count(*) AS tf FROM occ GROUP BY doc_id),
+dfp AS (SELECT count(*) AS df FROM tfp),
+phrase_contrib AS (
+  SELECT t.doc_id, 1 AS atom_id,
+         ln(1.0 + (g.n_docs - d.df + 0.5) / (d.df + 0.5))
+           * (t.tf * ({BM25_K1} + 1.0))
+           / (t.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * s.dl / g.avgdl))
+           AS contrib
+  FROM tfp t JOIN doc_stats s USING (doc_id)
+  CROSS JOIN globals g CROSS JOIN dfp d
+),
+vocab AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tokens_pos GROUP BY term
+),
+q(term, atom_id, sign) AS (
+  SELECT 'spark', 0, 1.0
+  UNION ALL SELECT term, 2, 1.0 FROM vocab WHERE term LIKE 's%'
+  UNION ALL SELECT 'slow', 3, -1.0
+),
+tft AS (
+  SELECT doc_id, term, count(*) AS tf FROM tokens_pos
+  WHERE term IN (SELECT term FROM q) GROUP BY doc_id, term
+),
+term_contrib AS (
+  SELECT tft.doc_id, q.atom_id,
+         q.sign * ln(1.0 + (globals.n_docs - vocab.df + 0.5) / (vocab.df + 0.5))
+           * (tft.tf * ({BM25_K1} + 1.0))
+           / (tft.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * doc_stats.dl / globals.avgdl))
+           AS contrib
+  FROM tft JOIN q USING (term) JOIN vocab USING (term)
+  JOIN doc_stats USING (doc_id) CROSS JOIN globals
+),
+allc AS (
+  SELECT * FROM phrase_contrib UNION ALL SELECT * FROM term_contrib
+),
+scored AS (SELECT doc_id, sum(contrib) AS score FROM allc GROUP BY doc_id),
+ranked AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rn
+  FROM scored
+  WHERE doc_id IN (SELECT doc_id FROM tft WHERE term = 'spark')
+)
+SELECT atom_id, count(*) AS n_terms, round(sum(contrib), 4) AS contrib
+FROM allc
+WHERE doc_id = (SELECT doc_id FROM ranked WHERE rn = 1)
+GROUP BY atom_id ORDER BY atom_id
 """,
         # 'sprt~2 quary~1^2 -slow': fuzzy atoms expand against the
         # vocabulary by classic Levenshtein distance — DuckDB's

@@ -1370,3 +1370,56 @@ def test_search_after_validates_cursor(spark):
     for bad in [(1.0,), "cursor", (1.0, 2, 3)]:
         with pytest.raises(ValueError):
             eng.search("fast", 3, search_after=bad)
+
+
+# ---------------------------------------------------------------------------
+# explain() — Lucene IndexSearcher.explain parity
+# ---------------------------------------------------------------------------
+def test_explain_breakdown_sums_to_score(spark, env):
+    """Per-atom contributions of the top doc sum to its search score
+    (ULP-exact regroup of the engine's fold); n_terms counts prefix
+    expansion hits; a non-matching doc explains to an empty frame."""
+    from top2vec_spark.operators.positional import (
+        mixed_query_explain,
+        mixed_query_topk,
+    )
+
+    tokens, vocab, ds, g = env
+    atoms = parse_query('"fast table"^2 s* -slow')
+    top = mixed_query_topk(spark, tokens, ds, g, vocab, atoms, 3).collect()
+    rows = mixed_query_explain(
+        spark, tokens, ds, g, vocab, atoms, top[0]["doc_id"]
+    ).collect()
+    assert sum(r["contrib"] for r in rows) == top[0]["score"]
+    assert [r["atom_id"] for r in rows] == sorted(r["atom_id"] for r in rows)
+    # doc 0: 'scan slow sorted...' — s* matches scan+slow (+...?); at
+    # minimum the prefix atom aggregates >= 2 expansion terms there
+    by_atom = {r["atom_id"]: r for r in rows}
+    if 1 in by_atom:
+        assert by_atom[1]["n_terms"] >= 1
+    # a doc with no query terms -> empty breakdown (Lucene's
+    # "failure to match")
+    assert (
+        mixed_query_explain(spark, tokens, ds, g, vocab, atoms, 5).count()
+        == 0
+    )
+
+
+def test_explain_facade_labels_and_guards(spark):
+    from top2vec_spark.api import Top2VecSpark
+
+    docs = spark.createDataFrame(META, "doc_id long, text string, lang string")
+    eng = Top2VecSpark(spark, docs, ascii_fast_path=True, min_count=0)
+    top = eng.search('"fast table" spark~1 -slow lang:en', 3,
+                     return_documents=False).collect()
+    ex = eng.explain('"fast table" spark~1 -slow lang:en', top[0]["doc_id"])
+    rows = ex.collect()
+    assert list(ex.columns) == ["atom_id", "atom", "sign", "n_terms", "contrib"]
+    labels = {r["atom_id"]: r["atom"] for r in rows}
+    assert labels.get(0) == '"fast table"' or 0 not in labels
+    if 1 in labels:
+        assert labels[1] == "spark~1"
+    assert sum(r["contrib"] for r in rows) == top[0]["score"]
+    # filter-only queries have nothing to explain
+    with pytest.raises(ValueError, match="no scoring atoms to explain"):
+        eng.explain("lang:en", 0)

@@ -37,6 +37,21 @@ from top2vec_spark.operators.corpus_stats import (
 from top2vec_spark.operators.tokens import tokenize_docs
 
 
+def _atom_display(a) -> str:
+    """Display form of a scoring Atom for :meth:`Top2VecSpark.explain`
+    output — the atom as a user would have typed it (sign/boost are
+    reported in the separate ``sign`` column)."""
+    if len(a.terms) > 1:
+        base = '"%s"' % " ".join(a.terms)
+        if a.slop is not None:
+            base += f"~{a.slop}"
+        return base
+    t = a.terms[0]
+    if a.fuzz is not None:
+        return f"{t}~{a.fuzz}"
+    return t
+
+
 class Top2VecSpark:
     """Inverted-index retrieval engine over a documents DataFrame.
 
@@ -545,13 +560,13 @@ class Top2VecSpark:
         )
         return self._project(result, return_documents)
 
-    def _query_match_scores(self, query: str) -> DataFrame:
-        """Parse + validate a query-language string and return its
-        FULL match set as (doc_id, score) — the shared front half of
-        :meth:`search` (which ranks and limits it) and
-        :meth:`facet_counts` (which aggregates it whole)."""
+    def _parse_and_route(self, query: str):
+        """Parse + validate a query-language string and pick the token
+        source (pruned positional sidecar when usable, else the raw
+        tokens table) and metadata frame — the shared routing of
+        :meth:`search` / :meth:`facet_counts` / :meth:`explain`.
+        Returns (atoms, src, doc_meta_or_None)."""
         from top2vec_spark.functions.querylang import parse_query
-        from top2vec_spark.operators.positional import mixed_query_scores
 
         atoms = parse_query(query)
         # prefix atoms (trailing *), fuzzy atoms (~N), and field
@@ -582,6 +597,16 @@ class Top2VecSpark:
             else self._positional_tokens(words)
         )
         has_filter = any(a.field is not None for a in atoms)
+        return atoms, src, (self.docs if has_filter else None)
+
+    def _query_match_scores(self, query: str) -> DataFrame:
+        """FULL match set of a query-language string as
+        (doc_id, score) — the shared front half of :meth:`search`
+        (which ranks and limits it) and :meth:`facet_counts` (which
+        aggregates it whole)."""
+        from top2vec_spark.operators.positional import mixed_query_scores
+
+        atoms, src, meta = self._parse_and_route(query)
         return mixed_query_scores(
             self.spark,
             src,
@@ -589,8 +614,43 @@ class Top2VecSpark:
             self.globals,
             self.vocab,
             atoms,
-            doc_meta=self.docs if has_filter else None,
+            doc_meta=meta,
         )
+
+    def explain(self, query: str, doc_id: int) -> DataFrame:
+        """Lucene ``IndexSearcher.explain`` parity: the per-atom BM25
+        contribution breakdown of ONE document under a query-language
+        query — one row per atom the doc matches, as (atom_id, atom,
+        sign, n_terms, contrib): ``atom`` is the atom's display form,
+        ``sign`` its effective weight (±1 × boost), ``n_terms`` the
+        matching expansion-term count (>1 for prefix/fuzzy atoms),
+        ``contrib`` the atom's total signed BM25 contribution. The
+        doc's search score is the atom-ordered sum of ``contrib``
+        (float64-ULP-exact regrouping of the engine's fold). A doc
+        that matches nothing returns an empty frame (Lucene's
+        "failure to match"). Raises on a filter-only query (nothing
+        to explain)."""
+        from top2vec_spark.operators.positional import mixed_query_explain
+
+        atoms, src, meta = self._parse_and_route(query)
+        res = mixed_query_explain(
+            self.spark,
+            src,
+            self.doc_stats,
+            self.globals,
+            self.vocab,
+            atoms,
+            int(doc_id),
+            doc_meta=meta,
+        )
+        labels = [(i, _atom_display(a), float(a[0]))
+                  for i, a in enumerate(atoms) if a.field is None]
+        lab = self.spark.createDataFrame(
+            labels, "atom_id int, atom string, sign double"
+        )
+        return res.join(F.broadcast(lab), "atom_id").select(
+            "atom_id", "atom", "sign", "n_terms", "contrib"
+        ).orderBy("atom_id")
 
     def facet_counts(
         self, query: str, field: str, num_facets: int = 10

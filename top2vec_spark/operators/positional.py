@@ -414,7 +414,7 @@ def span_near_tf(
     return qualifying.groupBy("doc_id").agg(F.count(F.lit(1)).alias("tf"))
 
 
-def mixed_query_scores(
+def _mixed_contribs(
     spark: SparkSession,
     tokens: DataFrame,
     doc_stats: DataFrame,
@@ -424,8 +424,15 @@ def mixed_query_scores(
     cfg: BM25Config = BM25Config(),
     max_expansions: int = 128,
     doc_meta: DataFrame | None = None,
-) -> DataFrame:
-    """Execute parsed query-language atoms (functions/querylang.py):
+):
+    """Shared front half of :func:`mixed_query_scores` and
+    :func:`mixed_query_explain`: validate + expand the parsed atoms
+    and build the per-(doc, atom) contribution frame. Returns
+    ``(out, must_ids, must_groups, filter_atoms)`` where ``out`` is
+    (doc_id, atom_id, contrib) rows — or ``None`` for a filter-only
+    query (no scoring atoms; the caller decides what that means).
+
+    Execution semantics of the atoms (scoring model of the engine):
     every atom contributes sign * BM25 — bag-of-words terms through
     the brute-scorer shape, phrases as exact-occurrence pseudo-terms
     (phrase df via the same ReusedExchange crossJoin as phrase_topk),
@@ -495,13 +502,8 @@ def mixed_query_scores(
             "(pass doc_meta)"
         )
     if not scoring:
-        # filter-only query — ES bool-filter context: every document
-        # passing the filters matches with constant score 0.0
-        # (match_all gated by filters; ranking degenerates to doc_id
-        # ASC). One pruned metadata scan, no token scan at all.
-        return _filter_allowed_docs(doc_meta, filter_atoms).select(
-            "doc_id", F.lit(0.0).alias("score")
-        )
+        # filter-only query: no contribution frame to build
+        return None, [], {}, filter_atoms
     must_ids = [i for i, _, _, m, _, _, _ in scoring if m]
     # disjunctive must-groups (a required (...) group): a doc must
     # match >= 1 member of each group — gid -> member atom ids
@@ -679,6 +681,40 @@ def mixed_query_scores(
     out = frames[0]
     for f in frames[1:]:
         out = out.unionByName(f)
+    return out, must_ids, must_groups, filter_atoms
+
+
+def mixed_query_scores(
+    spark: SparkSession,
+    tokens: DataFrame,
+    doc_stats: DataFrame,
+    globs: CorpusGlobals,
+    vocab: DataFrame,
+    atoms: Sequence[tuple[float, tuple[str, ...]]],
+    cfg: BM25Config = BM25Config(),
+    max_expansions: int = 128,
+    doc_meta: DataFrame | None = None,
+) -> DataFrame:
+    """Execute parsed query-language atoms — see
+    :func:`_mixed_contribs` for the per-atom scoring model. Sums the
+    contribution frame per doc with the engine's deterministic
+    accumulation contract (atom-index-sorted left-to-right float64
+    sum), applies the must / must-group gates inside the same
+    aggregation and the field filters as one semi-join. A FILTER-ONLY
+    query (no scoring atoms) is ES bool-filter context: every doc
+    passing the filters matches at constant score 0.0 (match_all
+    gated by metadata; one pruned scan, no token read). Returns the
+    FULL match set as (doc_id, score) — unordered, unlimited; facet
+    aggregation consumes it whole, ranked retrieval goes through
+    :func:`mixed_query_topk`."""
+    out, must_ids, must_groups, filter_atoms = _mixed_contribs(
+        spark, tokens, doc_stats, globs, vocab, atoms,
+        cfg=cfg, max_expansions=max_expansions, doc_meta=doc_meta,
+    )
+    if out is None:
+        return _filter_allowed_docs(doc_meta, filter_atoms).select(
+            "doc_id", F.lit(0.0).alias("score")
+        )
     sum_expr = F.aggregate(
         F.sort_array(F.collect_list(F.struct("atom_id", "contrib"))),
         F.lit(0.0),
@@ -720,6 +756,56 @@ def mixed_query_scores(
             _filter_allowed_docs(doc_meta, filter_atoms), "doc_id", "left_semi"
         )
     return scored
+
+
+def mixed_query_explain(
+    spark: SparkSession,
+    tokens: DataFrame,
+    doc_stats: DataFrame,
+    globs: CorpusGlobals,
+    vocab: DataFrame,
+    atoms: Sequence[tuple[float, tuple[str, ...]]],
+    doc_id: int,
+    cfg: BM25Config = BM25Config(),
+    max_expansions: int = 128,
+    doc_meta: DataFrame | None = None,
+) -> DataFrame:
+    """Lucene ``IndexSearcher.explain`` re-expression: the per-atom
+    BM25 contribution breakdown of ONE document under a parsed query
+    — (atom_id, n_terms, contrib) per atom the doc matches, where
+    ``n_terms`` counts the matching expansion terms (1 for a plain
+    term/phrase, >1 when a prefix/fuzzy expansion hit several vocab
+    terms) and ``contrib`` folds that atom's contributions in the
+    engine's deterministic order. The doc's search score is the
+    atom-ordered sum of these rows (associativity regroups the same
+    ordered fold, so totals agree to float64 ULP).
+
+    Scale: the ``doc_id`` equality pushes through the contribution
+    aggregations into the term-pruned scans (a grouping-key filter,
+    visible as PushedFilters EqualTo(doc_id)), so term atoms read one
+    doc's rows. Phrase/slop atoms additionally pay their pseudo-term
+    df (a corpus-wide count over the phrase terms' postings — the
+    same statistic query-time scoring needs; inherent, not
+    plan-avoidable)."""
+    out, _, _, _ = _mixed_contribs(
+        spark, tokens, doc_stats, globs, vocab, atoms,
+        cfg=cfg, max_expansions=max_expansions, doc_meta=doc_meta,
+    )
+    if out is None:
+        raise ValueError(
+            "filter-only query has no scoring atoms to explain"
+        )
+    fold = F.aggregate(
+        F.sort_array(F.collect_list(F.struct("atom_id", "contrib"))),
+        F.lit(0.0),
+        lambda acc, x: acc + x["contrib"],
+    ).alias("contrib")
+    return (
+        out.filter(F.col("doc_id") == int(doc_id))
+        .groupBy("atom_id")
+        .agg(F.count(F.lit(1)).alias("n_terms"), fold)
+        .orderBy("atom_id")
+    )
 
 
 def mixed_query_topk(
