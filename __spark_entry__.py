@@ -3093,6 +3093,73 @@ def _q_query_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("atom_id")
 
 
+def _q_search_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sort-by-field row (ES sort): the match set of 'spark fast
+    -slow' ordered by the n_chars metadata column DESC (doc_id ASC
+    tiebreak) instead of relevance, top 10 — score still computed
+    and returned. DuckDB replays the scored union then ORDER BY the
+    joined metadata."""
+    from top2vec_spark.functions.querylang import parse_query
+    from top2vec_spark.operators.positional import mixed_query_scores
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tokens = _tokens(spark, sf_dir).cache()
+    ds = build_doc_stats(tokens)
+    g = compute_globals(ds)
+    vocab = build_vocab(tokens)
+    scored = mixed_query_scores(
+        spark, tokens, ds, g, vocab, parse_query("spark fast -slow")
+    )
+    return (
+        scored.join(docs.select("doc_id", "n_chars"), "doc_id")
+        .orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+        .limit(10)
+        .select("doc_id", "n_chars", F.round("score", 4).alias("score"))
+    )
+
+
+def _q_histogram_n_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-aggregation row (ES histogram agg): the match set of
+    'spark fast -slow' bucketed by floor(n_chars/100)*100, every
+    non-empty bucket as (bucket, doc_count), bucket ASC. DuckDB
+    replays with the same floor arithmetic."""
+    from top2vec_spark.functions.querylang import parse_query
+    from top2vec_spark.operators.positional import mixed_query_scores
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tokens = _tokens(spark, sf_dir).cache()
+    ds = build_doc_stats(tokens)
+    g = compute_globals(ds)
+    vocab = build_vocab(tokens)
+    scored = mixed_query_scores(
+        spark, tokens, ds, g, vocab, parse_query("spark fast -slow")
+    )
+    bucket = (F.floor(F.col("n_chars") / F.lit(100)) * F.lit(100)).cast(
+        "bigint"
+    )
+    return (
+        scored.join(docs.select("doc_id", "n_chars"), "doc_id")
+        .filter(F.col("n_chars").isNotNull())
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+        .orderBy(F.col("bucket").asc())
+    )
+
+
+def _q_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suggest row (term-suggester): the 10 most frequent vocabulary
+    terms starting with 's', df DESC / term ASC — one pruned vocab
+    scan. DuckDB replays from its tokens CTE."""
+    tokens = _tokens(spark, sf_dir).cache()
+    vocab = build_vocab(tokens)
+    return (
+        vocab.filter(F.col("term").startswith("s"))
+        .select("term", "df")
+        .orderBy(F.col("df").desc(), F.col("term").asc())
+        .limit(10)
+    )
+
+
 def _q_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MoreLikeThis row: top-25 tf-x-idf terms of doc 0 (weight
     rounded to 6 decimals before the cutoff so a 1-ulp ln divergence
@@ -3270,6 +3337,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_lang_page2": _q_query_lang_page2,
         "query_lang_filter_only": _q_query_lang_filter_only,
         "query_explain": _q_query_explain,
+        "search_sorted": _q_search_sorted,
+        "histogram_n_chars": _q_histogram_n_chars,
+        "suggest_top10": _q_suggest,
     }
 
 
@@ -5685,6 +5755,54 @@ SELECT atom_id, count(*) AS n_terms, round(sum(contrib), 4) AS contrib
 FROM allc
 WHERE doc_id = (SELECT doc_id FROM ranked WHERE rn = 1)
 GROUP BY atom_id ORDER BY atom_id
+""",
+        # sort-by-field: the scored 'spark fast -slow' union ordered
+        # by joined metadata instead of relevance.
+        "search_sorted": f"""
+WITH {_STATS_CTES},
+q(term, sign) AS (VALUES ('spark', 1.0), ('fast', 1.0), ('slow', -1.0)),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tokens
+  WHERE term IN (SELECT term FROM q) GROUP BY doc_id, term
+),
+scored AS (
+  SELECT tf.doc_id,
+         sum(q.sign
+             * ln(1.0 + (globals.n_docs - vocab.df + 0.5) / (vocab.df + 0.5))
+             * (tf.tf * ({BM25_K1} + 1.0))
+             / (tf.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * doc_stats.dl / globals.avgdl))
+         ) AS score
+  FROM tf
+  JOIN q USING (term) JOIN vocab USING (term) JOIN doc_stats USING (doc_id)
+  CROSS JOIN globals
+  GROUP BY tf.doc_id
+)
+SELECT s.doc_id, d.n_chars, round(s.score, 4) AS score
+FROM scored s JOIN documents d USING (doc_id)
+ORDER BY d.n_chars DESC, s.doc_id ASC LIMIT 10
+""",
+        # histogram agg: floor(n_chars/100)*100 buckets of the same
+        # match set.
+        "histogram_n_chars": f"""
+WITH {_STATS_CTES},
+q(term, sign) AS (VALUES ('spark', 1.0), ('fast', 1.0), ('slow', -1.0)),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tokens
+  WHERE term IN (SELECT term FROM q) GROUP BY doc_id, term
+),
+matched AS (SELECT DISTINCT doc_id FROM tf)
+SELECT CAST(floor(d.n_chars / 100.0) * 100 AS BIGINT) AS bucket,
+       count(*) AS doc_count
+FROM matched m JOIN documents d USING (doc_id)
+WHERE d.n_chars IS NOT NULL
+GROUP BY bucket ORDER BY bucket ASC
+""",
+        # suggest: most frequent vocabulary terms under a prefix.
+        "suggest_top10": f"""
+WITH {_TOKENS_CTE},
+vocab AS (SELECT term, count(DISTINCT doc_id) AS df FROM tokens GROUP BY term)
+SELECT term, df FROM vocab WHERE term LIKE 's%'
+ORDER BY df DESC, term ASC LIMIT 10
 """,
         # 'sprt~2 quary~1^2 -slow': fuzzy atoms expand against the
         # vocabulary by classic Levenshtein distance — DuckDB's

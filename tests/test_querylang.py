@@ -1423,3 +1423,54 @@ def test_explain_facade_labels_and_guards(spark):
     # filter-only queries have nothing to explain
     with pytest.raises(ValueError, match="no scoring atoms to explain"):
         eng.explain("lang:en", 0)
+
+
+# ---------------------------------------------------------------------------
+# sort-by-field, histogram aggregation, suggest
+# ---------------------------------------------------------------------------
+def test_sort_by_field_and_histogram_and_suggest(spark):
+    META4 = [(d, t, l, n) for (d, t), l, n in zip(
+        CORPUS,
+        ["en", "de", "en", "fr", "en", "de", "fr"],
+        [54, 38, 32, 44, 37, 29, 10],
+    )]
+    from top2vec_spark.api import Top2VecSpark
+
+    docs = spark.createDataFrame(
+        META4, "doc_id long, text string, lang string, n_chars long"
+    )
+    eng = Top2VecSpark(spark, docs, ascii_fast_path=True, min_count=0)
+    # sort: metadata order replaces relevance; matches unchanged
+    rel = {r["doc_id"] for r in
+           eng.search("fast table", 5, return_documents=False).collect()}
+    srt = eng.search("fast table", 5, return_documents=False,
+                     sort=[("n_chars", "desc")]).collect()
+    assert {r["doc_id"] for r in srt} == rel
+    vals = [r["n_chars"] for r in srt]
+    assert vals == sorted(vals, reverse=True)
+    # multi-key with tiebreak ASC: (lang asc, n_chars asc)
+    srt2 = eng.search("fast table", 5, return_documents=False,
+                      sort=[("lang", "asc"), ("n_chars", "asc")]).collect()
+    keys = [(r["lang"], r["n_chars"], r["doc_id"]) for r in srt2]
+    assert keys == sorted(keys)
+    # histogram: python oracle
+    match = {r["doc_id"] for r in
+             eng.search("fast table", 7, return_documents=False).collect()}
+    nc = {d: n for d, _, _, n in META4}
+    from collections import Counter
+    want = Counter((nc[d] // 20) * 20 for d in match)
+    got = {r["bucket"]: r["doc_count"] for r in
+           eng.histogram_counts("fast table", "n_chars", 20).collect()}
+    assert got == dict(want)
+    # suggest: df-ordered prefix completion from the vocabulary
+    sugg = [r["term"] for r in eng.suggest("s", 4).collect()]
+    vocab = {r["term"]: r["df"] for r in eng.vocab.collect()}
+    want_terms = sorted(
+        (t for t in vocab if t.startswith("s")),
+        key=lambda t: (-vocab[t], t),
+    )[:4]
+    assert sugg == want_terms
+    with pytest.raises(ValueError):
+        eng.histogram_counts("fast", "n_chars", 0)
+    with pytest.raises(ValueError):
+        eng.suggest("   ", 3)

@@ -499,6 +499,7 @@ class Top2VecSpark:
         num_docs: int,
         return_documents: bool = True,
         search_after: tuple | None = None,
+        sort: list | None = None,
     ) -> DataFrame:
         """Query-language search (functions/querylang.py): bare terms,
         ``-`` negation, ``+`` required clauses, ``"quoted phrases"``,
@@ -531,11 +532,25 @@ class Top2VecSpark:
         deep paging never pays the from+size re-scan-and-discard
         cost: page N is the same one-pass top-k as page 1. The
         cursor values must come from a previous page verbatim
-        (engine-computed float64 score + doc_id)."""
+        (engine-computed float64 score + doc_id).
+
+        ``sort=[("field", "asc"|"desc"), ...]`` ranks by metadata
+        columns instead of relevance (the ES sort shape; doc_id ASC
+        is always the final tiebreak, score still returned). Sorting
+        joins the match set to the metadata columns and replaces the
+        top-k ordering — still one TakeOrderedAndProject, never a
+        global sort. ``sort`` + ``search_after`` together are not
+        supported (a sort cursor is a different tuple shape —
+        documented limit)."""
         self._validate_num_docs(num_docs)
         tombs = self._index.tombstones if getattr(self, "_index", None) else ()
         scored = self._query_match_scores(query)
         if search_after is not None:
+            if sort is not None:
+                raise ValueError(
+                    "search_after with sort is not supported "
+                    "(cursor pagination follows relevance order)"
+                )
             if (
                 not isinstance(search_after, (tuple, list))
                 or len(search_after) != 2
@@ -552,13 +567,51 @@ class Top2VecSpark:
                     & (F.col("doc_id") > F.lit(d_after))
                 )
             )
-        result = scored.orderBy(
-            F.col("score").desc(), F.col("doc_id").asc()
-        ).limit(num_docs + len(tombs))
-        result = self._exclude_tombstones(
-            result, num_docs, [F.col("score").desc(), F.col("doc_id").asc()]
-        )
-        return self._project(result, return_documents)
+        if sort is not None:
+            order = self._sort_order(sort)
+            fields = [f for f, _ in sort]
+            scored = scored.join(
+                self.docs.select("doc_id", *fields), "doc_id"
+            )
+        else:
+            order = [F.col("score").desc(), F.col("doc_id").asc()]
+        result = scored.orderBy(*order).limit(num_docs + len(tombs))
+        result = self._exclude_tombstones(result, num_docs, order)
+        # the sort columns ride along in the result (ES returns the
+        # sort values — they are the page cursor a client would keep)
+        return self._project(result, return_documents, order=order)
+
+    def _sort_order(self, sort) -> list:
+        """Validate an ES-style sort spec [(field, 'asc'|'desc'), ...]
+        against the metadata columns; returns the orderBy column list
+        with the doc_id ASC final tiebreak. NULLs sort last in either
+        direction (the ES missing:_last default)."""
+        if not isinstance(sort, (list, tuple)) or not sort:
+            raise ValueError(
+                "sort must be a non-empty list of (field, 'asc'|'desc')"
+            )
+        order = []
+        for item in sort:
+            if not isinstance(item, (list, tuple)) or len(item) != 2:
+                raise ValueError(
+                    "sort must be a non-empty list of (field, 'asc'|'desc')"
+                )
+            fld, direction = item
+            if fld not in self.docs.columns:
+                raise ValueError(
+                    f"unknown sort field '{fld}' — not a metadata column"
+                )
+            if direction not in ("asc", "desc"):
+                raise ValueError(
+                    f"sort direction must be 'asc' or 'desc', got '{direction}'"
+                )
+            order.append(
+                F.col(fld).desc_nulls_last()
+                if direction == "desc"
+                else F.col(fld).asc_nulls_last()
+            )
+        order.append(F.col("doc_id").asc())
+        return order
 
     def _parse_and_route(self, query: str):
         """Parse + validate a query-language string and pick the token
@@ -680,6 +733,63 @@ class Top2VecSpark:
             .agg(F.count(F.lit(1)).alias("doc_count"))
             .orderBy(F.col("doc_count").desc(), F.col("key").asc())
             .limit(num_facets)
+        )
+
+    def histogram_counts(
+        self, query: str, field: str, interval: int | float
+    ) -> DataFrame:
+        """Histogram aggregation over a query's FULL match set — the
+        Elasticsearch histogram-agg shape: bucket the matching
+        documents by ``floor(field / interval) * interval`` over a
+        NUMERIC metadata column and return every non-empty bucket as
+        (bucket, doc_count), bucket ASC. NULL metadata forms no
+        bucket; tombstoned documents are excluded. Same plan family
+        as :meth:`facet_counts`: the scored match set + one metadata
+        join + a two-phase hash aggregation on the (derived, still
+        low-cardinality) bucket key — one Exchange."""
+        if field not in self.docs.columns:
+            raise ValueError(
+                f"unknown histogram field '{field}' — not a metadata column"
+            )
+        dtype = self.docs.schema[field].dataType.simpleString()
+        if dtype not in ("tinyint", "smallint", "int", "bigint",
+                        "float", "double") and not dtype.startswith("decimal"):
+            raise ValueError(
+                f"histogram field '{field}' ({dtype}) is not numeric"
+            )
+        if not isinstance(interval, (int, float)) or interval <= 0:
+            raise ValueError("interval must be a positive number")
+        scored = self._query_match_scores(query)
+        tombs = self._index.tombstones if getattr(self, "_index", None) else ()
+        if tombs:
+            scored = scored.filter(~F.col("doc_id").isin(list(tombs)))
+        bucket = (
+            F.floor(F.col(field) / F.lit(interval)) * F.lit(interval)
+        ).cast("double" if isinstance(interval, float) else "bigint")
+        return (
+            scored.join(self.docs.select("doc_id", field), "doc_id")
+            .filter(F.col(field).isNotNull())
+            .groupBy(bucket.alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("doc_count"))
+            .orderBy(F.col("bucket").asc())
+        )
+
+    def suggest(self, prefix: str, num_terms: int = 10) -> DataFrame:
+        """Prefix autocomplete from the vocabulary — the classic
+        term-suggester shape: the ``num_terms`` most frequent
+        vocabulary terms starting with ``prefix`` (case-lowered, the
+        T4 query-time contract), ordered df DESC / term ASC, as
+        (term, df). One pruned vocab scan + TakeOrderedAndProject —
+        the vocab table is term-sorted parquet, so the startswith
+        prunes row groups by min/max stats."""
+        if not isinstance(prefix, str) or not prefix.strip():
+            raise ValueError("prefix must be a non-empty string")
+        self._validate_num(num_terms, "num_terms")
+        return (
+            self.vocab.filter(F.col("term").startswith(prefix.lower()))
+            .select("term", "df")
+            .orderBy(F.col("df").desc(), F.col("term").asc())
+            .limit(num_terms)
         )
 
     def search_documents_by_phrase(
