@@ -3160,6 +3160,53 @@ def _q_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_query_lang_msm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """minimum_should_match row: 'spark fast table -slow' with
+    min_should_match=2 — ES/Lucene msm: only docs matching >= 2 of
+    the three positive should terms survive; scores identical to the
+    ungated union. DuckDB gates with a HAVING count(DISTINCT term)
+    subquery."""
+    from top2vec_spark.functions.querylang import parse_query
+    from top2vec_spark.operators.positional import mixed_query_scores
+
+    tokens = _tokens(spark, sf_dir).cache()
+    ds = build_doc_stats(tokens)
+    g = compute_globals(ds)
+    vocab = build_vocab(tokens)
+    scored = mixed_query_scores(
+        spark, tokens, ds, g, vocab, parse_query("spark fast table -slow"),
+        min_should_match=2,
+    )
+    return (
+        scored.select("doc_id", F.round("score", 4).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+
+
+def _q_query_lang_wild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wildcard row: 's?ark ta*le^2 -sl*w' — Lucene WildcardQuery
+    beyond trailing-*: '?' = one char, '*' = any run, anywhere past
+    the first literal char; each pattern expands against the
+    vocabulary and contributes sign x boost x BM25 per expansion.
+    DuckDB replays the expansion with LIKE ('?' -> '_', '*' ->
+    '%')."""
+    from top2vec_spark.functions.querylang import parse_query
+    from top2vec_spark.operators.positional import mixed_query_topk
+
+    tokens = _tokens(spark, sf_dir).cache()
+    ds = build_doc_stats(tokens)
+    g = compute_globals(ds)
+    vocab = build_vocab(tokens)
+    atoms = parse_query("s?ark ta*le^2 -sl*w")
+    res = mixed_query_topk(spark, tokens, ds, g, vocab, atoms, k=1_000_000)
+    return (
+        res.select("doc_id", F.round("score", 4).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+
+
 def _q_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MoreLikeThis row: top-25 tf-x-idf terms of doc 0 (weight
     rounded to 6 decimals before the cutoff so a 1-ulp ln divergence
@@ -3340,6 +3387,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_sorted": _q_search_sorted,
         "histogram_n_chars": _q_histogram_n_chars,
         "suggest_top10": _q_suggest,
+        "query_lang_msm": _q_query_lang_msm,
+        "query_lang_wild": _q_query_lang_wild,
     }
 
 
@@ -5803,6 +5852,64 @@ WITH {_TOKENS_CTE},
 vocab AS (SELECT term, count(DISTINCT doc_id) AS df FROM tokens GROUP BY term)
 SELECT term, df FROM vocab WHERE term LIKE 's%'
 ORDER BY df DESC, term ASC LIMIT 10
+""",
+        # minimum_should_match=2 over 'spark fast table -slow'.
+        "query_lang_msm": f"""
+WITH {_STATS_CTES},
+q(term, sign) AS (VALUES ('spark', 1.0), ('fast', 1.0), ('table', 1.0), ('slow', -1.0)),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tokens
+  WHERE term IN (SELECT term FROM q) GROUP BY doc_id, term
+),
+scored AS (
+  SELECT tf.doc_id,
+         sum(q.sign
+             * ln(1.0 + (globals.n_docs - vocab.df + 0.5) / (vocab.df + 0.5))
+             * (tf.tf * ({BM25_K1} + 1.0))
+             / (tf.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * doc_stats.dl / globals.avgdl))
+         ) AS score
+  FROM tf
+  JOIN q USING (term) JOIN vocab USING (term) JOIN doc_stats USING (doc_id)
+  CROSS JOIN globals
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(score, 4) AS score
+FROM scored
+WHERE doc_id IN (
+  SELECT doc_id FROM tf WHERE term IN ('spark', 'fast', 'table')
+  GROUP BY doc_id HAVING count(DISTINCT term) >= 2
+)
+ORDER BY round(score, 4) DESC, doc_id ASC LIMIT 10
+""",
+        # wildcards: LIKE replay ('?' -> '_', '*' -> '%') of
+        # 's?ark ta*le^2 -sl*w'.
+        "query_lang_wild": f"""
+WITH {_STATS_CTES},
+q(term, sign) AS (
+  SELECT term, 1.0 FROM vocab WHERE term LIKE 's_ark'
+  UNION ALL
+  SELECT term, 2.0 FROM vocab WHERE term LIKE 'ta%le'
+  UNION ALL
+  SELECT term, -1.0 FROM vocab WHERE term LIKE 'sl%w'
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tokens
+  WHERE term IN (SELECT term FROM q) GROUP BY doc_id, term
+),
+scored AS (
+  SELECT tf.doc_id,
+         sum(q.sign
+             * ln(1.0 + (globals.n_docs - vocab.df + 0.5) / (vocab.df + 0.5))
+             * (tf.tf * ({BM25_K1} + 1.0))
+             / (tf.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * doc_stats.dl / globals.avgdl))
+         ) AS score
+  FROM tf
+  JOIN q USING (term) JOIN vocab USING (term) JOIN doc_stats USING (doc_id)
+  CROSS JOIN globals
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(score, 4) AS score
+FROM scored ORDER BY round(score, 4) DESC, doc_id ASC LIMIT 10
 """,
         # 'sprt~2 quary~1^2 -slow': fuzzy atoms expand against the
         # vocabulary by classic Levenshtein distance — DuckDB's

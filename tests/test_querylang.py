@@ -316,7 +316,9 @@ def test_boosted_prefix_scales(spark, env):
         assert math.isclose(boosted[d], 2 * plain[d], rel_tol=1e-12)
 
 
-@pytest.mark.parametrize("bad", ["*", "-*", "a*b", '"fast ta*"', "*abc"])
+# "a*b" became a legal mid-term wildcard (F19); star-only, leading
+# wildcards, and in-phrase wildcards still reject
+@pytest.mark.parametrize("bad", ["*", "-*", '"fast ta*"', "*abc", "?ab"])
 def test_parse_prefix_errors(bad):
     with pytest.raises(ValueError):
         parse_query(bad)
@@ -1474,3 +1476,75 @@ def test_sort_by_field_and_histogram_and_suggest(spark):
         eng.histogram_counts("fast", "n_chars", 0)
     with pytest.raises(ValueError):
         eng.suggest("   ", 3)
+
+
+# ---------------------------------------------------------------------------
+# minimum_should_match + general wildcards
+# ---------------------------------------------------------------------------
+def test_min_should_match_gates_without_scoring(spark, env):
+    from top2vec_spark.operators.positional import mixed_query_scores
+
+    tokens, vocab, ds, g = env
+    atoms = parse_query("fast window spark -slow")
+
+    def run(msm):
+        return {
+            r["doc_id"]: r["score"]
+            for r in mixed_query_scores(
+                spark, tokens, ds, g, vocab, atoms, min_should_match=msm
+            ).collect()
+        }
+
+    free = run(None)
+    m2 = run(2)
+    count = {
+        d: sum(1 for w in ("fast", "window", "spark") if w in _pytoks(t))
+        for d, t in CORPUS
+    }
+    assert set(m2) == {d for d in free if count[d] >= 2}
+    for d, s in m2.items():
+        assert s == free[d]  # gating never changes scores
+    assert run(4) == {}  # msm above the should count matches nothing
+    # must atoms are NOT should atoms: '+fast window spark' has 2
+    # should atoms; msm=2 requires both window and spark
+    atoms2 = parse_query("+fast window spark")
+    got = {
+        r["doc_id"]
+        for r in mixed_query_scores(
+            spark, tokens, ds, g, vocab, atoms2, min_should_match=2
+        ).collect()
+    }
+    assert got == {
+        d for d, t in CORPUS
+        if "fast" in _pytoks(t)
+        and "window" in _pytoks(t) and "spark" in _pytoks(t)
+    }
+    with pytest.raises(ValueError, match="positive integer"):
+        mixed_query_scores(
+            spark, tokens, ds, g, vocab, atoms, min_should_match=0
+        )
+
+
+def test_wildcards_expand_like_spelled_terms(spark, env):
+    """'t?ble' == 'table'; 's*w' == 'slow'; multi-wildcard and
+    wildcard+boost compose; no-match and leading-wild reject."""
+    from top2vec_spark.operators.positional import mixed_query_topk
+
+    tokens, vocab, ds, g = env
+
+    def run(q):
+        return [
+            (r["doc_id"], r["score"])
+            for r in mixed_query_topk(
+                spark, tokens, ds, g, vocab, parse_query(q), 10
+            ).collect()
+        ]
+
+    assert run("t?ble") == run("table")
+    assert run("s*w") == run("slow")
+    assert run("w?nd*") == run("window")
+    assert run("t?ble^2 -s*w") == run("table^2 -slow")
+    with pytest.raises(ValueError, match="no vocabulary terms match"):
+        run("zz*q")
+    with pytest.raises(ValueError, match="leading wildcards"):
+        parse_query("*able")

@@ -500,6 +500,7 @@ class Top2VecSpark:
         return_documents: bool = True,
         search_after: tuple | None = None,
         sort: list | None = None,
+        min_should_match: int | None = None,
     ) -> DataFrame:
         """Query-language search (functions/querylang.py): bare terms,
         ``-`` negation, ``+`` required clauses, ``"quoted phrases"``,
@@ -541,10 +542,17 @@ class Top2VecSpark:
         top-k ordering — still one TakeOrderedAndProject, never a
         global sort. ``sort`` + ``search_after`` together are not
         supported (a sort cursor is a different tuple shape —
-        documented limit)."""
+        documented limit).
+
+        ``min_should_match=N`` (the ES/Lucene parameter): a doc must
+        match at least N of the positive should atoms — must /
+        filter / prohibited clauses are unaffected; N above the
+        should count matches nothing (Lucene's rule)."""
         self._validate_num_docs(num_docs)
         tombs = self._index.tombstones if getattr(self, "_index", None) else ()
-        scored = self._query_match_scores(query)
+        scored = self._query_match_scores(
+            query, min_should_match=min_should_match
+        )
         if search_after is not None:
             if sort is not None:
                 raise ValueError(
@@ -619,17 +627,20 @@ class Top2VecSpark:
         tokens table) and metadata frame — the shared routing of
         :meth:`search` / :meth:`facet_counts` / :meth:`explain`.
         Returns (atoms, src, doc_meta_or_None)."""
-        from top2vec_spark.functions.querylang import parse_query
+        from top2vec_spark.functions.querylang import (
+            has_wildcard as _has_wildcard,
+            parse_query,
+        )
 
         atoms = parse_query(query)
-        # prefix atoms (trailing *), fuzzy atoms (~N), and field
+        # wildcard atoms (* / ?), fuzzy atoms (~N), and field
         # filters validate at expansion/execution time instead
         words = [
             w
             for a in atoms
             if a.field is None and a.fuzz is None
             for w in a.terms
-            if not w.endswith("*")
+            if not _has_wildcard(w)
         ]
         if words:
             self._validate_keywords(words)
@@ -640,7 +651,7 @@ class Top2VecSpark:
         has_unpruned = any(
             len(a.terms) == 1
             and a.field is None
-            and (a.terms[0].endswith("*") or a.fuzz is not None)
+            and (_has_wildcard(a.terms[0]) or a.fuzz is not None)
             for a in atoms
         )
         has_scoring = any(a.field is None for a in atoms)
@@ -652,7 +663,9 @@ class Top2VecSpark:
         has_filter = any(a.field is not None for a in atoms)
         return atoms, src, (self.docs if has_filter else None)
 
-    def _query_match_scores(self, query: str) -> DataFrame:
+    def _query_match_scores(
+        self, query: str, min_should_match: int | None = None
+    ) -> DataFrame:
         """FULL match set of a query-language string as
         (doc_id, score) — the shared front half of :meth:`search`
         (which ranks and limits it) and :meth:`facet_counts` (which
@@ -668,6 +681,7 @@ class Top2VecSpark:
             self.vocab,
             atoms,
             doc_meta=meta,
+            min_should_match=min_should_match,
         )
 
     def explain(self, query: str, doc_id: int) -> DataFrame:

@@ -101,6 +101,14 @@ _BOOST_RE = re.compile(r"^(?:\d+(?:\.\d+)?|\.\d+)$")
 _FIELD_RE = re.compile(r"^[a-z_][a-z0-9_]*$")
 
 
+def has_wildcard(term: str) -> bool:
+    """True when a bare term carries Lucene wildcard syntax (``*`` any
+    run, ``?`` one char) — such atoms expand against the vocabulary
+    at execution (WildcardQuery; trailing-``*``-only patterns take
+    the prefix fast path)."""
+    return "*" in term or "?" in term
+
+
 class Atom(NamedTuple):
     """One parsed query atom. ``sign`` is ±1 × boost, ``terms`` is one
     bag-of-words/prefix term or a >1-word phrase, ``must`` marks a
@@ -333,7 +341,7 @@ def _parse_clauses(
             words = query[i + 1 : end].split()
             if not words:
                 raise ValueError("empty phrase in query")
-            if any("*" in w for w in words):
+            if any("*" in w or "?" in w for w in words):
                 raise ValueError("wildcards are not supported inside phrases")
             i = end + 1
             slop = None
@@ -417,7 +425,7 @@ def _parse_clauses(
                             f"empty range bound on field '{field}' "
                             "(use '*' for an open end)"
                         )
-                    if any(ch in lo + hi for ch in '^~:"[]{}()'):
+                    if any(ch in lo + hi for ch in '^~?:"[]{}()'):
                         raise ValueError(
                             f"invalid character in range bound on "
                             f"field '{field}'"
@@ -460,7 +468,7 @@ def _parse_clauses(
                         )
                     start = len(atoms)
                     for v in vals:
-                        if any(ch in v for ch in '^~*:"(){}[]'):
+                        if any(ch in v for ch in '^~*?:"(){}[]'):
                             raise ValueError(
                                 "boost/fuzzy/wildcard are not supported "
                                 "on field filters"
@@ -471,7 +479,7 @@ def _parse_clauses(
                     continue
                 if not value:
                     raise ValueError(f"empty value for filter field '{field}'")
-                if any(ch in value for ch in "^~*:"):
+                if any(ch in value for ch in "^~*?:"):
                     raise ValueError(
                         "boost/fuzzy/wildcard are not supported on field filters"
                     )
@@ -501,12 +509,15 @@ def _parse_clauses(
                         f"invalid fuzzy distance '~{suffix}' (0, 1 or 2)"
                     )
                 word = word[:tilde]
-                if "*" in word:
-                    raise ValueError("'~' cannot combine with '*'")
-            star = word.find("*")
-            if star >= 0 and (star != len(word) - 1 or len(word) == 1):
+                if "*" in word or "?" in word:
+                    raise ValueError("'~' cannot combine with wildcards")
+            if ("*" in word or "?" in word) and word[0] in "*?":
+                # Lucene QueryParser's allowLeadingWildcard=false
+                # default: a leading wildcard forces a full-vocabulary
+                # regex walk with no prefix to prune on
                 raise ValueError(
-                    "'*' is only supported as a trailing wildcard on a term"
+                    "leading wildcards are not supported "
+                    "(Lucene's allowLeadingWildcard=false default)"
                 )
             if "(" in word:
                 raise ValueError(

@@ -46,6 +46,7 @@ from top2vec_spark.operators.bm25 import (
     resolve_query_terms,
     term_weights,
 )
+from top2vec_spark.functions.querylang import has_wildcard
 from top2vec_spark.operators.corpus_stats import CorpusGlobals
 
 
@@ -514,17 +515,17 @@ def _mixed_contribs(
     term_atoms = [
         (i, s, t[0])
         for i, s, t, _, fz, sl, _ in scoring
-        if len(t) == 1 and fz is None and sl is None and not t[0].endswith("*")
+        if len(t) == 1 and fz is None and sl is None and not has_wildcard(t[0])
     ]
     fuzzy_atoms = [
         (i, s, t[0], fz)
         for i, s, t, _, fz, _, _ in scoring
         if len(t) == 1 and fz is not None
     ]
-    prefix_atoms = [
-        (i, s, t[0][:-1])
+    wildcard_atoms = [
+        (i, s, t[0])
         for i, s, t, _, fz, sl, _ in scoring
-        if len(t) == 1 and fz is None and sl is None and t[0].endswith("*")
+        if len(t) == 1 and fz is None and sl is None and has_wildcard(t[0])
     ]
     phrase_atoms = [
         (i, s, t)
@@ -543,7 +544,7 @@ def _mixed_contribs(
         for _, _, t, _, fz, _, _ in scoring
         if fz is None
         for w in t
-        if not w.endswith("*")
+        if not has_wildcard(w)
     ]
     resolved = (
         {
@@ -556,23 +557,42 @@ def _mixed_contribs(
     weight_rows = [
         (t, i, s, idf(globs.n_docs, resolved[t][1])) for i, s, t in term_atoms
     ]
-    for i, s, prefix in prefix_atoms:
-        if not prefix:
-            raise ValueError("empty prefix in query")
+    import re as _re
+
+    for i, s, pat in wildcard_atoms:
+        if pat.endswith("*") and not has_wildcard(pat[:-1]):
+            # pure trailing-* prefix: startswith stays a prune-friendly
+            # range predicate on the term-sorted vocab scan
+            prefix = pat[:-1]
+            if not prefix:
+                raise ValueError("empty prefix in query")
+            matcher = F.col("term").startswith(prefix)
+            what = f"prefix '{prefix}*'"
+        else:
+            # general Lucene WildcardQuery: * = any run, ? = one char;
+            # anchored regex over the vocab scan (leading wildcards
+            # were rejected at parse, so the scan still prunes on the
+            # literal head via the startswith conjunct)
+            head = _re.match(r"[^*?]*", pat).group(0)
+            rx = (
+                "^"
+                + _re.escape(pat).replace(r"\*", ".*").replace(r"\?", ".")
+                + "$"
+            )
+            matcher = F.col("term").startswith(head) & F.col("term").rlike(rx)
+            what = f"wildcard '{pat}'"
         exp = (
-            vocab.filter(F.col("term").startswith(prefix))
+            vocab.filter(matcher)
             .select("term", "df")
             .orderBy(F.col("df").desc(), F.col("term").asc())
             .limit(max_expansions + 1)
             .collect()
         )
         if not exp:
-            raise ValueError(
-                f"no vocabulary terms match prefix '{prefix}*'"
-            )
+            raise ValueError(f"no vocabulary terms match {what}")
         if len(exp) > max_expansions:
             raise ValueError(
-                f"prefix '{prefix}*' matches more than "
+                f"{what} matches more than "
                 f"{max_expansions} vocabulary terms"
             )
         weight_rows.extend(
@@ -694,6 +714,7 @@ def mixed_query_scores(
     cfg: BM25Config = BM25Config(),
     max_expansions: int = 128,
     doc_meta: DataFrame | None = None,
+    min_should_match: int | None = None,
 ) -> DataFrame:
     """Execute parsed query-language atoms — see
     :func:`_mixed_contribs` for the per-atom scoring model. Sums the
@@ -703,24 +724,52 @@ def mixed_query_scores(
     aggregation and the field filters as one semi-join. A FILTER-ONLY
     query (no scoring atoms) is ES bool-filter context: every doc
     passing the filters matches at constant score 0.0 (match_all
-    gated by metadata; one pruned scan, no token read). Returns the
-    FULL match set as (doc_id, score) — unordered, unlimited; facet
-    aggregation consumes it whole, ranked retrieval goes through
+    gated by metadata; one pruned scan, no token read).
+    ``min_should_match=N`` is the ES/Lucene minimum_should_match
+    parameter: a doc must additionally match at least N of the
+    POSITIVE should atoms (bare non-must, non-group, non-negated
+    scoring atoms — must/filter/prohibited clauses are unaffected,
+    Lucene's rule); N greater than the should-atom count matches
+    nothing, exactly as Lucene. Returns the FULL match set as
+    (doc_id, score) — unordered, unlimited; facet aggregation
+    consumes it whole, ranked retrieval goes through
     :func:`mixed_query_topk`."""
     out, must_ids, must_groups, filter_atoms = _mixed_contribs(
         spark, tokens, doc_stats, globs, vocab, atoms,
         cfg=cfg, max_expansions=max_expansions, doc_meta=doc_meta,
     )
     if out is None:
+        if min_should_match is not None:
+            raise ValueError(
+                "min_should_match needs scoring atoms in the query"
+            )
         return _filter_allowed_docs(doc_meta, filter_atoms).select(
             "doc_id", F.lit(0.0).alias("score")
         )
+    msm_ids = None
+    if min_should_match is not None:
+        if not isinstance(min_should_match, int) or min_should_match < 1:
+            raise ValueError("min_should_match must be a positive integer")
+        norm = [
+            (
+                a[0], a[1],
+                a[2] if len(a) > 2 else False,
+                a[4] if len(a) > 4 else None,
+                a[7] if len(a) > 7 else None,
+            )
+            for a in atoms
+        ]
+        msm_ids = [
+            i
+            for i, (sign, _, must, fld, grp) in enumerate(norm)
+            if fld is None and sign > 0 and not must and grp is None
+        ]
     sum_expr = F.aggregate(
         F.sort_array(F.collect_list(F.struct("atom_id", "contrib"))),
         F.lit(0.0),
         lambda acc, x: acc + x["contrib"],
     ).alias("score")
-    if must_ids or must_groups:
+    if must_ids or must_groups or msm_ids is not None:
         # a doc matches must atom i iff it has a contribution row with
         # atom_id == i (tf > 0 / a phrase occurrence / any prefix
         # expansion) — checked inside the SAME per-doc aggregation
@@ -743,6 +792,19 @@ def mixed_query_scores(
                 "_aids", F.array(*[F.lit(i) for i in must_groups[grp]])
             )
             cond = over if cond is None else cond & over
+        if msm_ids is not None:
+            # minimum_should_match: >= N of the should atom ids present
+            # in the same collect_set — one more array_intersect, same
+            # aggregation, still no extra scan/join
+            enough = (
+                F.size(
+                    F.array_intersect(
+                        "_aids", F.array(*[F.lit(i) for i in msm_ids])
+                    )
+                )
+                >= min_should_match
+            ) if msm_ids else F.lit(False)
+            cond = enough if cond is None else cond & enough
         scored = (
             out.groupBy("doc_id")
             .agg(sum_expr, F.collect_set("atom_id").alias("_aids"))
