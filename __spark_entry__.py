@@ -3207,6 +3207,34 @@ def _q_query_lang_wild(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stats_n_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stats-aggregation row (ES stats agg): one row of (doc_count,
+    min, max, avg, sum) of n_chars over the 'spark fast -slow' match
+    set. DuckDB replays the match union then plain aggregates."""
+    from top2vec_spark.functions.querylang import parse_query
+    from top2vec_spark.operators.positional import mixed_query_scores
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tokens = _tokens(spark, sf_dir).cache()
+    ds = build_doc_stats(tokens)
+    g = compute_globals(ds)
+    vocab = build_vocab(tokens)
+    scored = mixed_query_scores(
+        spark, tokens, ds, g, vocab, parse_query("spark fast -slow")
+    )
+    return (
+        scored.join(docs.select("doc_id", "n_chars"), "doc_id")
+        .filter(F.col("n_chars").isNotNull())
+        .agg(
+            F.count(F.lit(1)).alias("doc_count"),
+            F.min("n_chars").alias("min_v"),
+            F.max("n_chars").alias("max_v"),
+            F.round(F.avg("n_chars"), 6).alias("avg_v"),
+            F.sum("n_chars").alias("sum_v"),
+        )
+    )
+
+
 def _q_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MoreLikeThis row: top-25 tf-x-idf terms of doc 0 (weight
     rounded to 6 decimals before the cutoff so a 1-ulp ln divergence
@@ -3389,6 +3417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suggest_top10": _q_suggest,
         "query_lang_msm": _q_query_lang_msm,
         "query_lang_wild": _q_query_lang_wild,
+        "stats_n_chars": _q_stats_n_chars,
     }
 
 
@@ -5910,6 +5939,21 @@ scored AS (
 )
 SELECT doc_id, round(score, 4) AS score
 FROM scored ORDER BY round(score, 4) DESC, doc_id ASC LIMIT 10
+""",
+        # ES stats agg over the 'spark fast -slow' match set.
+        "stats_n_chars": f"""
+WITH {_TOKENS_CTE},
+matched AS (
+  SELECT DISTINCT doc_id FROM tokens
+  WHERE term IN ('spark', 'fast', 'slow')
+)
+SELECT count(*) AS doc_count,
+       min(d.n_chars) AS min_v,
+       max(d.n_chars) AS max_v,
+       round(avg(d.n_chars), 6) AS avg_v,
+       CAST(sum(d.n_chars) AS BIGINT) AS sum_v
+FROM matched m JOIN documents d USING (doc_id)
+WHERE d.n_chars IS NOT NULL
 """,
         # 'sprt~2 quary~1^2 -slow': fuzzy atoms expand against the
         # vocabulary by classic Levenshtein distance — DuckDB's

@@ -1548,3 +1548,24 @@ def test_wildcards_expand_like_spelled_terms(spark, env):
         run("zz*q")
     with pytest.raises(ValueError, match="leading wildcards"):
         parse_query("*able")
+
+
+def test_stats_agg_matches_python(spark):
+    META5 = [(d, t, n) for (d, t), n in zip(
+        CORPUS, [54, 38, 32, 44, 37, 29, 10])]
+    from top2vec_spark.api import Top2VecSpark
+
+    docs = spark.createDataFrame(META5, "doc_id long, text string, n_chars long")
+    eng = Top2VecSpark(spark, docs, ascii_fast_path=True, min_count=0)
+    match = {r["doc_id"] for r in
+             eng.search("fast table", 7, return_documents=False).collect()}
+    nc = [n for d, _, n in META5 if d in match]
+    row = eng.stats_agg("fast table", "n_chars").collect()[0]
+    assert row["doc_count"] == len(nc)
+    assert row["min"] == min(nc) and row["max"] == max(nc)
+    assert row["sum"] == sum(nc)
+    assert abs(row["avg"] - sum(nc) / len(nc)) < 1e-12
+    with pytest.raises(ValueError, match="not numeric"):
+        eng.stats_agg("fast", "text")
+    with pytest.raises(ValueError, match="unknown stats field"):
+        eng.stats_agg("fast", "nope")

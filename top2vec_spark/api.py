@@ -788,6 +788,40 @@ class Top2VecSpark:
             .orderBy(F.col("bucket").asc())
         )
 
+    def stats_agg(self, query: str, field: str) -> DataFrame:
+        """Stats aggregation over a query's FULL match set — the ES
+        stats-agg shape: ONE row (doc_count, min, max, avg, sum) of a
+        numeric metadata column over every matching document (NULL
+        metadata excluded from all five, the ES default; tombstones
+        excluded). Same plan family as :meth:`facet_counts` with the
+        final aggregation global: partial aggregates per partition,
+        one single-row Exchange."""
+        if field not in self.docs.columns:
+            raise ValueError(
+                f"unknown stats field '{field}' — not a metadata column"
+            )
+        dtype = self.docs.schema[field].dataType.simpleString()
+        if dtype not in ("tinyint", "smallint", "int", "bigint",
+                        "float", "double") and not dtype.startswith("decimal"):
+            raise ValueError(
+                f"stats field '{field}' ({dtype}) is not numeric"
+            )
+        scored = self._query_match_scores(query)
+        tombs = self._index.tombstones if getattr(self, "_index", None) else ()
+        if tombs:
+            scored = scored.filter(~F.col("doc_id").isin(list(tombs)))
+        return (
+            scored.join(self.docs.select("doc_id", field), "doc_id")
+            .filter(F.col(field).isNotNull())
+            .agg(
+                F.count(F.lit(1)).alias("doc_count"),
+                F.min(field).alias("min"),
+                F.max(field).alias("max"),
+                F.avg(field).alias("avg"),
+                F.sum(field).alias("sum"),
+            )
+        )
+
     def suggest(self, prefix: str, num_terms: int = 10) -> DataFrame:
         """Prefix autocomplete from the vocabulary — the classic
         term-suggester shape: the ``num_terms`` most frequent
