@@ -1569,3 +1569,41 @@ def test_stats_agg_matches_python(spark):
         eng.stats_agg("fast", "text")
     with pytest.raises(ValueError, match="unknown stats field"):
         eng.stats_agg("fast", "nope")
+
+
+def test_plain_query_routes_to_wand_index(spark, tmp_path):
+    """A plain ±terms query through search() is served by the WAND
+    index (same rows as search_documents_by_keywords) and stays
+    rank/score-consistent with the mixed executor path; any non-plain
+    feature falls back to the mixed path and still answers."""
+    from top2vec_spark import Top2VecSpark
+
+    docs = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    eng = Top2VecSpark(spark, docs, ascii_fast_path=True, min_count=0)
+    before = [
+        (r["doc_id"], r["score"])
+        for r in eng.search("fast table -slow", 5,
+                            return_documents=False).collect()
+    ]
+    eng.build_index(str(tmp_path / "qlidx"))
+    assert eng._index is not None
+    after = [
+        (r["doc_id"], r["score"])
+        for r in eng.search("fast table -slow", 5,
+                            return_documents=False).collect()
+    ]
+    kw = [
+        (r["doc_id"], r["score"])
+        for r in eng.search_documents_by_keywords(
+            ["fast", "table"], 5, keywords_neg=["slow"],
+            return_documents=False,
+        ).collect()
+    ]
+    assert after == kw  # the index path IS the keywords path
+    assert [(d, round(s, 9)) for d, s in after] == [
+        (d, round(s, 9)) for d, s in before
+    ]  # WAND ≡ mixed executor on plain queries
+    # non-plain shapes still answer (mixed path) with the index live
+    assert eng.search('"fast table" -slow', 3,
+                      return_documents=False).count() > 0
+    assert eng.search("fast^2 table", 3, return_documents=False).count() > 0

@@ -547,9 +547,50 @@ class Top2VecSpark:
         ``min_should_match=N`` (the ES/Lucene parameter): a doc must
         match at least N of the positive should atoms — must /
         filter / prohibited clauses are unaffected; N above the
-        should count matches nothing (Lucene's rule)."""
+        should count matches nothing (Lucene's rule).
+
+        Routing: a PLAIN query — only unboosted ±terms, no
+        phrase/wildcard/fuzzy/slop/filter/must/group and no
+        search_after/sort/min_should_match — is served by the SAME
+        block-max WAND kernel over the bucketed postings index as
+        ``search_documents_by_keywords`` when an index is loaded
+        (rank/score identity WAND ≡ brute is driver-pinned); every
+        other shape runs the mixed executor over the term-pruned
+        token/sidecar scans."""
         self._validate_num_docs(num_docs)
         tombs = self._index.tombstones if getattr(self, "_index", None) else ()
+        if (
+            search_after is None
+            and sort is None
+            and min_should_match is None
+            and getattr(self, "_index", None) is not None
+        ):
+            from top2vec_spark.functions.querylang import (
+                has_wildcard,
+                parse_query,
+            )
+
+            atoms = parse_query(query)
+            plain = all(
+                a.field is None
+                and len(a.terms) == 1
+                and a.fuzz is None
+                and a.slop is None
+                and not a.must
+                and a.group is None
+                and abs(a.sign) == 1.0
+                and not has_wildcard(a.terms[0])
+                for a in atoms
+            )
+            terms = [a.terms[0] for a in atoms]
+            pos = [a.terms[0] for a in atoms if a.sign > 0]
+            if plain and pos and len(set(terms)) == len(terms):
+                # the WAND index handles tombstones itself — this IS
+                # the search_documents_by_keywords serving path
+                neg = [a.terms[0] for a in atoms if a.sign < 0]
+                self._validate_keywords(terms)
+                result = self._topk(pos, neg, num_docs)
+                return self._project(result, return_documents)
         scored = self._query_match_scores(
             query, min_should_match=min_should_match
         )
