@@ -1607,3 +1607,17 @@ def test_plain_query_routes_to_wand_index(spark, tmp_path):
     assert eng.search('"fast table" -slow', 3,
                       return_documents=False).count() > 0
     assert eng.search("fast^2 table", 3, return_documents=False).count() > 0
+
+
+def test_highlights_from_query(spark):
+    from top2vec_spark.api import Top2VecSpark
+
+    docs = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    eng = Top2VecSpark(spark, docs, ascii_fast_path=True, min_count=0)
+    hl = eng.highlights('"fast table" spark -slow s?an', width=4).collect()
+    want = eng.get_search_snippets(
+        ["fast", "table", "spark"], width=4
+    ).collect()
+    assert [r.asDict() for r in hl] == [r.asDict() for r in want]
+    with pytest.raises(ValueError, match="no concrete positive terms"):
+        eng.highlights("-slow s?an")

@@ -973,6 +973,30 @@ class Top2VecSpark:
             [F.col("doc_id").asc()],
         )
 
+    def highlights(self, query: str, width: int = 8) -> DataFrame:
+        """Best-window highlight per matching document for a
+        query-language query — :meth:`get_search_snippets` driven by
+        the query's own concrete scoring words (positive plain terms
+        and phrase words; wildcard/fuzzy atoms expand at execution so
+        their surface forms can't seed a highlight window, and
+        negated terms shouldn't be highlighted — both skipped).
+        Returns (doc_id, start, hits, snippet)."""
+        from top2vec_spark.functions.querylang import (
+            has_wildcard,
+            parse_query,
+        )
+
+        words: list[str] = []
+        for a in parse_query(query):
+            if a.field is None and a.sign > 0 and a.fuzz is None:
+                words.extend(w for w in a.terms if not has_wildcard(w))
+        words = list(dict.fromkeys(words))
+        if not words:
+            raise ValueError(
+                "query has no concrete positive terms to highlight"
+            )
+        return self.get_search_snippets(words, width=width)
+
     def search_documents_by_documents(
         self,
         doc_ids: Sequence[int],
