@@ -1621,3 +1621,30 @@ def test_highlights_from_query(spark):
     assert [r.asDict() for r in hl] == [r.asDict() for r in want]
     with pytest.raises(ValueError, match="no concrete positive terms"):
         eng.highlights("-slow s?an")
+
+
+def test_sort_on_projected_and_key_fields(spark):
+    """Sorting by url/text/doc_id — the columns _project re-adds or
+    the join key itself — must not produce duplicate-column
+    ambiguity (regression: the sort join used to carry them into the
+    projection join)."""
+    from top2vec_spark.api import Top2VecSpark
+
+    META6 = [(d, f"u{9 - d}", t, n) for (d, t), n in zip(
+        CORPUS, [54, 38, 32, 44, 37, 29, 10])]
+    docs = spark.createDataFrame(
+        META6, "doc_id long, url string, text string, n_chars long"
+    )
+    eng = Top2VecSpark(spark, docs, ascii_fast_path=True, min_count=0)
+    r = eng.search("fast table", 5, return_documents=True,
+                   sort=[("url", "desc")]).collect()
+    urls = [x["url"] for x in r]
+    assert urls == sorted(urls, reverse=True) and len(urls) >= 3
+    r2 = eng.search("fast table", 5, return_documents=False,
+                    sort=[("doc_id", "desc")]).collect()
+    ids = [x["doc_id"] for x in r2]
+    assert ids == sorted(ids, reverse=True)
+    r3 = eng.search("fast table", 5, return_documents=True,
+                    sort=[("text", "asc")]).collect()
+    texts = [x["text"] for x in r3]
+    assert texts == sorted(texts)

@@ -618,16 +618,37 @@ class Top2VecSpark:
             )
         if sort is not None:
             order = self._sort_order(sort)
-            fields = [f for f, _ in sort]
-            scored = scored.join(
-                self.docs.select("doc_id", *fields), "doc_id"
-            )
+            # doc_id is already in the match set; other sort fields
+            # join in from metadata for the ordering
+            fields = [
+                f for f in dict.fromkeys(f for f, _ in sort) if f != "doc_id"
+            ]
+            if fields:
+                scored = scored.join(
+                    self.docs.select("doc_id", *fields), "doc_id"
+                )
         else:
             order = [F.col("score").desc(), F.col("doc_id").asc()]
         result = scored.orderBy(*order).limit(num_docs + len(tombs))
         result = self._exclude_tombstones(result, num_docs, order)
-        # the sort columns ride along in the result (ES returns the
-        # sort values — they are the page cursor a client would keep)
+        if sort is not None:
+            # drop sort columns _project re-adds from the docs side
+            # (url / projected text) — a duplicate column name would
+            # make the final orderBy reference ambiguous; the others
+            # ride along in the result (ES returns the sort values —
+            # they are the page cursor a client would keep)
+            collide = [
+                f
+                for f in fields
+                if f == "url"
+                or (
+                    f == "text"
+                    and return_documents
+                    and self.keep_documents
+                )
+            ]
+            if collide:
+                result = result.drop(*collide)
         return self._project(result, return_documents, order=order)
 
     def _sort_order(self, sort) -> list:
@@ -736,7 +757,11 @@ class Top2VecSpark:
         doc's search score is the atom-ordered sum of ``contrib``
         (float64-ULP-exact regrouping of the engine's fold). A doc
         that matches nothing returns an empty frame (Lucene's
-        "failure to match"). Raises on a filter-only query (nothing
+        "failure to match"). Gates are NOT applied: must / filter /
+        msm rules decide membership in search results, not scores, so
+        explain reports the contribution rows even for a doc the
+        gates would exclude (inspecting exactly why a doc scores as
+        it does is the point). Raises on a filter-only query (nothing
         to explain)."""
         from top2vec_spark.operators.positional import mixed_query_explain
 
