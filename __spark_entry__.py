@@ -3235,6 +3235,38 @@ def _q_stats_n_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_facet_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Terms-agg + sub-aggregation row (ES nested stats): the 'spark
+    fast -slow' match set bucketed by lang with per-bucket doc_count
+    and min/max/avg/sum of n_chars. DuckDB replays the match union
+    then a grouped aggregate."""
+    from top2vec_spark.functions.querylang import parse_query
+    from top2vec_spark.operators.positional import mixed_query_scores
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tokens = _tokens(spark, sf_dir).cache()
+    ds = build_doc_stats(tokens)
+    g = compute_globals(ds)
+    vocab = build_vocab(tokens)
+    scored = mixed_query_scores(
+        spark, tokens, ds, g, vocab, parse_query("spark fast -slow")
+    )
+    return (
+        scored.join(docs.select("doc_id", "lang", "n_chars"), "doc_id")
+        .filter(F.col("lang").isNotNull())
+        .groupBy(F.col("lang").alias("key"))
+        .agg(
+            F.count(F.lit(1)).alias("doc_count"),
+            F.min("n_chars").alias("min_v"),
+            F.max("n_chars").alias("max_v"),
+            F.round(F.avg("n_chars"), 6).alias("avg_v"),
+            F.sum("n_chars").alias("sum_v"),
+        )
+        .orderBy(F.col("doc_count").desc(), F.col("key").asc())
+        .limit(10)
+    )
+
+
 def _q_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MoreLikeThis row: top-25 tf-x-idf terms of doc 0 (weight
     rounded to 6 decimals before the cutoff so a 1-ulp ln divergence
@@ -3418,6 +3450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_lang_msm": _q_query_lang_msm,
         "query_lang_wild": _q_query_lang_wild,
         "stats_n_chars": _q_stats_n_chars,
+        "facet_stats_lang": _q_facet_stats,
     }
 
 
@@ -5954,6 +5987,24 @@ SELECT count(*) AS doc_count,
        CAST(sum(d.n_chars) AS BIGINT) AS sum_v
 FROM matched m JOIN documents d USING (doc_id)
 WHERE d.n_chars IS NOT NULL
+""",
+        # ES terms agg + nested stats over the same match set.
+        "facet_stats_lang": f"""
+WITH {_TOKENS_CTE},
+matched AS (
+  SELECT DISTINCT doc_id FROM tokens
+  WHERE term IN ('spark', 'fast', 'slow')
+)
+SELECT d.lang AS key,
+       count(*) AS doc_count,
+       min(d.n_chars) AS min_v,
+       max(d.n_chars) AS max_v,
+       round(avg(d.n_chars), 6) AS avg_v,
+       CAST(sum(d.n_chars) AS BIGINT) AS sum_v
+FROM matched m JOIN documents d USING (doc_id)
+WHERE d.lang IS NOT NULL
+GROUP BY d.lang
+ORDER BY doc_count DESC, key ASC LIMIT 10
 """,
         # 'sprt~2 quary~1^2 -slow': fuzzy atoms expand against the
         # vocabulary by classic Levenshtein distance — DuckDB's

@@ -1648,3 +1648,35 @@ def test_sort_on_projected_and_key_fields(spark):
                     sort=[("text", "asc")]).collect()
     texts = [x["text"] for x in r3]
     assert texts == sorted(texts)
+
+
+def test_facet_stats_matches_python(spark):
+    from collections import defaultdict
+
+    from top2vec_spark.api import Top2VecSpark
+
+    META7 = [(d, t, l, n) for (d, t), l, n in zip(
+        CORPUS,
+        ["en", "de", "en", "fr", "en", "de", "fr"],
+        [54, 38, 32, 44, 37, 29, 10],
+    )]
+    docs = spark.createDataFrame(
+        META7, "doc_id long, text string, lang string, n_chars long"
+    )
+    eng = Top2VecSpark(spark, docs, ascii_fast_path=True, min_count=0)
+    match = {r["doc_id"] for r in
+             eng.search("fast table", 7, return_documents=False).collect()}
+    by_lang = defaultdict(list)
+    for d, _, l, n in META7:
+        if d in match:
+            by_lang[l].append(n)
+    got = {r["key"]: (r["doc_count"], r["min"], r["max"], r["avg"], r["sum"])
+           for r in eng.facet_stats("fast table", "lang", "n_chars").collect()}
+    want = {l: (len(v), min(v), max(v), sum(v) / len(v), sum(v))
+            for l, v in by_lang.items()}
+    assert set(got) == set(want)
+    for k in got:
+        assert got[k][:3] == want[k][:3] and got[k][4] == want[k][4]
+        assert abs(got[k][3] - want[k][3]) < 1e-12
+    with pytest.raises(ValueError, match="not numeric"):
+        eng.facet_stats("fast", "lang", "text")

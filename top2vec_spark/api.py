@@ -888,6 +888,56 @@ class Top2VecSpark:
             )
         )
 
+    def facet_stats(
+        self,
+        query: str,
+        key_field: str,
+        metric_field: str,
+        num_facets: int = 10,
+    ) -> DataFrame:
+        """Terms aggregation WITH a sub-aggregation metric — the ES
+        terms-agg + nested stats shape: bucket the query's FULL match
+        set by ``key_field`` and compute doc_count plus
+        min/max/avg/sum of ``metric_field`` per bucket, top
+        ``num_facets`` buckets by doc_count DESC / key ASC. NULL keys
+        form no bucket; NULL metric values are excluded from the
+        metric (not the count) — the ES default; tombstones excluded.
+        Plan: one metadata join carrying both columns + a single
+        two-phase hash aggregation (one Exchange on the bucket
+        key)."""
+        for fld in (key_field, metric_field):
+            if fld not in self.docs.columns:
+                raise ValueError(
+                    f"unknown facet field '{fld}' — not a metadata column"
+                )
+        dtype = self.docs.schema[metric_field].dataType.simpleString()
+        if dtype not in ("tinyint", "smallint", "int", "bigint",
+                        "float", "double") and not dtype.startswith("decimal"):
+            raise ValueError(
+                f"stats field '{metric_field}' ({dtype}) is not numeric"
+            )
+        self._validate_num(num_facets, "num_facets")
+        scored = self._query_match_scores(query)
+        tombs = self._index.tombstones if getattr(self, "_index", None) else ()
+        if tombs:
+            scored = scored.filter(~F.col("doc_id").isin(list(tombs)))
+        return (
+            scored.join(
+                self.docs.select("doc_id", key_field, metric_field), "doc_id"
+            )
+            .filter(F.col(key_field).isNotNull())
+            .groupBy(F.col(key_field).alias("key"))
+            .agg(
+                F.count(F.lit(1)).alias("doc_count"),
+                F.min(metric_field).alias("min"),
+                F.max(metric_field).alias("max"),
+                F.avg(metric_field).alias("avg"),
+                F.sum(metric_field).alias("sum"),
+            )
+            .orderBy(F.col("doc_count").desc(), F.col("key").asc())
+            .limit(num_facets)
+        )
+
     def suggest(self, prefix: str, num_terms: int = 10) -> DataFrame:
         """Prefix autocomplete from the vocabulary — the classic
         term-suggester shape: the ``num_terms`` most frequent
