@@ -3267,6 +3267,76 @@ def _q_facet_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_collapse_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field-collapsing row (ES collapse): the single best (score
+    DESC, doc_id ASC) document per lang over the 'spark fast -slow'
+    match set, groups ranked by their winner's score, top 10. DuckDB
+    replays with row_number over (PARTITION BY lang ORDER BY raw
+    score DESC, doc_id)."""
+    from pyspark.sql import Window
+
+    from top2vec_spark.functions.querylang import parse_query
+    from top2vec_spark.operators.positional import mixed_query_scores
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tokens = _tokens(spark, sf_dir).cache()
+    ds = build_doc_stats(tokens)
+    g = compute_globals(ds)
+    vocab = build_vocab(tokens)
+    scored = mixed_query_scores(
+        spark, tokens, ds, g, vocab, parse_query("spark fast -slow")
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.join(docs.select("doc_id", "lang"), "doc_id")
+        .filter(F.col("lang").isNotNull())
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(10)
+        .select("doc_id", "lang", F.round("score", 4).alias("score"))
+    )
+
+
+def _q_range_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-aggregation row (ES range agg): explicit [lo, hi)
+    buckets of n_chars over the 'spark fast -slow' match set —
+    from inclusive, to exclusive, empty buckets kept, requested
+    order. DuckDB replays with one conditional-count aggregate per
+    bucket, UNION ALL in order."""
+    from top2vec_spark.api import Top2VecSpark  # noqa: F401 (parity)
+    from top2vec_spark.functions.querylang import parse_query
+    from top2vec_spark.operators.positional import mixed_query_scores
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tokens = _tokens(spark, sf_dir).cache()
+    ds = build_doc_stats(tokens)
+    g = compute_globals(ds)
+    vocab = build_vocab(tokens)
+    scored = mixed_query_scores(
+        spark, tokens, ds, g, vocab, parse_query("spark fast -slow")
+    )
+    joined = scored.join(docs.select("doc_id", "n_chars"), "doc_id")
+    ranges = [(None, 200), (200, 500), (500, 800), (800, None)]
+    aggs = []
+    labels = []
+    for i, (lo, hi) in enumerate(ranges):
+        p = F.col("n_chars").isNotNull()
+        if lo is not None:
+            p = p & (F.col("n_chars") >= F.lit(lo))
+        if hi is not None:
+            p = p & (F.col("n_chars") < F.lit(hi))
+        aggs.append(F.sum(F.when(p, 1).otherwise(0)).alias(f"_c{i}"))
+        labels.append(
+            f"{'*' if lo is None else lo}-{'*' if hi is None else hi}"
+        )
+    counts = joined.agg(*aggs).collect()[0]
+    rows = [(lab, int(counts[f"_c{i}"] or 0)) for i, lab in enumerate(labels)]
+    return spark.createDataFrame(rows, "bucket string, doc_count bigint")
+
+
 def _q_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MoreLikeThis row: top-25 tf-x-idf terms of doc 0 (weight
     rounded to 6 decimals before the cutoff so a 1-ulp ln divergence
@@ -3451,6 +3521,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_lang_wild": _q_query_lang_wild,
         "stats_n_chars": _q_stats_n_chars,
         "facet_stats_lang": _q_facet_stats,
+        "collapse_by_lang": _q_collapse_lang,
+        "range_agg_n_chars": _q_range_agg,
     }
 
 
@@ -6005,6 +6077,60 @@ FROM matched m JOIN documents d USING (doc_id)
 WHERE d.lang IS NOT NULL
 GROUP BY d.lang
 ORDER BY doc_count DESC, key ASC LIMIT 10
+""",
+        # ES collapse: best doc per lang, raw-score window replay.
+        "collapse_by_lang": f"""
+WITH {_STATS_CTES},
+q(term, sign) AS (VALUES ('spark', 1.0), ('fast', 1.0), ('slow', -1.0)),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tokens
+  WHERE term IN (SELECT term FROM q) GROUP BY doc_id, term
+),
+scored AS (
+  SELECT tf.doc_id,
+         sum(q.sign
+             * ln(1.0 + (globals.n_docs - vocab.df + 0.5) / (vocab.df + 0.5))
+             * (tf.tf * ({BM25_K1} + 1.0))
+             / (tf.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * doc_stats.dl / globals.avgdl))
+         ) AS score
+  FROM tf
+  JOIN q USING (term) JOIN vocab USING (term) JOIN doc_stats USING (doc_id)
+  CROSS JOIN globals
+  GROUP BY tf.doc_id
+),
+ranked AS (
+  SELECT s.doc_id, d.lang, s.score,
+         row_number() OVER (
+           PARTITION BY d.lang ORDER BY s.score DESC, s.doc_id ASC
+         ) AS rn
+  FROM scored s JOIN documents d USING (doc_id)
+  WHERE d.lang IS NOT NULL
+)
+SELECT doc_id, lang, round(score, 4) AS score
+FROM ranked WHERE rn = 1
+ORDER BY score DESC, doc_id ASC LIMIT 10
+""",
+        # ES range agg: conditional counts per requested bucket.
+        "range_agg_n_chars": f"""
+WITH {_TOKENS_CTE},
+matched AS (
+  SELECT DISTINCT doc_id FROM tokens
+  WHERE term IN ('spark', 'fast', 'slow')
+),
+j AS (
+  SELECT d.n_chars FROM matched m JOIN documents d USING (doc_id)
+)
+SELECT '*-200' AS bucket,
+       count(*) FILTER (n_chars IS NOT NULL AND n_chars < 200) AS doc_count FROM j
+UNION ALL
+SELECT '200-500',
+       count(*) FILTER (n_chars >= 200 AND n_chars < 500) FROM j
+UNION ALL
+SELECT '500-800',
+       count(*) FILTER (n_chars >= 500 AND n_chars < 800) FROM j
+UNION ALL
+SELECT '800-*',
+       count(*) FILTER (n_chars >= 800) FROM j
 """,
         # 'sprt~2 quary~1^2 -slow': fuzzy atoms expand against the
         # vocabulary by classic Levenshtein distance — DuckDB's

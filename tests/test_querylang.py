@@ -1680,3 +1680,53 @@ def test_facet_stats_matches_python(spark):
         assert abs(got[k][3] - want[k][3]) < 1e-12
     with pytest.raises(ValueError, match="not numeric"):
         eng.facet_stats("fast", "lang", "text")
+
+
+def test_collapse_and_range_agg(spark):
+    from collections import defaultdict
+
+    from top2vec_spark.api import Top2VecSpark
+
+    META8 = [(d, t, l, n) for (d, t), l, n in zip(
+        CORPUS,
+        ["en", "de", "en", "fr", "en", "de", "fr"],
+        [54, 38, 32, 44, 37, 29, 10],
+    )]
+    docs = spark.createDataFrame(
+        META8, "doc_id long, text string, lang string, n_chars long"
+    )
+    eng = Top2VecSpark(spark, docs, ascii_fast_path=True, min_count=0)
+    free = {r["doc_id"]: r["score"] for r in
+            eng.search("fast table", 7, return_documents=False).collect()}
+    langs = {d: l for d, _, l, _ in META8}
+    best = {}
+    for d, s in free.items():
+        l = langs[d]
+        if l not in best or (s, -d) > (best[l][1], -best[l][0]):
+            best[l] = (d, s)
+    want = sorted(best.values(), key=lambda x: (-x[1], x[0]))
+    got = eng.collapse_search("fast table", "lang", 5,
+                              return_documents=False).collect()
+    assert [(r["doc_id"], r["score"]) for r in got] == want
+    assert [r["lang"] for r in got] == [langs[d] for d, _ in want]
+    # range agg: ES semantics — from inclusive, to exclusive, empty
+    # buckets kept, overlaps allowed, requested order preserved
+    nc = {d: n for d, _, _, n in META8}
+    m = set(free)
+
+    def cnt(lo, hi):
+        return sum(
+            1 for d in m
+            if (lo is None or nc[d] >= lo) and (hi is None or nc[d] < hi)
+        )
+
+    r = eng.range_agg("fast table", "n_chars",
+                      [(None, 30), (30, 40), (40, None), (90, 99)]).collect()
+    assert [(x["bucket"], x["doc_count"]) for x in r] == [
+        ("*-30", cnt(None, 30)), ("30-40", cnt(30, 40)),
+        ("40-*", cnt(40, None)), ("90-99", 0),
+    ]
+    with pytest.raises(ValueError, match="at least one bound"):
+        eng.range_agg("fast", "n_chars", [(None, None)])
+    with pytest.raises(ValueError, match="unknown collapse field"):
+        eng.collapse_search("fast", "nope", 3)

@@ -938,6 +938,120 @@ class Top2VecSpark:
             .limit(num_facets)
         )
 
+    def collapse_search(
+        self,
+        query: str,
+        field: str,
+        num_docs: int,
+        return_documents: bool = True,
+    ) -> DataFrame:
+        """Field collapsing — the ES ``collapse`` shape: the best
+        (score DESC, doc_id ASC) document PER value of a metadata
+        field, collapsed groups ranked by their winner's score, top
+        ``num_docs`` groups. The result-diversification primitive
+        (one hit per domain/language/source). NULL field values form
+        no group (the ES missing default); tombstones excluded before
+        collapsing so a deleted winner promotes the runner-up.
+        Plan: match set + one metadata join + ONE window (Exchange on
+        the collapse field, row_number) + TakeOrderedAndProject —
+        at 10^12 docs the shuffle is the match set, never the corpus,
+        and the per-group state is one row."""
+        from pyspark.sql import Window
+
+        if field not in self.docs.columns:
+            raise ValueError(
+                f"unknown collapse field '{field}' — not a metadata column"
+            )
+        self._validate_num_docs(num_docs)
+        scored = self._query_match_scores(query)
+        tombs = self._index.tombstones if getattr(self, "_index", None) else ()
+        if tombs:
+            scored = scored.filter(~F.col("doc_id").isin(list(tombs)))
+        w = Window.partitionBy(field).orderBy(
+            F.col("score").desc(), F.col("doc_id").asc()
+        )
+        result = (
+            scored.join(self.docs.select("doc_id", field), "doc_id")
+            .filter(F.col(field).isNotNull())
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+            .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            .limit(num_docs)
+        )
+        if field == "url" or (
+            field == "text" and return_documents and self.keep_documents
+        ):
+            # _project re-adds these from the docs side — avoid the
+            # duplicate-column ambiguity (same rule as sort-by-field);
+            # otherwise the collapse key rides along in the result
+            result = result.drop(field)
+        return self._project(result, return_documents)
+
+    def range_agg(
+        self, query: str, field: str, ranges: list
+    ) -> DataFrame:
+        """Range aggregation — the ES range-agg shape: explicit
+        [lo, hi) buckets over a numeric metadata column of the
+        query's FULL match set, one row per REQUESTED bucket (empty
+        buckets included with doc_count 0 — the ES behavior, unlike
+        the histogram agg) as (bucket, doc_count), in the requested
+        order. Each range is ``(lo, hi)`` with ``None`` for an open
+        end; ``from`` is inclusive, ``to`` exclusive (ES semantics).
+        Ranges may overlap — a doc counts in every bucket it falls in
+        (ES allows this; buckets are independent predicates). NULL
+        metadata counts nowhere; tombstones excluded. Plan: match set
+        + one metadata join + one aggregate of K conditional counts —
+        single-row Exchange, no per-bucket scan."""
+        if field not in self.docs.columns:
+            raise ValueError(
+                f"unknown range field '{field}' — not a metadata column"
+            )
+        dtype = self.docs.schema[field].dataType.simpleString()
+        if dtype not in ("tinyint", "smallint", "int", "bigint",
+                        "float", "double") and not dtype.startswith("decimal"):
+            raise ValueError(
+                f"range field '{field}' ({dtype}) is not numeric"
+            )
+        if not isinstance(ranges, (list, tuple)) or not ranges:
+            raise ValueError(
+                "ranges must be a non-empty list of (lo, hi) pairs"
+            )
+        preds = []
+        labels = []
+        for item in ranges:
+            if not isinstance(item, (list, tuple)) or len(item) != 2:
+                raise ValueError(
+                    "ranges must be a non-empty list of (lo, hi) pairs"
+                )
+            lo, hi = item
+            if lo is None and hi is None:
+                raise ValueError("a range needs at least one bound")
+            p = F.col(field).isNotNull()
+            if lo is not None:
+                p = p & (F.col(field) >= F.lit(lo))
+            if hi is not None:
+                p = p & (F.col(field) < F.lit(hi))
+            preds.append(p)
+            labels.append(f"{'*' if lo is None else lo}-"
+                          f"{'*' if hi is None else hi}")
+        scored = self._query_match_scores(query)
+        tombs = self._index.tombstones if getattr(self, "_index", None) else ()
+        if tombs:
+            scored = scored.filter(~F.col("doc_id").isin(list(tombs)))
+        joined = scored.join(self.docs.select("doc_id", field), "doc_id")
+        counts = joined.agg(
+            *[
+                F.sum(F.when(p, 1).otherwise(0)).alias(f"_c{i}")
+                for i, p in enumerate(preds)
+            ]
+        ).collect()[0]
+        rows = [(lab, int(counts[f"_c{i}"] or 0))
+                for i, lab in enumerate(labels)]
+        return self.spark.createDataFrame(
+            rows, "bucket string, doc_count bigint"
+        )
+
     def suggest(self, prefix: str, num_terms: int = 10) -> DataFrame:
         """Prefix autocomplete from the vocabulary — the classic
         term-suggester shape: the ``num_terms`` most frequent
