@@ -3337,6 +3337,45 @@ def _q_range_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "bucket string, doc_count bigint")
 
 
+def _q_significant_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Significant-terms row (ES significant_terms, JLH): vocabulary
+    terms overrepresented in the 'spark fast -slow' match set vs the
+    corpus — score = (fgPct - bgPct) * (fgPct / bgPct), fg_count >= 1,
+    score > 0, top 15 by score DESC / term ASC. DuckDB replays the
+    identical fraction arithmetic from its own tokens CTE."""
+    from top2vec_spark.functions.querylang import parse_query
+    from top2vec_spark.operators.positional import mixed_query_scores
+
+    tokens = _tokens(spark, sf_dir).cache()
+    ds = build_doc_stats(tokens)
+    g = compute_globals(ds)
+    vocab = build_vocab(tokens)
+    scored = mixed_query_scores(
+        spark, tokens, ds, g, vocab, parse_query("spark fast -slow")
+    ).persist()
+    n_fg = scored.count()
+    fg = (
+        tokens.join(scored.select("doc_id"), "doc_id", "left_semi")
+        .groupBy("term")
+        .agg(F.count_distinct("doc_id").alias("fg_count"))
+    )
+    fg_pct = F.col("fg_count") / F.lit(float(n_fg))
+    bg_pct = F.col("df") / F.lit(float(g.n_docs))
+    return (
+        fg.join(vocab.select("term", "df"), "term")
+        .withColumn("score", (fg_pct - bg_pct) * (fg_pct / bg_pct))
+        .filter(F.col("score") > 0.0)
+        .select(
+            "term",
+            "fg_count",
+            F.col("df").alias("bg_count"),
+            F.round("score", 6).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("term").asc())
+        .limit(15)
+    )
+
+
 def _q_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MoreLikeThis row: top-25 tf-x-idf terms of doc 0 (weight
     rounded to 6 decimals before the cutoff so a 1-ulp ln divergence
@@ -3523,6 +3562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_stats_lang": _q_facet_stats,
         "collapse_by_lang": _q_collapse_lang,
         "range_agg_n_chars": _q_range_agg,
+        "significant_terms": _q_significant_terms,
     }
 
 
@@ -6131,6 +6171,36 @@ SELECT '500-800',
 UNION ALL
 SELECT '800-*',
        count(*) FILTER (n_chars >= 800) FROM j
+""",
+        # ES significant_terms (JLH) over the same match set.
+        "significant_terms": f"""
+WITH {_TOKENS_CTE},
+vocab AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tokens GROUP BY term
+),
+globals AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tokens),
+matched AS (
+  SELECT DISTINCT doc_id FROM tokens
+  WHERE term IN ('spark', 'fast', 'slow')
+),
+nfg AS (SELECT count(*) AS n_fg FROM matched),
+fg AS (
+  SELECT t.term, count(DISTINCT t.doc_id) AS fg_count
+  FROM tokens t JOIN matched m USING (doc_id)
+  GROUP BY t.term
+),
+scoredt AS (
+  SELECT f.term, f.fg_count, v.df AS bg_count,
+         ((f.fg_count / CAST(n.n_fg AS DOUBLE))
+            - (v.df / CAST(g.n_docs AS DOUBLE)))
+         * ((f.fg_count / CAST(n.n_fg AS DOUBLE))
+            / (v.df / CAST(g.n_docs AS DOUBLE))) AS score
+  FROM fg f JOIN vocab v USING (term)
+  CROSS JOIN nfg n CROSS JOIN globals g
+)
+SELECT term, fg_count, bg_count, round(score, 6) AS score
+FROM scoredt WHERE score > 0.0
+ORDER BY round(score, 6) DESC, term ASC LIMIT 15
 """,
         # 'sprt~2 quary~1^2 -slow': fuzzy atoms expand against the
         # vocabulary by classic Levenshtein distance — DuckDB's

@@ -1730,3 +1730,35 @@ def test_collapse_and_range_agg(spark):
         eng.range_agg("fast", "n_chars", [(None, None)])
     with pytest.raises(ValueError, match="unknown collapse field"):
         eng.collapse_search("fast", "nope", 3)
+
+
+def test_significant_terms_matches_python(spark):
+    from top2vec_spark.api import Top2VecSpark
+
+    docs = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    eng = Top2VecSpark(spark, docs, ascii_fast_path=True, min_count=0)
+    match = {r["doc_id"] for r in
+             eng.search("spark window", 7, return_documents=False).collect()}
+    toks = {d: set(_pytoks(t)) for d, t in CORPUS}
+    n_fg, n_bg = len(match), len([d for d, t in CORPUS if _pytoks(t)])
+    want = []
+    vocab_terms = {w for s in toks.values() for w in s}
+    for w in vocab_terms:
+        fg = sum(1 for d in match if w in toks[d])
+        bg = sum(1 for s in toks.values() if w in s)
+        if fg == 0:
+            continue
+        fg_pct, bg_pct = fg / n_fg, bg / n_bg
+        score = (fg_pct - bg_pct) * (fg_pct / bg_pct)
+        if score > 0:
+            want.append((w, fg, bg, score))
+    want.sort(key=lambda x: (-x[3], x[0]))
+    got = eng.significant_terms("spark window", 10).collect()
+    assert [(r["term"], r["fg_count"], r["bg_count"]) for r in got] == [
+        (w, fg, bg) for w, fg, bg, _ in want[:10]
+    ]
+    for r, (_, _, _, sc) in zip(got, want):
+        assert abs(r["score"] - sc) < 1e-12
+    # the characterizing terms of a spark/window result set are the
+    # query terms themselves plus their co-occurring vocabulary
+    assert "spark" in {r["term"] for r in got}

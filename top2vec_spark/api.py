@@ -1052,6 +1052,60 @@ class Top2VecSpark:
             rows, "bucket string, doc_count bigint"
         )
 
+    def significant_terms(
+        self, query: str, num_terms: int = 10
+    ) -> DataFrame:
+        """Significant-terms aggregation — the ES shape: vocabulary
+        terms OVERREPRESENTED in the query's match set relative to
+        the whole corpus, scored by the JLH heuristic
+        ``(fgPct - bgPct) * (fgPct / bgPct)`` where fgPct = the
+        term's doc frequency within the matching documents and bgPct
+        = its corpus doc frequency (both as fractions). Returns the
+        top ``num_terms`` as (term, fg_count, bg_count, score),
+        score DESC / term ASC; terms must appear in the match set
+        (fg_count >= 1) and only terms MORE frequent than background
+        qualify (score > 0 — the ES behavior of surfacing uncommonly
+        common terms). The "what characterizes these results" query
+        — the reference's topic-words instinct over an ad-hoc result
+        set. Plan: match-set semi-join onto the tokens table, one
+        (term) count aggregation against the precomputed vocab df —
+        the foreground scan is the matching docs' postings, never the
+        corpus; the background stats are free from the vocab table.
+        Tombstones excluded."""
+        self._validate_num(num_terms, "num_terms")
+        scored = self._query_match_scores(query)
+        tombs = self._index.tombstones if getattr(self, "_index", None) else ()
+        if tombs:
+            scored = scored.filter(~F.col("doc_id").isin(list(tombs)))
+        n_fg = scored.count()
+        if n_fg == 0:
+            return self.spark.createDataFrame(
+                [], "term string, fg_count bigint, bg_count bigint, score double"
+            )
+        n_bg = self.globals.n_docs
+        fg = (
+            self.tokens.join(
+                scored.select("doc_id"), "doc_id", "left_semi"
+            )
+            .groupBy("term")
+            .agg(F.count_distinct("doc_id").alias("fg_count"))
+        )
+        fg_pct = F.col("fg_count") / F.lit(float(n_fg))
+        bg_pct = F.col("df") / F.lit(float(n_bg))
+        return (
+            fg.join(self.vocab.select("term", "df"), "term")
+            .withColumn("score", (fg_pct - bg_pct) * (fg_pct / bg_pct))
+            .filter(F.col("score") > 0.0)
+            .select(
+                "term",
+                "fg_count",
+                F.col("df").alias("bg_count"),
+                "score",
+            )
+            .orderBy(F.col("score").desc(), F.col("term").asc())
+            .limit(num_terms)
+        )
+
     def suggest(self, prefix: str, num_terms: int = 10) -> DataFrame:
         """Prefix autocomplete from the vocabulary — the classic
         term-suggester shape: the ``num_terms`` most frequent
