@@ -3376,6 +3376,53 @@ def _q_significant_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rescore row (ES rescore, total mode): first pass 'spark fast'
+    (cheap bag-of-words), window = its top 50 docs by raw score,
+    second pass the exact phrase '"fast table"' scored ONLY against
+    the window, combined = 1.0*first + 2.0*phrase (0 when the phrase
+    misses), top 10 by combined. DuckDB replays both passes and the
+    window cut with the same raw-score rank."""
+    from top2vec_spark.functions.querylang import parse_query
+    from top2vec_spark.operators.positional import mixed_query_scores
+
+    tokens = _tokens(spark, sf_dir).cache()
+    ds = build_doc_stats(tokens)
+    g = compute_globals(ds)
+    vocab = build_vocab(tokens)
+    first = mixed_query_scores(
+        spark, tokens, ds, g, vocab, parse_query("spark fast")
+    )
+    window = (
+        first.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(50)
+        .collect()
+    )
+    ids = [int(r["doc_id"]) for r in window]
+    second = mixed_query_scores(
+        spark, tokens, ds, g, vocab, parse_query('"fast table"')
+    ).filter(F.col("doc_id").isin(ids))
+    base = spark.createDataFrame(
+        [(int(r["doc_id"]), float(r["score"])) for r in window],
+        "doc_id long, first_score double",
+    )
+    return (
+        base.join(
+            second.withColumnRenamed("score", "rescore_score"),
+            "doc_id",
+            "left",
+        )
+        .withColumn(
+            "combined",
+            F.col("first_score")
+            + F.lit(2.0) * F.coalesce(F.col("rescore_score"), F.lit(0.0)),
+        )
+        .select("doc_id", F.round("combined", 4).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+
+
 def _q_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MoreLikeThis row: top-25 tf-x-idf terms of doc 0 (weight
     rounded to 6 decimals before the cutoff so a 1-ulp ln divergence
@@ -3563,6 +3610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collapse_by_lang": _q_collapse_lang,
         "range_agg_n_chars": _q_range_agg,
         "significant_terms": _q_significant_terms,
+        "rescore_phrase": _q_rescore,
     }
 
 
@@ -6201,6 +6249,60 @@ scoredt AS (
 SELECT term, fg_count, bg_count, round(score, 6) AS score
 FROM scoredt WHERE score > 0.0
 ORDER BY round(score, 6) DESC, term ASC LIMIT 15
+""",
+        # ES rescore (total mode): window cut on the raw first-pass
+        # score, phrase second pass filtered to the window.
+        "rescore_phrase": f"""
+WITH {_PTOKENS_CTE},
+doc_stats AS (SELECT doc_id, count(*) AS dl FROM tokens_pos GROUP BY doc_id),
+globals AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM doc_stats),
+vocab AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tokens_pos GROUP BY term
+),
+q(term, sign) AS (VALUES ('spark', 1.0), ('fast', 1.0)),
+tft AS (
+  SELECT doc_id, term, count(*) AS tf FROM tokens_pos
+  WHERE term IN (SELECT term FROM q) GROUP BY doc_id, term
+),
+first_scored AS (
+  SELECT tft.doc_id,
+         sum(q.sign * ln(1.0 + (globals.n_docs - vocab.df + 0.5) / (vocab.df + 0.5))
+             * (tft.tf * ({BM25_K1} + 1.0))
+             / (tft.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * doc_stats.dl / globals.avgdl))
+         ) AS first_score
+  FROM tft JOIN q USING (term) JOIN vocab USING (term)
+  JOIN doc_stats USING (doc_id) CROSS JOIN globals
+  GROUP BY tft.doc_id
+),
+win AS (
+  SELECT doc_id, first_score,
+         row_number() OVER (ORDER BY first_score DESC, doc_id ASC) AS rn
+  FROM first_scored
+),
+occ AS (
+  SELECT a.doc_id, a.pos AS start
+  FROM tokens_pos a JOIN tokens_pos b
+    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  WHERE a.term = 'fast' AND b.term = 'table'
+),
+tfp AS (SELECT doc_id, count(*) AS tf FROM occ GROUP BY doc_id),
+dfp AS (SELECT count(*) AS df FROM tfp),
+phrase_scored AS (
+  SELECT t.doc_id,
+         ln(1.0 + (g.n_docs - d.df + 0.5) / (d.df + 0.5))
+           * (t.tf * ({BM25_K1} + 1.0))
+           / (t.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * s.dl / g.avgdl))
+           AS rescore_score
+  FROM tfp t JOIN doc_stats s USING (doc_id)
+  CROSS JOIN globals g CROSS JOIN dfp d
+)
+SELECT w.doc_id,
+       round(w.first_score + 2.0 * coalesce(p.rescore_score, 0.0), 4) AS score
+FROM win w LEFT JOIN phrase_scored p USING (doc_id)
+WHERE w.rn <= 50
+ORDER BY round(w.first_score + 2.0 * coalesce(p.rescore_score, 0.0), 4) DESC,
+         w.doc_id ASC
+LIMIT 10
 """,
         # 'sprt~2 quary~1^2 -slow': fuzzy atoms expand against the
         # vocabulary by classic Levenshtein distance — DuckDB's

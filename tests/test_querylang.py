@@ -1762,3 +1762,32 @@ def test_significant_terms_matches_python(spark):
     # the characterizing terms of a spark/window result set are the
     # query terms themselves plus their co-occurring vocabulary
     assert "spark" in {r["term"] for r in got}
+
+
+def test_rescore_two_phase(spark):
+    """rescore == query_weight*first + rescore_weight*second over the
+    first pass's top-window docs; non-matching window docs keep their
+    first-pass score (total mode); window bounds the result."""
+    from top2vec_spark.api import Top2VecSpark
+
+    docs = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    eng = Top2VecSpark(spark, docs, ascii_fast_path=True, min_count=0)
+    first = {r["doc_id"]: r["score"] for r in
+             eng.search("fast table", 7, return_documents=False).collect()}
+    second = {r["doc_id"]: r["score"] for r in
+              eng.search('"fast table"', 7, return_documents=False).collect()}
+    want = sorted(
+        ((d, 1.0 * s + 2.0 * second.get(d, 0.0)) for d, s in first.items()),
+        key=lambda x: (-x[1], x[0]),
+    )[:4]
+    got = eng.rescore("fast table", '"fast table"', 4, window_size=7,
+                      query_weight=1.0, rescore_weight=2.0,
+                      return_documents=False).collect()
+    assert [(r["doc_id"], r["score"]) for r in got] == want
+    # a small window excludes docs outside it entirely
+    got2 = eng.rescore("fast table", '"fast table"', 2, window_size=2,
+                       return_documents=False).collect()
+    top2 = sorted(first.items(), key=lambda x: (-x[1], x[0]))[:2]
+    assert {r["doc_id"] for r in got2} <= {d for d, _ in top2}
+    with pytest.raises(ValueError, match="window_size"):
+        eng.rescore("fast", "table", 5, window_size=3)

@@ -1106,6 +1106,78 @@ class Top2VecSpark:
             .limit(num_terms)
         )
 
+    def rescore(
+        self,
+        query: str,
+        rescore_query: str,
+        num_docs: int,
+        window_size: int = 100,
+        query_weight: float = 1.0,
+        rescore_weight: float = 1.0,
+        return_documents: bool = True,
+    ) -> DataFrame:
+        """Two-phase retrieval — the ES ``rescore`` shape: rank the
+        cheap ``query`` first, take its top ``window_size`` docs, and
+        re-rank ONLY that window by
+        ``query_weight * score + rescore_weight * rescore_score``
+        (ES's ``total`` score mode; a window doc the rescore query
+        does not match keeps rescore_score 0 and is NOT dropped).
+        The production serving pattern at 10^12 docs: the first pass
+        runs the index-speed scorer over the corpus, the expensive
+        scorer (typically a phrase/proximity query) runs over
+        ``window_size`` documents — its cost is bounded by the window
+        no matter the corpus size. The window membership is pushed
+        into the second pass as a doc_id IN filter (window_size is
+        driver-small by construction), so the rescore scan reads the
+        window docs' postings only. Returns the top ``num_docs`` by
+        the combined score (combined DESC, doc_id ASC)."""
+        self._validate_num_docs(num_docs)
+        self._validate_num(window_size, "window_size")
+        if num_docs > window_size:
+            raise ValueError(
+                "num_docs cannot exceed window_size (the rescore "
+                "window bounds the result)"
+            )
+        tombs = self._index.tombstones if getattr(self, "_index", None) else ()
+        first = self._query_match_scores(query)
+        if tombs:
+            first = first.filter(~F.col("doc_id").isin(list(tombs)))
+        window = (
+            first.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            .limit(window_size)
+            .collect()
+        )
+        if not window:
+            return self._project(
+                self.spark.createDataFrame([], "doc_id long, score double"),
+                return_documents,
+            )
+        ids = [int(r["doc_id"]) for r in window]
+        second = self._query_match_scores(rescore_query).filter(
+            F.col("doc_id").isin(ids)
+        )
+        base = self.spark.createDataFrame(
+            [(int(r["doc_id"]), float(r["score"])) for r in window],
+            "doc_id long, first_score double",
+        )
+        combined = (
+            base.join(
+                second.withColumnRenamed("score", "rescore_score"),
+                "doc_id",
+                "left",
+            )
+            .withColumn(
+                "score",
+                F.lit(float(query_weight)) * F.col("first_score")
+                + F.lit(float(rescore_weight))
+                * F.coalesce(F.col("rescore_score"), F.lit(0.0)),
+            )
+            .select("doc_id", "score")
+            .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            .limit(num_docs)
+        )
+        return self._project(combined, return_documents)
+
     def suggest(self, prefix: str, num_terms: int = 10) -> DataFrame:
         """Prefix autocomplete from the vocabulary — the classic
         term-suggester shape: the ``num_terms`` most frequent
