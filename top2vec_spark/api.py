@@ -216,24 +216,30 @@ class Top2VecSpark:
             meta_extra={"next_doc_id": int(self._index.next_doc_id())},
         )
 
+    def _sidecar_fresh(self) -> bool:
+        """True when a positional sidecar exists AND is fresh
+        (stored next_doc_id matches the live index — an epoch append
+        bumps it, so a stale sidecar never serves)."""
+        from top2vec_spark.operators.positional import position_index_meta
+
+        idx = getattr(self, "_index", None)
+        if idx is None:
+            return False
+        meta = position_index_meta(idx.path)
+        return meta is not None and meta.get("next_doc_id") == int(
+            idx.next_doc_id()
+        )
+
     def _positional_tokens(self, words) -> DataFrame:
         """(doc_id, pos, term) source for the positional operators:
         the directory-pruned sidecar when one exists AND is fresh
         (next_doc_id matches the live index), else the raw tokens
         table. Both shapes are drop-in for every positional operator
         (each filters to its query words anyway)."""
-        from top2vec_spark.operators.positional import (
-            load_position_postings,
-            position_index_meta,
-        )
+        from top2vec_spark.operators.positional import load_position_postings
 
-        idx = getattr(self, "_index", None)
-        if idx is not None:
-            meta = position_index_meta(idx.path)
-            if meta is not None and meta.get("next_doc_id") == int(
-                idx.next_doc_id()
-            ):
-                return load_position_postings(self.spark, idx.path, words)
+        if self._sidecar_fresh():
+            return load_position_postings(self.spark, self._index.path, words)
         return self.tokens
 
     def _exclude_tombstones(self, result: DataFrame, k: int, order) -> DataFrame:
@@ -706,22 +712,44 @@ class Top2VecSpark:
         ]
         if words:
             self._validate_keywords(words)
-        # prefix atoms can't prune the HASH-bucketed sidecar (xxhash64
-        # buckets can't prefix-match; a term-RANGE layout could) and
-        # fuzzy expansions aren't known until execution — either
-        # routes the query to the raw tokens table
-        has_unpruned = any(
-            len(a.terms) == 1
+        # wildcard/fuzzy atoms resolve against the VOCABULARY into
+        # <= max_expansions concrete terms before any token scan —
+        # expand FIRST, then route the expanded set through the
+        # term-pruned sidecar: the sidecar prunes on exact terms
+        # regardless of how they were produced, so `t?ble` reads a few
+        # term buckets instead of re-tokenizing the corpus (the r05
+        # wildcard/fuzzy serving-path scale fix). The executor re-runs
+        # the same tiny vocab-filtered collect for its weight rows —
+        # two planning-time collects, zero corpus cost.
+        unpruned = [
+            a
+            for a in atoms
+            if len(a.terms) == 1
             and a.field is None
             and (_has_wildcard(a.terms[0]) or a.fuzz is not None)
-            for a in atoms
-        )
+        ]
         has_scoring = any(a.field is None for a in atoms)
-        src = (
-            self.tokens
-            if has_unpruned or not has_scoring  # filter-only: src unused
-            else self._positional_tokens(words)
-        )
+        if not has_scoring:
+            src = self.tokens  # filter-only: src unused
+        elif not unpruned:
+            src = self._positional_tokens(words)
+        elif self._sidecar_fresh():
+            from top2vec_spark.operators.positional import (
+                expand_fuzzy_terms,
+                expand_wildcard_terms,
+            )
+
+            expanded = list(words)
+            for a in unpruned:
+                exp = (
+                    expand_fuzzy_terms(self.vocab, a.terms[0], a.fuzz)
+                    if a.fuzz is not None
+                    else expand_wildcard_terms(self.vocab, a.terms[0])
+                )
+                expanded.extend(r["term"] for r in exp)
+            src = self._positional_tokens(expanded)
+        else:
+            src = self.tokens
         has_filter = any(a.field is not None for a in atoms)
         return atoms, src, (self.docs if has_filter else None)
 
@@ -1077,18 +1105,46 @@ class Top2VecSpark:
         tombs = self._index.tombstones if getattr(self, "_index", None) else ()
         if tombs:
             scored = scored.filter(~F.col("doc_id").isin(list(tombs)))
+        # ONE execution of the match set: the eager localCheckpoint
+        # materializes it, the count reads the materialization, and the
+        # semi-join below reuses it (previously the unpersisted plan
+        # re-ran the whole query a second time for the join)
+        scored = scored.localCheckpoint(eager=True)
         n_fg = scored.count()
         if n_fg == 0:
             return self.spark.createDataFrame(
                 [], "term string, fg_count bigint, bg_count bigint, score double"
             )
         n_bg = self.globals.n_docs
-        fg = (
-            self.tokens.join(
-                scored.select("doc_id"), "doc_id", "left_semi"
+        # foreground (doc_id, term) source, cheapest first: the fresh
+        # positional sidecar (one DISTINCT row per (term, doc) — count
+        # rows, no distinct aggregation; the positions column is never
+        # read, parquet prunes it), else the index's stored packed tf
+        # lineage (JVM explode, already-distinct (doc, term) rows),
+        # else the lazy re-tokenize plan (no index — the only case
+        # that still scans raw text)
+        idx = getattr(self, "_index", None)
+        if self._sidecar_fresh():
+            from top2vec_spark.operators.positional import POSITIONS_SUBDIR
+
+            fg_rows = self.spark.read.parquet(
+                f"{idx.path}/{POSITIONS_SUBDIR}"
+            ).select("doc_id", "term")
+            fg_agg = F.count(F.lit(1)).alias("fg_count")
+        elif idx is not None:
+            from top2vec_spark.operators.tokens import explode_packed_tf
+
+            fg_rows = explode_packed_tf(idx.packed_tf).select(
+                "doc_id", "term"
             )
+            fg_agg = F.count(F.lit(1)).alias("fg_count")
+        else:
+            fg_rows = self.tokens
+            fg_agg = F.count_distinct("doc_id").alias("fg_count")
+        fg = (
+            fg_rows.join(scored.select("doc_id"), "doc_id", "left_semi")
             .groupBy("term")
-            .agg(F.count_distinct("doc_id").alias("fg_count"))
+            .agg(fg_agg)
         )
         fg_pct = F.col("fg_count") / F.lit(float(n_fg))
         bg_pct = F.col("df") / F.lit(float(n_bg))

@@ -40,7 +40,6 @@ Scale notes (10^12 nodes):
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -131,11 +130,11 @@ def connected_components(
             lab = _union_find_min(
                 pdf["u"].to_numpy(np.int64), pdf["v"].to_numpy(np.int64)
             )
+            # lab holds native-int tuples; keep them native (the
+            # non-arrow createDataFrame fallback on older pyspark
+            # rejects np.int64 values)
             labels = spark.createDataFrame(
-                pd.DataFrame(lab, columns=["node", "component"]).astype(
-                    "int64"
-                ),
-                "node long, component long",
+                lab, "node long, component long"
             )
             return (
                 nodes.join(labels, "node", "left")

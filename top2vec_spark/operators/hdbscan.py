@@ -785,5 +785,11 @@ def hdbscan_labels(
     linkage = _single_linkage(mst, point_ids)
     tree = _condense(linkage, n, min_cluster_size)
     labels, _ = labels_from_condensed(tree)
-    pdf = pd.DataFrame({id_col: point_ids, "label": labels.astype(np.int32)})
-    return spark.createDataFrame(pdf)
+    # native-typed payload + explicit schema: numpy-dtype columns ride
+    # arrow fine here, but the non-arrow createDataFrame fallback on
+    # older pyspark rejects np.generic values (the class of bug that
+    # cost umap_cluster_recovery in r05)
+    pdf = pd.DataFrame(
+        {id_col: point_ids.tolist(), "label": labels.astype(np.int32).tolist()}
+    )
+    return spark.createDataFrame(pdf, f"{id_col} long, label int")

@@ -415,6 +415,90 @@ def span_near_tf(
     return qualifying.groupBy("doc_id").agg(F.count(F.lit(1)).alias("tf"))
 
 
+def expand_wildcard_terms(
+    vocab: DataFrame, pat: str, max_expansions: int = 128
+) -> list:
+    """Resolve one wildcard atom against the vocabulary into concrete
+    (term, df) rows — Lucene PrefixQuery/WildcardQuery expansion as
+    one tiny vocab-filtered collect at planning time. Shared by the
+    executor (:func:`_mixed_contribs`) and the facade's source router
+    (expansion happens BEFORE token-source routing, so the expanded
+    set rides the term-pruned positional sidecar instead of forcing a
+    corpus re-tokenize — the r05 wildcard scale fix)."""
+    import re as _re
+
+    if pat.endswith("*") and not has_wildcard(pat[:-1]):
+        # pure trailing-* prefix: startswith stays a prune-friendly
+        # range predicate on the term-sorted vocab scan
+        prefix = pat[:-1]
+        if not prefix:
+            raise ValueError("empty prefix in query")
+        matcher = F.col("term").startswith(prefix)
+        what = f"prefix '{prefix}*'"
+    else:
+        # general Lucene WildcardQuery: * = any run, ? = one char;
+        # anchored regex over the vocab scan (leading wildcards
+        # were rejected at parse, so the scan still prunes on the
+        # literal head via the startswith conjunct)
+        head = _re.match(r"[^*?]*", pat).group(0)
+        rx = (
+            "^"
+            + _re.escape(pat).replace(r"\*", ".*").replace(r"\?", ".")
+            + "$"
+        )
+        matcher = F.col("term").startswith(head) & F.col("term").rlike(rx)
+        what = f"wildcard '{pat}'"
+    exp = (
+        vocab.filter(matcher)
+        .select("term", "df")
+        .orderBy(F.col("df").desc(), F.col("term").asc())
+        .limit(max_expansions + 1)
+        .collect()
+    )
+    if not exp:
+        raise ValueError(f"no vocabulary terms match {what}")
+    if len(exp) > max_expansions:
+        raise ValueError(
+            f"{what} matches more than "
+            f"{max_expansions} vocabulary terms"
+        )
+    return exp
+
+
+def expand_fuzzy_terms(
+    vocab: DataFrame, word: str, fz: int, max_expansions: int = 128
+) -> list:
+    """Resolve one fuzzy atom (``word~fz``) against the vocabulary
+    into concrete (term, df) rows — Lucene FuzzyQuery's automaton walk
+    re-expressed columnar. Shared by the executor and the facade's
+    source router (see :func:`expand_wildcard_terms`)."""
+    if not word:
+        raise ValueError("empty fuzzy term in query")
+    # length prefilter is free pruning (|len(a)-len(b)| lower-bounds
+    # Levenshtein); the distance itself is JVM codegen, no Python
+    exp = (
+        vocab.filter(
+            F.length("term").between(len(word) - fz, len(word) + fz)
+        )
+        .filter(F.levenshtein(F.col("term"), F.lit(word)) <= fz)
+        .select("term", "df")
+        .orderBy(F.col("df").desc(), F.col("term").asc())
+        .limit(max_expansions + 1)
+        .collect()
+    )
+    if not exp:
+        raise ValueError(
+            f"no vocabulary terms within edit distance {fz} "
+            f"of '{word}'"
+        )
+    if len(exp) > max_expansions:
+        raise ValueError(
+            f"fuzzy term '{word}~{fz}' matches more than "
+            f"{max_expansions} vocabulary terms"
+        )
+    return exp
+
+
 def _mixed_contribs(
     spark: SparkSession,
     tokens: DataFrame,
@@ -557,72 +641,13 @@ def _mixed_contribs(
     weight_rows = [
         (t, i, s, idf(globs.n_docs, resolved[t][1])) for i, s, t in term_atoms
     ]
-    import re as _re
-
     for i, s, pat in wildcard_atoms:
-        if pat.endswith("*") and not has_wildcard(pat[:-1]):
-            # pure trailing-* prefix: startswith stays a prune-friendly
-            # range predicate on the term-sorted vocab scan
-            prefix = pat[:-1]
-            if not prefix:
-                raise ValueError("empty prefix in query")
-            matcher = F.col("term").startswith(prefix)
-            what = f"prefix '{prefix}*'"
-        else:
-            # general Lucene WildcardQuery: * = any run, ? = one char;
-            # anchored regex over the vocab scan (leading wildcards
-            # were rejected at parse, so the scan still prunes on the
-            # literal head via the startswith conjunct)
-            head = _re.match(r"[^*?]*", pat).group(0)
-            rx = (
-                "^"
-                + _re.escape(pat).replace(r"\*", ".*").replace(r"\?", ".")
-                + "$"
-            )
-            matcher = F.col("term").startswith(head) & F.col("term").rlike(rx)
-            what = f"wildcard '{pat}'"
-        exp = (
-            vocab.filter(matcher)
-            .select("term", "df")
-            .orderBy(F.col("df").desc(), F.col("term").asc())
-            .limit(max_expansions + 1)
-            .collect()
-        )
-        if not exp:
-            raise ValueError(f"no vocabulary terms match {what}")
-        if len(exp) > max_expansions:
-            raise ValueError(
-                f"{what} matches more than "
-                f"{max_expansions} vocabulary terms"
-            )
+        exp = expand_wildcard_terms(vocab, pat, max_expansions)
         weight_rows.extend(
             (r["term"], i, s, idf(globs.n_docs, r["df"])) for r in exp
         )
     for i, s, word, fz in fuzzy_atoms:
-        if not word:
-            raise ValueError("empty fuzzy term in query")
-        # length prefilter is free pruning (|len(a)-len(b)| lower-bounds
-        # Levenshtein); the distance itself is JVM codegen, no Python
-        exp = (
-            vocab.filter(
-                F.length("term").between(len(word) - fz, len(word) + fz)
-            )
-            .filter(F.levenshtein(F.col("term"), F.lit(word)) <= fz)
-            .select("term", "df")
-            .orderBy(F.col("df").desc(), F.col("term").asc())
-            .limit(max_expansions + 1)
-            .collect()
-        )
-        if not exp:
-            raise ValueError(
-                f"no vocabulary terms within edit distance {fz} "
-                f"of '{word}'"
-            )
-        if len(exp) > max_expansions:
-            raise ValueError(
-                f"fuzzy term '{word}~{fz}' matches more than "
-                f"{max_expansions} vocabulary terms"
-            )
+        exp = expand_fuzzy_terms(vocab, word, fz, max_expansions)
         weight_rows.extend(
             (r["term"], i, s, idf(globs.n_docs, r["df"])) for r in exp
         )

@@ -477,7 +477,12 @@ def embed_graph(
             y0, heads, tails, w, n_epochs, a, b, gamma,
             negative_sample_rate, initial_alpha, seed,
         )
-        pdf = pd.DataFrame({id_col: ids, vec_col: list(map(list, y))})
+        # .tolist() yields NATIVE python floats/ints — list(map(list, y))
+        # leaves numpy.float64 elements, which the non-arrow
+        # createDataFrame fallback on pyspark 3.5 rejects
+        # (FIELD_DATA_TYPE_UNACCEPTABLE; CORRECTNESS_r05
+        # umap_cluster_recovery red row).
+        pdf = pd.DataFrame({id_col: ids.tolist(), vec_col: y.tolist()})
         return spark.createDataFrame(pdf, f"{id_col} long, {vec_col} array<double>")
 
     return _optimize_distributed(
