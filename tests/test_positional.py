@@ -451,3 +451,41 @@ def test_indexed_phrase_topk_scores_match_raw(spark, tokens, pos_index):
         map(tuple, phrase_topk(pruned, ds, g, ["fast", "table"], 10).collect())
     )
     assert raw == idx
+
+
+def test_wildcard_fuzzy_route_through_fresh_sidecar(spark, tmp_path):
+    """r06 routing optimization: wildcard and fuzzy atoms expand
+    against the vocabulary BEFORE source routing, so with a fresh
+    sidecar the query reads term-pruned positional postings instead of
+    re-tokenizing the corpus — and the results are identical to the
+    raw-tokens execution."""
+    from top2vec_spark.api import Top2VecSpark
+
+    docs = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    eng = Top2VecSpark(spark, docs, ascii_fast_path=True, min_count=0)
+
+    def run(q):
+        return [
+            (r["doc_id"], round(r["score"], 9))
+            for r in eng.search(q, 5, return_documents=False).collect()
+        ]
+
+    # raw-tokens results (no index yet)
+    raw_wild = run("tab?e spark")
+    raw_fuzz = run("tible~1 spark")
+
+    eng.build_index(str(tmp_path / "idx_wf"), store_positions=True)
+    # the router must now pick the sidecar for both shapes
+    for q in ("tab?e spark", "tible~1 spark"):
+        _, src, _ = eng._parse_and_route(q)
+        files = src.inputFiles()
+        assert any("positions" in f for f in files), q
+        assert not any("documents" in f for f in files), q
+    assert run("tab?e spark") == raw_wild
+    assert run("tible~1 spark") == raw_fuzz
+
+    # unexpandable atoms still raise the executor's message verbatim
+    with pytest.raises(ValueError, match="no vocabulary terms match"):
+        eng.search("zzz*", 5)
+    with pytest.raises(ValueError, match="edit distance"):
+        eng.search("zzzzzzz~1", 5)

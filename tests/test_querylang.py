@@ -1791,3 +1791,88 @@ def test_rescore_two_phase(spark):
     assert {r["doc_id"] for r in got2} <= {d for d, _ in top2}
     with pytest.raises(ValueError, match="window_size"):
         eng.rescore("fast", "table", 5, window_size=3)
+
+
+def test_rescore_plain_first_pass_uses_wand_and_matches(spark, tmp_path):
+    """r06: a PLAIN first query routes the rescore window through the
+    WAND index (index-speed first pass) — results identical to the
+    mixed-executor first pass."""
+    from top2vec_spark.api import Top2VecSpark
+
+    docs = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    eng = Top2VecSpark(spark, docs, ascii_fast_path=True, min_count=0)
+    want = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in eng.rescore(
+            "fast table", '"fast table"', 4, window_size=7,
+            query_weight=1.0, rescore_weight=2.0, return_documents=False,
+        ).collect()
+    ]
+    eng.build_index(str(tmp_path / "idx_rsc"))
+    assert eng._plain_query_terms("fast table") is not None
+    got = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in eng.rescore(
+            "fast table", '"fast table"', 4, window_size=7,
+            query_weight=1.0, rescore_weight=2.0, return_documents=False,
+        ).collect()
+    ]
+    assert got == want
+    # non-plain first query still takes the mixed-executor pass
+    assert eng._plain_query_terms('"fast table"') is None
+
+
+def test_agg_field_doc_id_rejected(spark):
+    """facet/histogram/stats/collapse/range with field='doc_id' raise
+    a clean ValueError instead of an ambiguous-reference crash."""
+    from top2vec_spark.api import Top2VecSpark
+
+    docs = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    eng = Top2VecSpark(spark, docs, ascii_fast_path=True, min_count=0)
+    for call in (
+        lambda: eng.facet_counts("fast", "doc_id"),
+        lambda: eng.histogram_counts("fast", "doc_id", 10),
+        lambda: eng.stats_agg("fast", "doc_id"),
+        lambda: eng.facet_stats("fast", "doc_id", "doc_id"),
+        lambda: eng.collapse_search("fast", "doc_id", 5),
+        lambda: eng.range_agg("fast", "doc_id", [(0, 10)]),
+    ):
+        with pytest.raises(ValueError, match="join key"):
+            call()
+
+
+def test_suggest_strips_padded_prefix(spark):
+    from top2vec_spark.api import Top2VecSpark
+
+    docs = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    eng = Top2VecSpark(spark, docs, ascii_fast_path=True, min_count=0)
+    clean = [(r["term"], r["df"]) for r in eng.suggest("fa", 5).collect()]
+    assert clean  # 'fast' is in the corpus
+    padded = [(r["term"], r["df"]) for r in eng.suggest(" fa ", 5).collect()]
+    assert padded == clean
+
+
+def test_numeric_exact_filter_typed(spark, range_env):
+    """field:value on a NUMERIC column compares typed literals (the
+    pushdown guarantee) and rejects non-numeric text loudly."""
+    rows, docs, tokens, vocab, ds, g = range_env
+    want = {d for d, t, lang, n in rows if n == 11}
+    got = {
+        r["doc_id"]
+        for r in mixed_query_topk(
+            spark, tokens, ds, g, vocab,
+            parse_query("fast table n_chars:11"), 20, doc_meta=docs,
+        ).collect()
+    }
+    free = {
+        r["doc_id"]
+        for r in mixed_query_topk(
+            spark, tokens, ds, g, vocab, parse_query("fast table"), 20
+        ).collect()
+    }
+    assert got == (want & free)
+    with pytest.raises(ValueError, match="not an integer"):
+        mixed_query_topk(
+            spark, tokens, ds, g, vocab,
+            parse_query("fast n_chars:abc"), 20, doc_meta=docs,
+        ).collect()

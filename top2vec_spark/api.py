@@ -571,29 +571,11 @@ class Top2VecSpark:
             and min_should_match is None
             and getattr(self, "_index", None) is not None
         ):
-            from top2vec_spark.functions.querylang import (
-                has_wildcard,
-                parse_query,
-            )
-
-            atoms = parse_query(query)
-            plain = all(
-                a.field is None
-                and len(a.terms) == 1
-                and a.fuzz is None
-                and a.slop is None
-                and not a.must
-                and a.group is None
-                and abs(a.sign) == 1.0
-                and not has_wildcard(a.terms[0])
-                for a in atoms
-            )
-            terms = [a.terms[0] for a in atoms]
-            pos = [a.terms[0] for a in atoms if a.sign > 0]
-            if plain and pos and len(set(terms)) == len(terms):
+            plain = self._plain_query_terms(query)
+            if plain is not None:
                 # the WAND index handles tombstones itself — this IS
                 # the search_documents_by_keywords serving path
-                neg = [a.terms[0] for a in atoms if a.sign < 0]
+                pos, neg, terms = plain
                 self._validate_keywords(terms)
                 result = self._topk(pos, neg, num_docs)
                 return self._project(result, return_documents)
@@ -657,6 +639,19 @@ class Top2VecSpark:
                 result = result.drop(*collide)
         return self._project(result, return_documents, order=order)
 
+    @staticmethod
+    def _reject_join_key_field(field: str, what: str) -> None:
+        """Aggregation/collapse fields join the match set to
+        docs.select('doc_id', field) — field='doc_id' would duplicate
+        the join key and die later with an ambiguous-reference
+        AnalysisException; reject it up front with a clean error
+        ('score' is not a metadata column, so the unknown-field check
+        already covers it)."""
+        if field == "doc_id":
+            raise ValueError(
+                f"'doc_id' cannot be a {what} field (it is the join key)"
+            )
+
     def _sort_order(self, sort) -> list:
         """Validate an ES-style sort spec [(field, 'asc'|'desc'), ...]
         against the metadata columns; returns the orderBy column list
@@ -688,6 +683,39 @@ class Top2VecSpark:
             )
         order.append(F.col("doc_id").asc())
         return order
+
+    def _plain_query_terms(self, query: str):
+        """(pos, neg) term lists when ``query`` is a PLAIN
+        query-language string — only unboosted ±single terms, no
+        phrase/wildcard/fuzzy/slop/filter/must/group and no repeated
+        term — else None. Plain queries are exactly the shape the
+        block-max WAND index serves with rank/score identity to the
+        mixed executor (driver-pinned), so callers route them to
+        :meth:`_topk`."""
+        from top2vec_spark.functions.querylang import (
+            has_wildcard,
+            parse_query,
+        )
+
+        atoms = parse_query(query)
+        plain = all(
+            a.field is None
+            and len(a.terms) == 1
+            and a.fuzz is None
+            and a.slop is None
+            and not a.must
+            and a.group is None
+            and abs(a.sign) == 1.0
+            and not has_wildcard(a.terms[0])
+            for a in atoms
+        )
+        terms = [a.terms[0] for a in atoms]
+        pos = [a.terms[0] for a in atoms if a.sign > 0]
+        if plain and pos and len(set(terms)) == len(terms):
+            # terms kept in atom order so callers validate with the
+            # same first-unknown error the pre-routing path raised
+            return pos, [a.terms[0] for a in atoms if a.sign < 0], terms
+        return None
 
     def _parse_and_route(self, query: str):
         """Parse + validate a query-language string and pick the token
@@ -829,6 +857,7 @@ class Top2VecSpark:
             raise ValueError(
                 f"unknown facet field '{field}' — not a metadata column"
             )
+        self._reject_join_key_field(field, "facet")
         self._validate_num(num_facets, "num_facets")
         scored = self._query_match_scores(query)
         tombs = self._index.tombstones if getattr(self, "_index", None) else ()
@@ -859,6 +888,7 @@ class Top2VecSpark:
             raise ValueError(
                 f"unknown histogram field '{field}' — not a metadata column"
             )
+        self._reject_join_key_field(field, "histogram")
         dtype = self.docs.schema[field].dataType.simpleString()
         if dtype not in ("tinyint", "smallint", "int", "bigint",
                         "float", "double") and not dtype.startswith("decimal"):
@@ -894,6 +924,7 @@ class Top2VecSpark:
             raise ValueError(
                 f"unknown stats field '{field}' — not a metadata column"
             )
+        self._reject_join_key_field(field, "stats")
         dtype = self.docs.schema[field].dataType.simpleString()
         if dtype not in ("tinyint", "smallint", "int", "bigint",
                         "float", "double") and not dtype.startswith("decimal"):
@@ -938,6 +969,7 @@ class Top2VecSpark:
                 raise ValueError(
                     f"unknown facet field '{fld}' — not a metadata column"
                 )
+            self._reject_join_key_field(fld, "facet")
         dtype = self.docs.schema[metric_field].dataType.simpleString()
         if dtype not in ("tinyint", "smallint", "int", "bigint",
                         "float", "double") and not dtype.startswith("decimal"):
@@ -990,6 +1022,7 @@ class Top2VecSpark:
             raise ValueError(
                 f"unknown collapse field '{field}' — not a metadata column"
             )
+        self._reject_join_key_field(field, "collapse")
         self._validate_num_docs(num_docs)
         scored = self._query_match_scores(query)
         tombs = self._index.tombstones if getattr(self, "_index", None) else ()
@@ -1035,6 +1068,7 @@ class Top2VecSpark:
             raise ValueError(
                 f"unknown range field '{field}' — not a metadata column"
             )
+        self._reject_join_key_field(field, "range")
         dtype = self.docs.schema[field].dataType.simpleString()
         if dtype not in ("tinyint", "smallint", "int", "bigint",
                         "float", "double") and not dtype.startswith("decimal"):
@@ -1195,14 +1229,29 @@ class Top2VecSpark:
                 "window bounds the result)"
             )
         tombs = self._index.tombstones if getattr(self, "_index", None) else ()
-        first = self._query_match_scores(query)
-        if tombs:
-            first = first.filter(~F.col("doc_id").isin(list(tombs)))
-        window = (
-            first.orderBy(F.col("score").desc(), F.col("doc_id").asc())
-            .limit(window_size)
-            .collect()
+        plain = (
+            self._plain_query_terms(query)
+            if getattr(self, "_index", None) is not None
+            else None
         )
+        if plain is not None:
+            # index-speed first pass: a plain first query rides the
+            # SAME block-max WAND routing as search() (rank/score
+            # identity to the mixed executor is driver-pinned, and
+            # the WAND path excludes tombstones itself) — the
+            # docstring's 10^12-doc cost model holds literally
+            pos, neg, terms = plain
+            self._validate_keywords(terms)
+            window = self._topk(pos, neg, window_size).collect()
+        else:
+            first = self._query_match_scores(query)
+            if tombs:
+                first = first.filter(~F.col("doc_id").isin(list(tombs)))
+            window = (
+                first.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+                .limit(window_size)
+                .collect()
+            )
         if not window:
             return self._project(
                 self.spark.createDataFrame([], "doc_id long, score double"),
@@ -1245,6 +1294,9 @@ class Top2VecSpark:
         if not isinstance(prefix, str) or not prefix.strip():
             raise ValueError("prefix must be a non-empty string")
         self._validate_num(num_terms, "num_terms")
+        # strip BEFORE filtering: validation accepts a padded prefix,
+        # so the filter must not silently match nothing on the pad
+        prefix = prefix.strip()
         return (
             self.vocab.filter(F.col("term").startswith(prefix.lower()))
             .select("term", "df")

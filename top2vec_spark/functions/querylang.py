@@ -62,7 +62,11 @@ Delta vs Lucene: classic Levenshtein (no transposition — Lucene's
 count 2) because Spark's ``levenshtein`` and DuckDB's
 ``levenshtein`` both implement the classic metric, which keeps the
 oracle replay exact. ``~`` cannot combine with ``*`` or appear on a
-phrase.
+phrase. A ``~N`` suffix on a QUOTED phrase (``"a b"~1``) is a sloppy
+phrase — unordered span-near with DISTINCT-terms semantics
+(documented delta): repeated words are deduplicated, so
+``"fast fast"~0`` matches a single ``fast`` occurrence where Lucene's
+SpanNearQuery would require two (see operators/positional.span_near_tf).
 
 A ``field:value`` word (``lang:en``, ``-source:spam``) is a FILTER
 atom — Lucene/Elasticsearch filter-context semantics: it never

@@ -368,6 +368,12 @@ def span_near_tf(
     1/(1+matchLength)); match-counting keeps the engine score the
     same BM25 shape as exact phrases and replays exactly in SQL.
 
+    DISTINCT-TERMS semantics (documented delta): repeated words in
+    the phrase are deduplicated, so ``"fast fast"~0`` matches any doc
+    with one ``fast`` occurrence — Lucene's SpanNearQuery would
+    require two distinct occurrences. The engine's window predicate
+    is "every DISTINCT phrase term occurs in the window".
+
     Physical shape mirrors best_snippet's WINDOW-BUCKET equi-join:
     candidate (start, hit) pairs come from a (doc_id, bucket)
     equi-join where each hit explodes to the 2 width-(limit+1)
@@ -956,6 +962,32 @@ def _range_bound(doc_meta: DataFrame, fld: str, text: str):
     )
 
 
+def _exact_value(doc_meta: DataFrame, fld: str, text: str):
+    """Type an exact ``field:value`` literal to the metadata column —
+    numeric columns get numeric literals so the equality stays a
+    pushable parquet predicate (the documented pushdown guarantee held
+    only for ranges before; a string literal forced a cast). Non-
+    numeric columns keep the raw text, the previous behavior."""
+    dtype = doc_meta.schema[fld].dataType.simpleString()
+    if dtype in ("tinyint", "smallint", "int", "bigint"):
+        try:
+            return int(text)
+        except ValueError:
+            raise ValueError(
+                f"filter value '{text}' is not an integer "
+                f"(field '{fld}' is {dtype})"
+            ) from None
+    if dtype in ("float", "double") or dtype.startswith("decimal"):
+        try:
+            return float(text)
+        except ValueError:
+            raise ValueError(
+                f"filter value '{text}' is not a number "
+                f"(field '{fld}' is {dtype})"
+            ) from None
+    return text
+
+
 def _range_pred(doc_meta: DataFrame, fld: str, rng: tuple):
     """Column predicate for one [lo TO hi] range atom — bare typed
     comparisons so the conjunct pushes into the parquet scan;
@@ -1006,8 +1038,11 @@ def _filter_allowed_docs(
             # column comparison stays a pushable predicate — wrapping
             # the column in lower() would silently turn the pruned
             # metadata scan into a full read (PushedFilters drop to
-            # IsNotNull only)
-            else (F.col(fld) == F.lit(value))
+            # IsNotNull only). The literal is TYPED to the column
+            # (numeric columns get numeric literals, like range
+            # bounds) — a string literal against a numeric column
+            # inserts casts that kill parquet pushdown.
+            else (F.col(fld) == F.lit(_exact_value(doc_meta, fld, value)))
         )
         (pos if s > 0 else neg).append(atom_pred)
     pred = F.lit(True)

@@ -87,8 +87,24 @@ class PostingsIndex:
 
     def cache(self) -> "PostingsIndex":
         """Pin the postings blocks in executor memory for warm query
-        serving (a long-lived query cluster would do exactly this)."""
-        self._postings = self.postings.cache()
+        serving (a long-lived query cluster would do exactly this).
+
+        The cached frame is REPARTITIONED BY SHARD first: the
+        InMemoryRelation preserves that HashPartitioning, which
+        satisfies the ClusteredDistribution the per-shard WAND kernel
+        (groupBy(shard).applyInPandas) requires — so warm queries on
+        the cached index run with NO per-query Exchange of posting
+        blocks, the same zero-shuffle plan shape register_bucketed
+        buys on disk (plan pinned in tests/test_wand.py). One shuffle
+        at cache time replaces one shuffle per query."""
+        n_shards = max(
+            1,
+            -(-self.globs.n_docs // max(self.docs_per_shard, 1)),
+        )
+        n = max(
+            1, min(self.spark.sparkContext.defaultParallelism, n_shards)
+        )
+        self._postings = self.postings.repartition(n, "shard").cache()
         self._postings.count()
         return self
 
@@ -119,7 +135,15 @@ class PostingsIndex:
         )
         self.spark.sql(f"DROP TABLE IF EXISTS {name}")
         (
-            self.postings.write.mode("overwrite")
+            # read the postings FRESH from parquet rather than through
+            # self.postings: the warm serving cache is repartitioned
+            # down to n_shards partitions (2 at small corpora), which
+            # would serialize this write, and scanning the
+            # deserialized InMemoryRelation measured slower than the
+            # columnar parquet read at every SF tried (file-split
+            # parallelism comes free from the scan)
+            self.spark.read.parquet(f"{self.path}/postings")
+            .write.mode("overwrite")
             .partitionBy("bucket")
             .bucketBy(shard_buckets, "shard")
             .sortBy("shard", "term_id")
@@ -655,9 +679,19 @@ class IndexBuilder:
         # CPU-heavy tokenize UDF of parallelism — fan out first.
         # (At petabyte scale inputs arrive in thousands of splits and
         # this is a no-op.)
-        target = self.spark.sparkContext.defaultParallelism * 2
+        # exactly one task per core: the tokenize pass is CPU-bound and
+        # near-uniform per doc, so one wave beats two (2x cores
+        # measured 0.95 s vs 0.61 s at 50k docs / local[32] — per-task
+        # Arrow overhead, no straggler tail to smooth); at petabyte
+        # scale inputs arrive in thousands of splits and this branch
+        # is a no-op.
+        target = self.spark.sparkContext.defaultParallelism
         if docs.rdd.getNumPartitions() < target:
-            docs = docs.repartition(target)
+            # hash on doc_id, not round-robin: a keyless repartition(n)
+            # pays a local sort of its input (sortBeforeRepartition)
+            # and re-draws row placement on task retry; the doc_id
+            # hash is deterministic and sort-free (guide §2.5)
+            docs = docs.repartition(target, "doc_id")
 
         return self._build_from_packed(
             lambda: doc_term_counts_packed(docs),
@@ -719,7 +753,18 @@ class IndexBuilder:
         packed_t = self.spark.read.parquet(f"{p}/tf")
         tf_t = explode_packed_tf(packed_t)
 
-        if not (resume and self._done("vocab")):
+        # vocab and doc_stats both derive from the materialized tf and
+        # are INDEPENDENT — submit them from two driver threads so the
+        # second job's tasks back-fill executors idled by the first
+        # job's straggler tail (guide: overlap independent jobs;
+        # Spark's scheduler runs concurrent jobs FIFO, which is
+        # exactly the back-fill behaviour wanted). globals depends on
+        # doc_stats only, so it rides the doc_stats thread. Stage
+        # markers/resume semantics are per-stage and unchanged: each
+        # thread writes its table THEN its marker.
+        def _vocab_stage() -> None:
+            if resume and self._done("vocab"):
+                return
             from top2vec_spark.operators.corpus_stats import number_vocab
 
             counts = (
@@ -729,25 +774,42 @@ class IndexBuilder:
             )
             number_vocab(counts).write.mode("overwrite").parquet(f"{p}/vocab")
             self._mark("vocab")
-        vocab_t = self.spark.read.parquet(f"{p}/vocab")
 
-        if not (resume and self._done("doc_stats")):
+        def _ds_stage() -> None:
+            if resume and self._done("doc_stats"):
+                return
             (
                 packed_t.select("doc_id", "dl")
                 .withColumn(
                     "shard",
-                    (F.col("doc_id") / F.lit(self.docs_per_shard)).cast("int"),
+                    (F.col("doc_id") / F.lit(self.docs_per_shard)).cast(
+                        "int"
+                    ),
                 )
-                .repartition("shard")
+                # fixed-num repartition: cols-only pays an AQE
+                # re-optimization stage (measured 0.50 vs 0.36 s at
+                # 50k docs); cores-many writers is right at any scale
+                # (cluster defaultParallelism = total cores)
+                .repartition(
+                    max(self.spark.sparkContext.defaultParallelism, 1),
+                    "shard",
+                )
                 .write.mode("overwrite")
                 .partitionBy("shard")
                 .parquet(f"{p}/doc_stats")
             )
             self._mark("doc_stats")
-        ds_t = self.spark.read.parquet(f"{p}/doc_stats").select("doc_id", "dl")
 
-        if not (resume and self._done("globals")):
-            g = compute_globals(ds_t)
+        def _globals_stage() -> None:
+            if resume and self._done("globals"):
+                return
+            # computed from the SAME materialized packed tf the
+            # doc_stats write projects — identical (doc_id, dl) rows,
+            # so n/avgdl/sum_dl equal the old read-back-from-parquet
+            # computation exactly (long sums, order-independent), and
+            # the stage no longer serializes behind the doc_stats
+            # write
+            g = compute_globals(packed_t.select("doc_id", "dl"))
             _atomic_json(
                 f"{p}/globals.json",
                 {
@@ -766,6 +828,18 @@ class IndexBuilder:
                 },
             )
             self._mark("globals")
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            futs = [
+                pool.submit(_vocab_stage),
+                pool.submit(_ds_stage),
+                pool.submit(_globals_stage),
+            ]
+            for f in futs:
+                f.result()  # re-raise the first stage failure
+        vocab_t = self.spark.read.parquet(f"{p}/vocab")
         with open(f"{p}/globals.json") as f:
             gj = json.load(f)
         globs = CorpusGlobals(
@@ -801,7 +875,14 @@ class IndexBuilder:
                 .withColumn("epoch", F.lit("base"))
             )
             (
-                postings.repartition("bucket")
+                # explicit n_buckets partitions: one writer per bucket
+                # (same 1-file-per-bucket layout), and a fixed-num
+                # repartition skips the AQE re-optimization stage that
+                # a cols-only repartition pays (measured 2.2 -> 1.7 s
+                # for the encode+write at 50k docs). n_buckets is the
+                # scale knob — a bigger index raises it, which raises
+                # write parallelism with it.
+                postings.repartition(self.n_buckets, "bucket")
                 .write.mode("overwrite")
                 .partitionBy("bucket", "epoch")
                 .parquet(f"{p}/postings")
