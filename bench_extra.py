@@ -56,21 +56,23 @@ def main() -> None:
             builder = IndexBuilder(
                 spark, idx_dir, docs_per_shard=max(4096, n_docs // 32)
             )
-            stage_t: dict[str, float] = {}
-            last = [time.time()]
+            # vocab/doc_stats/globals run CONCURRENTLY since r06 —
+            # record each stage's completion offset from build start
+            # (monotone per dependency chain, not additive)
+            stage_done_at: dict[str, float] = {}
             orig_mark = builder._mark
+            t0 = time.time()
 
             def mark(stage, **metrics):
-                now = time.time()
-                stage_t[stage] = round(now - last[0], 3)
-                last[0] = now
+                stage_done_at[stage] = round(time.time() - t0, 3)
                 return orig_mark(stage, **metrics)
 
             builder._mark = mark
-            t0 = time.time()
             index = builder.build_from_docs(docs, resume=False)
             total = round(time.time() - t0, 3)
-            out["reps"].append({"build_total": total, "stages": stage_t})
+            out["reps"].append(
+                {"build_total": total, "stage_done_at": stage_done_at}
+            )
 
         index.cache()
         vmap = {

@@ -47,6 +47,8 @@ from top2vec_spark.operators.corpus_stats import CorpusGlobals
 SKIP_EVERY = 16
 DEFAULT_DOCS_PER_SHARD = 131_072
 DEFAULT_N_BUCKETS = 64
+# vocab sizes up to this ride the driver as a broadcast df map
+DF_BROADCAST_CAP = 5_000_000
 
 POSTINGS_SCHEMA = T.StructType(
     [
@@ -322,11 +324,17 @@ def build_postings_from_tf(
     docs_per_shard: int = DEFAULT_DOCS_PER_SHARD,
     block_size: int = POSTING_BLOCK_SIZE,
     stats_path: str | None = None,
+    df_rows: list | None = None,
 ) -> DataFrame:
     """tf(doc_id, term, tf, dl) + vocab -> compressed postings
     (unsaved). The only join is the vocab dimension (broadcast) and
     the only shuffle is the repartition on (term_id, shard) — the
     salted repartition-by-term.
+
+    ``df_rows``: optional pre-collected (term_id, df) rows (≤ cap+1,
+    same shape as the internal collect) — the index builder harvests
+    them inside its vocab stage thread so this planning-time job is
+    already paid when the postings stage starts.
 
     Shuffle-row slimming, in preference order:
     - ``stats_path`` given (the index build: doc_stats is already on
@@ -342,14 +350,17 @@ def build_postings_from_tf(
     spark = tf.sparkSession
     k1, b, n_docs, avgdl = cfg.k1, cfg.b, globs.n_docs, globs.avgdl
 
-    DF_BROADCAST_CAP = 5_000_000
     df_bc = None
     # ONE job decides broadcastability AND fetches the map: collect up
     # to CAP+1 (term_id, df) rows — len > CAP means the vocab is over
     # the cap (fall back to the column path); the separate count() job
     # this replaces cost a full extra scan per build
     vrows = (
-        vocab.select("term_id", "df").limit(DF_BROADCAST_CAP + 1).collect()
+        df_rows
+        if df_rows is not None
+        else vocab.select("term_id", "df")
+        .limit(DF_BROADCAST_CAP + 1)
+        .collect()
     )
     small_vocab = len(vrows) <= DF_BROADCAST_CAP
     if small_vocab:

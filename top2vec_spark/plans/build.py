@@ -543,7 +543,9 @@ class PostingsIndex:
                 .withColumn("epoch", F.lit(f"ep_{ep}"))
             )
             self._overwrite_partitions(
-                postings_new.repartition("bucket"),
+                # same explicit bucket partitioning as the base build:
+                # one writer per bucket dir, no AQE re-optimization
+                postings_new.repartition(self.n_buckets, "bucket"),
                 ["bucket", "epoch"],
                 f"{p}/postings",
             )
@@ -762,18 +764,82 @@ class IndexBuilder:
         # doc_stats only, so it rides the doc_stats thread. Stage
         # markers/resume semantics are per-stage and unchanged: each
         # thread writes its table THEN its marker.
-        def _vocab_stage() -> None:
-            if resume and self._done("vocab"):
-                return
-            from top2vec_spark.operators.corpus_stats import number_vocab
+        df_rows_box: list = []  # (term_id, df) rows harvested in-thread
 
-            counts = (
-                tf_t.groupBy("term")
-                .agg(F.sum("tf").alias("cf"), F.count(F.lit(1)).alias("df"))
-                .filter(F.col("cf") > min_count)
-            )
-            number_vocab(counts).write.mode("overwrite").parquet(f"{p}/vocab")
-            self._mark("vocab")
+        def _vocab_stage() -> None:
+            from top2vec_spark.operators.postings import DF_BROADCAST_CAP
+
+            if not (resume and self._done("vocab")):
+                counts = (
+                    tf_t.groupBy("term")
+                    .agg(
+                        F.sum("tf").alias("cf"),
+                        F.count(F.lit(1)).alias("df"),
+                    )
+                    .filter(F.col("cf") > min_count)
+                )
+                # a vocab under the broadcast cap is collected to the
+                # driver ANYWAY for the postings df map — numbering it
+                # here (same total order as number_vocab: df desc,
+                # term asc, dense from 0) turns the ~6 tiny jobs of
+                # the distributed two-phase numbering (persist, range
+                # sample, checkpoint, counts, join, write) into ONE
+                # agg-collect + ONE write, and the postings broadcast
+                # rows come free. Over the cap: the scale-safe
+                # two-phase path, unchanged.
+                rows = counts.limit(DF_BROADCAST_CAP + 1).collect()
+                if len(rows) <= DF_BROADCAST_CAP:
+                    import pandas as pd
+
+                    # python sort == Spark's (df desc, term asc):
+                    # UTF-8 byte order preserves code-point order
+                    rows.sort(key=lambda r: (-r["df"], r["term"]))
+                    pdf = pd.DataFrame(
+                        {
+                            "term": [r["term"] for r in rows],
+                            "term_id": list(range(len(rows))),
+                            "df": [int(r["df"]) for r in rows],
+                            "cf": [int(r["cf"]) for r in rows],
+                        }
+                    )
+                    (
+                        self.spark.createDataFrame(
+                            pdf,
+                            "term string, term_id long, df long, cf long",
+                        )
+                        # right-sized files (~500k rows each), order
+                        # preserved so term/df row-group stats stay
+                        # useful to pruned vocab scans
+                        .coalesce(max(1, len(rows) // 500_000))
+                        .write.mode("overwrite")
+                        .parquet(f"{p}/vocab")
+                    )
+                    df_rows_box.append(
+                        [
+                            {"term_id": i, "df": int(r["df"])}
+                            for i, r in enumerate(rows)
+                        ]
+                    )
+                else:
+                    from top2vec_spark.operators.corpus_stats import (
+                        number_vocab,
+                    )
+
+                    number_vocab(counts).write.mode("overwrite").parquet(
+                        f"{p}/vocab"
+                    )
+                self._mark("vocab")
+            if not df_rows_box:
+                # resume-skipped (or over-cap) vocab: prefetch the
+                # postings stage's broadcast rows while the doc_stats
+                # thread still runs — same limit(cap+1) shape
+                # build_postings_from_tf would collect itself
+                df_rows_box.append(
+                    self.spark.read.parquet(f"{p}/vocab")
+                    .select("term_id", "df")
+                    .limit(DF_BROADCAST_CAP + 1)
+                    .collect()
+                )
 
         def _ds_stage() -> None:
             if resume and self._done("doc_stats"):
@@ -866,6 +932,7 @@ class IndexBuilder:
                     # doc_stats is on disk by now: slim-shuffle path
                     # (dl side-read per shard, not shuffled per row)
                     stats_path=f"{p}/doc_stats",
+                    df_rows=df_rows_box[0] if df_rows_box else None,
                 )
                 .withColumn("bucket", bucket_col("term_id", self.n_buckets))
                 # epoch partition column: the base build is epoch
