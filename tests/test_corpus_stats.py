@@ -11,6 +11,7 @@ from top2vec_spark.operators.corpus_stats import (
     build_doc_stats,
     build_vocab,
     compute_globals,
+    number_vocab,
 )
 from top2vec_spark.operators.tokens import tokenize_docs
 
@@ -134,3 +135,30 @@ def test_two_phase_numbering_stable_across_actions(spark):
     assert [(t, d) for (_, t), (t2, d) in zip(a, exp) if t == t2] or [
         x[1] for x in a
     ] == [t for t, _ in exp]
+
+
+def test_driver_numbering_matches_two_phase_unicode_ties(spark):
+    """r06: the index builder numbers a small vocab on the driver
+    (python sort) — must equal number_vocab's distributed two-phase
+    (df desc, term asc) numbering exactly, including unicode terms
+    (UTF-8 byte order == code-point order) and df ties."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(7)
+    alphas = ["ab", "über", "ñ", "漢", "ß", "émigré", "ａ", "𝒳", "🙂x"]
+    # 9^4 = 6561 possible strings — comfortably above the 2000 target
+    # (a tighter alphabet would loop forever)
+    terms = set()
+    while len(terms) < 2000:
+        terms.add("".join(rng.choice(alphas) for _ in range(rng.randint(1, 4))))
+    data = [(t, rng.randint(1, 50), rng.randint(1, 10)) for t in sorted(terms)]
+    counts = spark.createDataFrame(
+        data, "term string, cf long, df long"
+    ).repartition(8)
+    old = {r["term"]: r["term_id"] for r in number_vocab(counts).collect()}
+    rows = counts.collect()
+    rows.sort(key=lambda r: (-r["df"], r["term"]))
+    new = {r["term"]: i for i, r in enumerate(rows)}
+    assert old == new
